@@ -1,0 +1,284 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.functions.Numeric.{davg, dsum, dsumProduct}
+
+/** Scans, projections, filters, predicates and aggregations.
+  *
+  * Covers SURVEY.md §2.1 (S1, S3, S8), §2.2 (P1-P9), §2.4 (A1-A8, A10).
+  * Each query is the reference's operator re-expressed over the TESTDATA
+  * tables so the DuckDB oracle can replay it; Scaladoc on each entry cites
+  * the reference site it mirrors.
+  *
+  * Scale notes: every aggregation here is a partial-agg-friendly
+  * hash aggregate (map-side combine before the shuffle); filters and
+  * projections sit directly on the parquet scan so Catalyst pushes them
+  * into the reader (verified via .explain: PushedFilters / ReadSchema).
+  */
+object RelationalQueries extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    // S1 + P1 + P3/P7: projection + predicate pushed into the parquet scan
+    // (ref: src/09_integrate_pubchem.py:24-25).
+    "s1_scan_project_filter" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R" && col("l_quantity") < 5)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // S3 + U1: file-path provenance capture, the reference's staging-union
+    // trick (ref: src/80_harmonize.py:22-36) — `source` derived from
+    // input_file_name() with pure expressions, no UDF (replaces D4).
+    "s3_provenance_union" -> ((s, d) => {
+      val src = regexp_extract(input_file_name(), "([a-z]+)\\.parquet", 1)
+      val c = Tables.customer(s, d)
+        .select(col("c_name").as("name"), src.as("source"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_name").as("name"), src.as("source"))
+      c.unionByName(sup).orderBy(col("source"), col("name"))
+    }),
+
+    // S8: local-collection source joined to a table
+    // (ref: src/13_integrate_BBBP.py:52, literal properties rows).
+    "s8_local_collection" -> ((s, d) => {
+      import s.implicits._
+      val lookup = Seq(
+        ("AFRICA", "AF"), ("AMERICA", "AM"), ("ASIA", "AS"),
+        ("EUROPE", "EU"), ("MIDDLE EAST", "ME")
+      ).toDF("r_name", "code")
+      Tables.region(s, d).join(broadcast(lookup), Seq("r_name"))
+        .select(col("r_regionkey"), col("r_name"), col("code"))
+        .orderBy(col("r_regionkey"))
+    }),
+
+    // P4/P5/P6/P7: set membership, null checks, compound boolean, range
+    // (ref: src/09_integrate_pubchem.py:51-53; src/16_integrate_clintox.py:38).
+    "p6_compound_predicates" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus").isin("F", "O") &&
+          col("o_orderpriority").isNotNull &&
+          !isnan(col("o_totalprice")) &&
+          col("o_totalprice") > 1000 && col("o_totalprice") < 100000)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // P8 + P9: multi-way case_when decode + binary conditional
+    // (ref: src/02_integrate_chembl.R:31-52; src/13_integrate_BBBP.py:61).
+    "p8_case_when" -> ((s, d) => {
+      val cls = when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+        .when(col("o_orderpriority") === "3-MEDIUM", "medium")
+        .otherwise("low")
+      val big = when(col("o_totalprice") > 200000, 1).otherwise(0)
+      Tables.orders(s, d)
+        .withColumn("priority_class", cls).withColumn("is_big", big)
+        .groupBy(col("priority_class"), col("is_big"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("priority_class"), col("is_big"))
+    }),
+
+    // A1: group count (ref: src/91_property_categories.py:19).
+    "a1_group_count" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // A2 + A8: grouped min/max/sum/avg multi-metric summarize
+    // (ref: src/91_property_categories.py:20; src/01_integrate_toxvaldb.R:26).
+    "a2_min_max_sum" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // A3: conditional sum within group (ref: src/02_integrate_chembl.R:62,
+    // `sum(value=="positive")`).
+    "a3_conditional_sum" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_discount") > 0.05, 1).otherwise(0)).as("n_disc"),
+          sum(when(col("l_tax") === 0.0, 1).otherwise(0)).as("n_notax"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // A4: exact count-distinct within group (ref: src/02_integrate_chembl.R:60-61).
+    // At 100 TB swap for approx_count_distinct behind the exactness config
+    // (SURVEY §7.4 risk 6); exact is required for oracle parity here.
+    "a4_count_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // A5: EXACT grouped median — the reference's binarization pivot
+    // (ref: src/01_integrate_toxvaldb.R:22-24; SURVEY §4 decision 1:
+    // percentile(), not percentile_approx(), for reproducible semantics).
+    "a5_median_exact" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"),
+          expr("percentile(l_extendedprice, 0.5)").as("med_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // A6: group-filter / HAVING (ref: src/01_integrate_toxvaldb.R:23,
+    // keep groups with n() > 500).
+    "a6_group_having" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("n") >= 40)
+        .orderBy(col("l_partkey"))
+    }),
+
+    // A7 + R3: pivot aggregation, the pubchem pos/neg QC query
+    // (ref: src/09_integrate_pubchem.py:66). Explicit value list avoids the
+    // extra distinct-scan pass and pins column order.
+    "a7_pivot_counts" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .count()
+        .na.fill(0L, Seq("A", "N", "R"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // A10: group-wise round(median(value)) — toxcast hitcall consensus
+    // (ref: src/04_integrate_toxcast.R:37).
+    "a10_median_round" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 0).as("med_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Flagship: TPC-H Q1-shaped pricing summary — the densest exercise of
+    // scan + pushdown + multi-metric hash aggregate.
+    "q1_pricing_summary" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-01")))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount"))
+            .as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s1_scan_project_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity < 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "s3_provenance_union" ->
+      """SELECT * FROM (
+        |  SELECT c_name AS name, 'customer' AS source FROM customer
+        |  UNION ALL
+        |  SELECT s_name AS name, 'supplier' AS source FROM supplier
+        |) ORDER BY source, name""".stripMargin,
+
+    "s8_local_collection" ->
+      """SELECT r_regionkey, r_name, code
+        |FROM region JOIN (VALUES ('AFRICA','AF'),('AMERICA','AM'),('ASIA','AS'),
+        |  ('EUROPE','EU'),('MIDDLE EAST','ME')) AS l(r_name, code) USING (r_name)
+        |ORDER BY r_regionkey""".stripMargin,
+
+    "p6_compound_predicates" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderstatus IN ('F','O') AND o_orderpriority IS NOT NULL
+        |  AND NOT isnan(o_totalprice)
+        |  AND o_totalprice > 1000 AND o_totalprice < 100000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "p8_case_when" ->
+      """SELECT
+        |  CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'high'
+        |       WHEN o_orderpriority = '3-MEDIUM' THEN 'medium'
+        |       ELSE 'low' END AS priority_class,
+        |  CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END AS is_big,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY priority_class, is_big""".stripMargin,
+
+    "a1_group_count" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+        |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a2_min_max_sum" ->
+      """SELECT l_returnflag,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(l_discount) AS avg_disc,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "a3_conditional_sum" ->
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_disc,
+        |  SUM(CASE WHEN l_tax = 0.0 THEN 1 ELSE 0 END) AS n_notax
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "a4_count_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "a5_median_exact" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS med_qty,
+        |  quantile_cont(l_extendedprice, 0.5) AS med_price
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "a6_group_having" ->
+      """SELECT l_partkey, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1 HAVING count(*) >= 40
+        |ORDER BY l_partkey""".stripMargin,
+
+    "a7_pivot_counts" ->
+      """SELECT l_linestatus,
+        |  count(*) FILTER (WHERE l_returnflag = 'A') AS "A",
+        |  count(*) FILTER (WHERE l_returnflag = 'N') AS "N",
+        |  count(*) FILTER (WHERE l_returnflag = 'R') AS "R"
+        |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+
+    "a10_median_round" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 0) AS med_price
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin
+  )
+}
