@@ -9,7 +9,12 @@ import graft.queries._
   */
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
-    RelationalQueries
+    RelationalQueries,
+    JoinQueries,
+    WindowQueries,
+    SortSampleQueries,
+    SetReshapeQueries,
+    ScalarFuncQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

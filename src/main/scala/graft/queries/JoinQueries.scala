@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Numeric.dsum
+
+/** Joins — SURVEY.md §2.3 (J1-J9) plus the semi/anti pair.
+  *
+  * Scale notes: dimension sides (region, nation, literal lookups, the
+  * distinct event-type list) are explicitly `broadcast()` so the fact scan
+  * never shuffles for them; the big fact⋈fact joins (lineitem⋈orders) are
+  * left to Catalyst/AQE which picks SMJ or shuffled-hash with both sides
+  * partitioned on the key — the layout that survives a 1000-executor
+  * scale-up. Negative synthesis (J5/J6) builds the key grid from two
+  * *distinct* projections (tiny) instead of cross-joining fact rows.
+  */
+object JoinQueries extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    // J1: inner equi-join, single key (ref: src/80_harmonize.py:73 —
+    // activities ⋈ inchi→smiles map).
+    "j1_inner_equi" -> ((s, d) => {
+      Tables.orders(s, d).join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // J2: inner equi-join on a composite key (ref: src/80_harmonize.py:78 —
+    // re-keying activities on ["source","sid"]). The map side is a derived
+    // per-(partkey,suppkey) aggregate joined back on both columns.
+    "j2_composite_key" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ps = li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("pair_qty"))
+      li.join(ps, Seq("l_partkey", "l_suppkey"))
+        .filter(col("n_lines") >= 2)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dsum(col("pair_qty")).as("sum_pair_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // J3: 3-way join chain (ref: src/02_integrate_chembl.R:40 —
+    // activities ⋈ assays ⋈ compounds).
+    "j3_three_way" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // J4: left outer join, preserving unmatched left rows as zeros
+    // (ref: src/07_integrate_ctdbase.R:37).
+    "j4_left_outer" -> ((s, d) => {
+      val perCust = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      Tables.customer(s, d)
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J5 + J6: negative synthesis — cross-join the distinct key dims, left
+    // join observed facts, null ⇒ "negative" (ref: src/06_integrate_ice.R:
+    // 102-105). The grid is built from distinct projections (small), with
+    // the 5-row event_type dim broadcast.
+    "j5_negative_synthesis" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val users = ev.select(col("user_id")).distinct()
+      val types = ev.select(col("event_type")).distinct()
+      val observed = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      users.crossJoin(broadcast(types))
+        .join(observed, Seq("user_id", "event_type"), "left")
+        .withColumn("label",
+          when(col("n").isNull, "negative").otherwise("positive"))
+        .groupBy(col("event_type"), col("label"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("event_type"), col("label"))
+    }),
+
+    // J6: plain cross join of two dims (ref: src/06_integrate_ice.R:102,
+    // expand.grid).
+    "j6_cross_join" -> ((s, d) => {
+      Tables.nation(s, d).crossJoin(broadcast(Tables.region(s, d)))
+        .select(col("n_name"), col("r_name"))
+        .orderBy(col("n_name"), col("r_name"))
+    }),
+
+    // J7: broadcast lookup join chain through two small dims
+    // (ref: src/05_integrate_reach.R:13 — 111-row GHS lookup).
+    "j7_broadcast_lookup" -> ((s, d) => {
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_suppliers"))
+        .orderBy(col("r_name"))
+    }),
+
+    // J8: left-semi join — keep customers having a qualifying order
+    // (ref: src/91_property_categories.py:24).
+    "j8_semi_join" -> ((s, d) => {
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 250000)
+      Tables.customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J8b: left-anti join — the complement (reference's closest form is the
+    // J5 null-fill; anti completes the engine's join surface).
+    "j8_anti_join" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J9: join-as-existence-check assertion shape — a single global count
+    // (ref: src/09_integrate_pubchem.py:79-82).
+    "j9_join_count" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .agg(count(lit(1)).as("n_matched"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "j1_inner_equi" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "j2_composite_key" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, count(*) AS n_lines,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS pair_qty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, count(*) AS n,
+        |  CAST(SUM(CAST(pair_qty AS DECIMAL(18,4))) AS DOUBLE) AS sum_pair_qty
+        |FROM lineitem JOIN ps USING (l_partkey, l_suppkey)
+        |WHERE n_lines >= 2 GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "j3_three_way" ->
+      """SELECT c_mktsegment, count(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "j4_left_outer" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  coalesce(n_orders, 0) AS n_orders
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1
+        |) ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j5_negative_synthesis" ->
+      """WITH grid AS (
+        |  SELECT user_id, event_type
+        |  FROM (SELECT DISTINCT user_id FROM events)
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM events)),
+        |observed AS (
+        |  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |  CASE WHEN n IS NULL THEN 'negative' ELSE 'positive' END AS label,
+        |  count(*) AS n_pairs
+        |FROM grid LEFT JOIN observed USING (user_id, event_type)
+        |GROUP BY 1, 2 ORDER BY event_type, label""".stripMargin,
+
+    "j6_cross_join" ->
+      """SELECT n_name, r_name FROM nation CROSS JOIN region
+        |ORDER BY n_name, r_name""".stripMargin,
+
+    "j7_broadcast_lookup" ->
+      """SELECT r_name, count(*) AS n_suppliers
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY r_name""".stripMargin,
+
+    "j8_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j8_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j9_join_count" ->
+      """SELECT count(*) AS n_matched
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+  )
+}

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Set operations and reshape — SURVEY.md §2.7 (U1-U3) + §2.8 (R1-R4),
+  * plus intersect/except which the reference lacks.
+  *
+  * Scale notes: union is a zero-shuffle metadata concat; `distinct` /
+  * `intersect` / `except` shuffle on the full row hash — they're applied
+  * after narrow projections so the exchanged payload is just the key
+  * columns. `unpivot` is a narrow per-row explode (no shuffle), replacing
+  * the reference's loop-union anti-pattern (SURVEY §2.8 R2).
+  */
+object SetReshapeQueries extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    // U1/U2: union-by-name with missing-column fill — the bind_rows shape
+    // (ref: src/06_integrate_ice.R:130; src/03_integrate_tox21.R:32-40).
+    "u2_union_fill" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+          col("c_mktsegment").as("segment"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_name").as("name"), col("s_acctbal").as("acctbal"))
+      c.unionByName(sup, allowMissingColumns = true)
+        .withColumn("segment", coalesce(col("segment"), lit("NONE")))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("segment"))
+    }),
+
+    // U3: dedup — distinct on a projection (ref: src/80_harmonize.py:37).
+    "u3_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Extra: intersect — nations that have both customers and suppliers.
+    "u4_intersect" -> ((s, d) => {
+      val cn = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val sn = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      cn.intersect(sn).orderBy(col("nationkey"))
+    }),
+
+    // Extra: except — nations with customers but no suppliers.
+    "u5_except" -> ((s, d) => {
+      val cn = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val sn = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      cn.except(sn).orderBy(col("nationkey"))
+    }),
+
+    // R1/R2: unpivot wide→long — the bindingdb measure melt
+    // (ref: src/10_integrate_bindingdb.R:54; replaces the sider loop-union
+    // anti-pattern src/15_integrate_sider.py:61-70).
+    "r1_unpivot" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retailprice"))
+        .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+          "metric", "value")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"), max(col("value")).as("max_value"))
+        .orderBy(col("metric"))
+    }),
+
+    // R4: nest-to-JSON struct pack — the staging `data` blob construction
+    // (ref: src/09_integrate_pubchem.py:34, to_json(struct(...))).
+    "r4_nest_json" -> ((s, d) => {
+      Tables.nation(s, d)
+        .withColumn("data",
+          to_json(struct(col("n_name"), col("n_regionkey"))))
+        .select(col("n_nationkey"), col("data"))
+        .orderBy(col("n_nationkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "u2_union_fill" ->
+      """SELECT coalesce(segment, 'NONE') AS segment, count(*) AS n FROM (
+        |  SELECT c_name AS name, c_acctbal AS acctbal, c_mktsegment AS segment
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT s_name, s_acctbal, NULL FROM supplier)
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    "u3_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "u4_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "u5_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "r1_unpivot" ->
+      """SELECT metric, count(*) AS n, max(value) AS max_value FROM (
+        |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+        |  FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'retailprice', p_retailprice FROM part)
+        |GROUP BY 1 ORDER BY metric""".stripMargin,
+
+    "r4_nest_json" ->
+      """SELECT n_nationkey,
+        |  to_json(struct_pack(n_name := n_name, n_regionkey := n_regionkey))
+        |    AS data
+        |FROM nation ORDER BY n_nationkey""".stripMargin
+  )
+}

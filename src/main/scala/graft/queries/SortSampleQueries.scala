@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Sorts / limits / top-k / sampling — SURVEY.md §2.6 (O1-O4).
+  *
+  * Scale notes: top-k by sort+limit compiles to Spark's TakeOrderedAndProject
+  * (per-partition heap + driver merge — no global sort shuffle). The
+  * stratified sample replaces the reference's unseeded `sample_n` (SURVEY
+  * §7.4 risk 3) with an md5-keyed order: deterministic on any partitioning,
+  * reproducible in any engine, and distributed (per-group window, no
+  * driver collect).
+  */
+object SortSampleQueries extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    // O1+O2: order-by + limit — top-k (ref: src/07_integrate_ctdbase.R:31).
+    // Unique tiebreak (o_orderkey) makes the k-boundary deterministic.
+    "o2_top_k" -> ((s, d) => {
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // O3: max-of-counts — the tox21 single-activity-per-(sid,pid) check
+    // (ref: src/03_integrate_tox21.R:90-91).
+    "o3_max_of_counts" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("max_dup"))
+    }),
+
+    // O4: stratified exact-n sampling — n rows per stratum, selected by a
+    // content-hash order so the sample is stable across runs and engines
+    // (ref: src/06_integrate_ice.R:107-110, made deterministic).
+    "o4_stratified_sample" -> ((s, d) => {
+      val hk = md5(concat_ws("|", col("l_orderkey"), col("l_linenumber")))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(hk)
+      Tables.lineitem(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 50)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_sampled"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy(col("l_returnflag"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "o2_top_k" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "o3_max_of_counts" ->
+      """SELECT max(n) AS max_dup FROM (
+        |  SELECT l_orderkey, l_linenumber, count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2)""".stripMargin,
+
+    "o4_stratified_sample" ->
+      """SELECT l_returnflag, count(*) AS n_sampled,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM (
+        |  SELECT l_returnflag, l_orderkey,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY md5(concat_ws('|', l_orderkey, l_linenumber))) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 50 GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+  )
+}

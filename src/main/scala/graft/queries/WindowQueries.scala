@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Numeric.dsum
+
+/** Window functions — SURVEY.md §2.5 (W1-W6) plus lead/lag/rank extras the
+  * reference lacks but a complete engine needs.
+  *
+  * Scale notes: every window here partitions by a real key (user_id,
+  * custkey, partkey) — partitions are bounded and hash-distribute across
+  * executors. There is deliberately NO global `Window.orderBy` without
+  * partitioning anywhere in the engine (single-partition collapse, SURVEY
+  * §7.4 risk 5); global ids are content hashes instead (W3). Exact grouped
+  * median over a window isn't supported by Spark, so W2 uses the
+  * aggregate-then-join-back plan (SURVEY §2.5 design note) — the join side
+  * is a per-group scalar, tiny, broadcast by AQE.
+  */
+object WindowQueries extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    // W1: count over partition, keep singleton ids
+    // (ref: src/09_integrate_pubchem.py:28-29).
+    "w1_count_over" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+      Tables.events(s, d)
+        .withColumn("n_user_events", count(lit(1)).over(w))
+        .filter(col("n_user_events") <= 5)
+        .select(col("event_id"), col("user_id"), col("n_user_events"))
+        .orderBy(col("event_id"))
+    }),
+
+    // W2: grouped-mutate median (keep rows) via aggregate + join-back —
+    // the binarize-by-median pivot (ref: src/01_integrate_toxvaldb.R:24;
+    // exact percentile, not approx: SURVEY §4 decision 1).
+    "w2_median_joinback" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med_value"))
+      ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("binary_value",
+          when(col("value") >= col("med_value"), 1).otherwise(0))
+        .groupBy(col("event_type"), col("binary_value"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("binary_value"))
+    }),
+
+    // W3: per-group id assignment — deterministic content hash instead of
+    // the reference's per-group UUID (ref: src/01_integrate_toxvaldb.R:12,21;
+    // SURVEY §4 decision 2).
+    "w3_group_hash_id" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("sid", md5(concat_ws("|", col("user_id"))))
+        .withColumn("pid", md5(concat_ws("|", col("event_type"))))
+        .groupBy(col("pid"))
+        .agg(countDistinct(col("sid")).as("n_sids"))
+        .orderBy(col("pid"))
+    }),
+
+    // W4: partitioned row numbering — per-customer order sequence with a
+    // unique tiebreak for determinism (ref: src/01_integrate_toxvaldb.R:42;
+    // global row_number deliberately avoided).
+    "w4_row_number" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("seq", row_number().over(w))
+        .filter(col("seq") <= 3)
+        .select(col("o_custkey"), col("seq"), col("o_orderkey"))
+        .orderBy(col("o_custkey"), col("seq"))
+    }),
+
+    // W5: group-support filter via window count, preserving row granularity
+    // before aggregating (ref: src/03_integrate_tox21.R:50).
+    "w5_group_filter" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"), col("user_id"))
+      Tables.events(s, d)
+        .withColumn("n_in_group", count(lit(1)).over(w))
+        .filter(col("n_in_group") >= 3)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }),
+
+    // W6: group-degeneracy — users that only ever emit one event_type.
+    // min==max over the partition is exact and cheaper than
+    // size(collect_set) (ref: src/03_integrate_tox21.R:24).
+    "w6_degeneracy" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+      Tables.events(s, d)
+        .withColumn("one_type",
+          (min(col("event_type")).over(w) === max(col("event_type")).over(w))
+            .cast("int"))
+        .groupBy()
+        .agg(countDistinct(when(col("one_type") === 1, col("user_id")))
+          .as("n_degenerate_users"))
+    }),
+
+    // Extra: lag + running sum over event time per user — the
+    // sessionization / as-of primitive a training pipeline needs. Frame is
+    // explicit rows-between (reference has no frames at all).
+    "w7_lag_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      val wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("run_value",
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .over(wsum).cast("double"))
+        .filter(col("prev_value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          max(col("run_value")).as("max_run"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Extra: rank/dense_rank — top-2 orders per priority by price with
+    // deterministic tiebreak.
+    "w8_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rk", rank().over(w))
+        .filter(col("rk") <= 2)
+        .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rk"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "w1_count_over" ->
+      """SELECT event_id, user_id, n_user_events FROM (
+        |  SELECT event_id, user_id,
+        |    count(*) OVER (PARTITION BY user_id) AS n_user_events
+        |  FROM events)
+        |WHERE n_user_events <= 5 ORDER BY event_id""".stripMargin,
+
+    "w2_median_joinback" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med_value
+        |  FROM events GROUP BY 1)
+        |SELECT event_type,
+        |  CASE WHEN value >= med_value THEN 1 ELSE 0 END AS binary_value,
+        |  count(*) AS n
+        |FROM events JOIN med USING (event_type)
+        |GROUP BY 1, 2 ORDER BY event_type, binary_value""".stripMargin,
+
+    "w3_group_hash_id" ->
+      """SELECT md5(CAST(event_type AS VARCHAR)) AS pid,
+        |  count(DISTINCT md5(CAST(user_id AS VARCHAR))) AS n_sids
+        |FROM events GROUP BY 1 ORDER BY pid""".stripMargin,
+
+    "w4_row_number" ->
+      """SELECT o_custkey, seq, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS seq
+        |  FROM orders)
+        |WHERE seq <= 3 ORDER BY o_custkey, seq""".stripMargin,
+
+    "w5_group_filter" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM (
+        |  SELECT *, count(*) OVER (PARTITION BY event_type, user_id) AS n_in_group
+        |  FROM events)
+        |WHERE n_in_group >= 3 GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "w6_degeneracy" ->
+      """SELECT count(DISTINCT CASE WHEN one_type = 1 THEN user_id END)
+        |    AS n_degenerate_users
+        |FROM (
+        |  SELECT user_id,
+        |    CAST(min(event_type) OVER (PARTITION BY user_id) =
+        |         max(event_type) OVER (PARTITION BY user_id) AS INT) AS one_type
+        |  FROM events)""".stripMargin,
+
+    "w7_lag_running" ->
+      """SELECT user_id, count(*) AS n, max(run_value) AS max_run FROM (
+        |  SELECT user_id,
+        |    lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_value,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4)))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE) AS run_value
+        |  FROM events)
+        |WHERE prev_value IS NOT NULL
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "w8_rank" ->
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    rank() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 2 ORDER BY o_orderpriority, rk""".stripMargin
+  )
+}

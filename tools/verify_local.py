@@ -25,6 +25,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    if len(df) == 0:
+        return df.reset_index(drop=True)
     # stringify for a stable total order incl. NaN/None
     key = df.astype(str).apply(lambda r: "\x00".join(r), axis=1)
     return df.iloc[key.argsort(kind="mergesort")].reset_index(drop=True)
