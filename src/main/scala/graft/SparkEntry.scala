@@ -14,7 +14,8 @@ object SparkEntry {
     WindowQueries,
     SortSampleQueries,
     SetReshapeQueries,
-    ScalarFuncQueries
+    ScalarFuncQueries,
+    HarmonizeQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

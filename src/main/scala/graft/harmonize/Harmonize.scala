@@ -1,0 +1,79 @@
+package graft.harmonize
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.CanonicalJson.canonicalizeJson
+import graft.sources.SourceAdapter
+
+/** The harmonize job — the reference's core pipeline
+  * (ref: src/80_harmonize.py:20-108; SURVEY §3.1) re-expressed as one
+  * declarative Spark plan:
+  *
+  *   union staging triplets (+source) → canonicalize data → re-key
+  *   sid/pid as md5(canonical data) → re-key activities through the
+  *   (source, old-id) → new-id maps → aid = md5(sid|pid|value) → distinct.
+  *
+  * Scale notes (100 TB posture):
+  *   - The id maps are joined on (source, old-id) WITHOUT a broadcast
+  *     hint: at reference scale substances is 17 GB — AQE broadcasts the
+  *     map only when it is actually small, otherwise both sides hash-
+  *     partition on the composite key (the reference does the same two
+  *     joins, src/80_harmonize.py:76-78).
+  *   - canonicalize runs as an in-JVM Scala UDF only on the `data` column
+  *     of the two small tables (substances/properties), never on the
+  *     activities fact table; the reference pays a Python-worker pickle
+  *     boundary per row here.
+  *   - `distinct()` on the fact table shuffles on the full row hash — it
+  *     is applied after projecting to the final narrow schema.
+  */
+object Harmonize {
+
+  case class Brick(substances: DataFrame, properties: DataFrame,
+      activities: DataFrame)
+
+  def brick(spark: SparkSession, sfDir: String,
+      adapters: Seq[SourceAdapter]): Brick = {
+    val staged = adapters.map(a => a.name -> a.staging(spark, sfDir))
+
+    def unionWithSource(pick: graft.sources.StagingTriplet => DataFrame)
+        : DataFrame =
+      staged.map { case (n, t) => pick(t).withColumn("source", lit(n)) }
+        .reduce(_ unionByName _)
+
+    // substances: canonicalize + content-hash re-key (py:33-43)
+    val subsStaging = unionWithSource(_.substances)
+      .withColumn("data", canonicalizeJson(col("data")))
+      .withColumn("new_sid", md5(col("data")))
+    val substances = subsStaging
+      .select(col("new_sid").as("sid"), col("source"), col("data"))
+      .distinct()
+    val sidMap = subsStaging
+      .select(col("source"), col("sid").as("old_sid"), col("new_sid"))
+      .distinct()
+
+    // properties: same (py:48-58)
+    val propsStaging = unionWithSource(_.properties)
+      .withColumn("data", canonicalizeJson(col("data")))
+      .withColumn("new_pid", md5(col("data")))
+    val properties = propsStaging
+      .select(col("new_pid").as("pid"), col("source"), col("data"))
+      .distinct()
+    val pidMap = propsStaging
+      .select(col("source"), col("pid").as("old_pid"), col("new_pid"))
+      .distinct()
+
+    // activities: composite-key re-key joins + content-hash aid (py:63-86)
+    val activities = unionWithSource(_.activities)
+      .withColumnRenamed("sid", "old_sid")
+      .withColumnRenamed("pid", "old_pid")
+      .join(sidMap, Seq("source", "old_sid"))
+      .join(pidMap, Seq("source", "old_pid"))
+      .withColumn("aid",
+        md5(concat_ws("|", col("new_sid"), col("new_pid"), col("value"))))
+      .select(col("aid"), col("new_sid").as("sid"), col("new_pid").as("pid"),
+        col("source"), col("value"), col("numvalue"))
+      .distinct()
+
+    Brick(substances, properties, activities)
+  }
+}

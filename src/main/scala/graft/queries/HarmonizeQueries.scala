@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.harmonize.Harmonize
+import graft.sources.{EventsAdapter, OrdersAdapter}
+
+/** The chemharmony domain pipeline end-to-end — SURVEY §3.1 (harmonize)
+  * and §2.12 (the reference's embedded QC queries) over the TESTDATA
+  * tables, with the entire staging→canonicalize→re-key→aid chain replayed
+  * in DuckDB SQL as the oracle.
+  *
+  * Two SourceAdapters (events, orders) stand in for the reference's 15
+  * integrators; the brick shape, id algebra (md5-of-canonical-JSON), and
+  * QC invariants are the reference's own.
+  */
+object HarmonizeQueries extends QueryModule {
+
+  private def brick(s: org.apache.spark.sql.SparkSession, d: String) =
+    Harmonize.brick(s, d, Seq(EventsAdapter, OrdersAdapter))
+
+  val queries: Map[String, Q] = Map(
+    // Brick substances: union + canonicalize + md5 re-key
+    // (ref: src/80_harmonize.py:33-43).
+    "h1_substances_brick" -> ((s, d) => {
+      brick(s, d).substances.orderBy(col("sid"), col("source"))
+    }),
+
+    // Brick properties (ref: src/80_harmonize.py:48-58). pid uniqueness is
+    // QC-asserted downstream (py:104-105) — h6 covers the count side.
+    "h2_properties_brick" -> ((s, d) => {
+      brick(s, d).properties.orderBy(col("pid"), col("source"))
+    }),
+
+    // Brick activities QC profile: per-(source, value) counts, distinct
+    // aids, numvalue range (ref: src/80_harmonize.py:63-99 assembly +
+    // count assertions).
+    "h3_activities_qc" -> ((s, d) => {
+      brick(s, d).activities
+        .groupBy(col("source"), col("value"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("aid")).as("n_aids"),
+          min(col("numvalue")).as("min_num"),
+          max(col("numvalue")).as("max_num"))
+        .orderBy(col("source"), col("value"))
+    }),
+
+    // Class-support pivot: pids with >=100 positives AND >=100 negatives —
+    // the pubchem QC query (ref: src/09_integrate_pubchem.py:64-68).
+    "h4_support_pivot" -> ((s, d) => {
+      brick(s, d).activities
+        .groupBy(col("pid"))
+        .pivot("value", Seq("positive", "negative"))
+        .count()
+        .na.fill(0L, Seq("positive", "negative"))
+        .filter(col("positive") >= 100 && col("negative") >= 100)
+        .orderBy(col("pid"))
+    }),
+
+    // Cross-table consistency: per-source property count in `properties`
+    // equals distinct pids in `activities` — the reference's only
+    // standalone test (ref: src/tests.py:17-56, full-outer-join compare).
+    "h5_consistency" -> ((s, d) => {
+      val b = brick(s, d)
+      val nProps = b.properties.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_props"))
+      val nApids = b.activities.groupBy(col("source"))
+        .agg(countDistinct(col("pid")).as("n_apids"))
+      nProps.join(nApids, Seq("source"), "full_outer")
+        .select(col("source"),
+          coalesce(col("n_props"), lit(0L)).as("n_props"),
+          coalesce(col("n_apids"), lit(0L)).as("n_apids"))
+        .withColumn("consistent", col("n_props") === col("n_apids"))
+        .orderBy(col("source"))
+    }),
+
+    // Dedup idempotence: raw row count equals distinct aid count — the
+    // pubchem before/after-distinct check (ref: src/09_integrate_pubchem.py:
+    // 71-76) strengthened by content-addressed aids.
+    "h6_dedup_idempotence" -> ((s, d) => {
+      brick(s, d).activities
+        .agg(count(lit(1)).as("n_raw"),
+          countDistinct(col("aid")).as("n_aids"))
+    })
+  )
+
+  /** Shared oracle CTE chain replaying staging + harmonize in DuckDB. */
+  private val actsCte: String =
+    """WITH epair AS (
+      |  SELECT user_id, event_type, quantile_cont(value, 0.5) AS numvalue
+      |  FROM events GROUP BY 1, 2),
+      |emed AS (
+      |  SELECT event_type, quantile_cont(numvalue, 0.5) AS med
+      |  FROM epair GROUP BY 1),
+      |eacts AS (
+      |  SELECT md5(to_json(struct_pack(user_id := user_id))) AS sid,
+      |    md5(to_json(struct_pack(event_type := event_type))) AS pid,
+      |    CASE WHEN numvalue >= med THEN 'positive' ELSE 'negative' END AS value,
+      |    numvalue, 'events' AS source
+      |  FROM epair JOIN emed USING (event_type)),
+      |opair AS (
+      |  SELECT o_custkey, o_orderpriority,
+      |    quantile_cont(o_totalprice, 0.5) AS numvalue
+      |  FROM orders GROUP BY 1, 2),
+      |omed AS (
+      |  SELECT o_orderpriority, quantile_cont(numvalue, 0.5) AS med
+      |  FROM opair GROUP BY 1),
+      |oacts AS (
+      |  SELECT md5(to_json(struct_pack(c_custkey := c_custkey,
+      |      c_name := c_name))) AS sid,
+      |    md5(to_json(struct_pack(o_orderpriority := o_orderpriority))) AS pid,
+      |    CASE WHEN numvalue >= med THEN 'positive' ELSE 'negative' END AS value,
+      |    numvalue, 'orders' AS source
+      |  FROM opair
+      |  JOIN omed USING (o_orderpriority)
+      |  JOIN customer ON o_custkey = c_custkey),
+      |allacts AS (
+      |  SELECT md5(concat_ws('|', sid, pid, value)) AS aid,
+      |    sid, pid, source, value, numvalue
+      |  FROM (SELECT * FROM eacts UNION ALL SELECT * FROM oacts))
+      |""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "h1_substances_brick" ->
+      """SELECT md5(data) AS sid, source, data FROM (
+        |  SELECT 'events' AS source,
+        |    to_json(struct_pack(user_id := user_id)) AS data
+        |  FROM (SELECT DISTINCT user_id FROM events)
+        |  UNION ALL
+        |  SELECT 'orders',
+        |    to_json(struct_pack(c_custkey := c_custkey, c_name := c_name))
+        |  FROM customer)
+        |ORDER BY sid, source""".stripMargin,
+
+    "h2_properties_brick" ->
+      """SELECT md5(data) AS pid, source, data FROM (
+        |  SELECT 'events' AS source,
+        |    to_json(struct_pack(event_type := event_type)) AS data
+        |  FROM (SELECT DISTINCT event_type FROM events)
+        |  UNION ALL
+        |  SELECT 'orders',
+        |    to_json(struct_pack(o_orderpriority := o_orderpriority)) AS data
+        |  FROM (SELECT DISTINCT o_orderpriority FROM orders))
+        |ORDER BY pid, source""".stripMargin,
+
+    "h3_activities_qc" -> (actsCte +
+      """SELECT source, value, count(*) AS n, count(DISTINCT aid) AS n_aids,
+        |  min(numvalue) AS min_num, max(numvalue) AS max_num
+        |FROM allacts GROUP BY 1, 2 ORDER BY source, value""".stripMargin),
+
+    "h4_support_pivot" -> (actsCte +
+      """SELECT pid,
+        |  count(*) FILTER (WHERE value = 'positive') AS positive,
+        |  count(*) FILTER (WHERE value = 'negative') AS negative
+        |FROM allacts GROUP BY 1
+        |HAVING positive >= 100 AND negative >= 100
+        |ORDER BY pid""".stripMargin),
+
+    "h5_consistency" -> (actsCte +
+      """, props AS (
+        |  SELECT 'events' AS source, count(*) AS n_props
+        |  FROM (SELECT DISTINCT event_type FROM events)
+        |  UNION ALL
+        |  SELECT 'orders', count(*)
+        |  FROM (SELECT DISTINCT o_orderpriority FROM orders)),
+        |apids AS (
+        |  SELECT source, count(DISTINCT pid) AS n_apids
+        |  FROM allacts GROUP BY 1)
+        |SELECT source, coalesce(n_props, 0) AS n_props,
+        |  coalesce(n_apids, 0) AS n_apids,
+        |  (coalesce(n_props, 0) = coalesce(n_apids, 0)) AS consistent
+        |FROM props FULL OUTER JOIN apids USING (source)
+        |ORDER BY source""".stripMargin),
+
+    "h6_dedup_idempotence" -> (actsCte +
+      """SELECT count(*) AS n_raw, count(DISTINCT aid) AS n_aids
+        |FROM allacts""".stripMargin)
+  )
+}

@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The staging-triplet contract every source integrator satisfies
+  * (ref: src/01_integrate_toxvaldb.R:29-45; SURVEY §1.1):
+  *
+  *   substances(sid, data)  — one row per entity, data = canonical JSON
+  *   properties(pid, data)  — one row per endpoint
+  *   activities(aid, sid, pid, value, numvalue)
+  *       value ∈ {"positive","negative"}; numvalue carries the raw
+  *       magnitude the reference drops (README.md:24/37 gap, SURVEY §1.1).
+  *
+  * Staging ids are deterministic content hashes of the natural key
+  * (SURVEY §4 decision 2) instead of the reference's per-group UUIDs —
+  * same shape, reproducible across runs and engines.
+  */
+case class StagingTriplet(substances: DataFrame, properties: DataFrame,
+    activities: DataFrame)
+
+trait SourceAdapter {
+  def name: String
+  def staging(spark: SparkSession, sfDir: String): StagingTriplet
+}
+
+/** Events-as-assay adapter: user = substance, event_type = property, a
+  * user's per-type median value binarized against the per-type median of
+  * those medians — the toxvaldb integrator's exact shape
+  * (ref: src/01_integrate_toxvaldb.R:12-31).
+  */
+object EventsAdapter extends SourceAdapter {
+  val name = "events"
+
+  def staging(s: SparkSession, d: String): StagingTriplet = {
+    val ev = Tables.events(s, d)
+    val sid = md5(concat(lit("user:"), col("user_id").cast("string")))
+    val pid = md5(concat(lit("etype:"), col("event_type")))
+
+    val subs = ev.select(col("user_id")).distinct()
+      .withColumn("data", to_json(struct(col("user_id"))))
+      .withColumn("sid", sid)
+      .select("sid", "data")
+
+    val props = ev.select(col("event_type")).distinct()
+      .withColumn("data", to_json(struct(col("event_type"))))
+      .withColumn("pid", pid)
+      .select("pid", "data")
+
+    // per-(substance, property) exact median, then binarize against the
+    // per-property median split (A5 + W2 join-back).
+    val pair = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("numvalue"))
+    val med = pair.groupBy(col("event_type"))
+      .agg(expr("percentile(numvalue, 0.5)").as("med"))
+    val acts = pair.join(broadcast(med), Seq("event_type"))
+      .withColumn("value",
+        when(col("numvalue") >= col("med"), "positive").otherwise("negative"))
+      .withColumn("sid", sid)
+      .withColumn("pid", pid)
+      .withColumn("aid",
+        concat(lit("events-"), md5(concat_ws("|", col("sid"), col("pid")))))
+      .select("aid", "sid", "pid", "value", "numvalue")
+
+    StagingTriplet(subs, props, acts)
+  }
+}
+
+/** Orders-as-assay adapter: customer = substance, order priority =
+  * property, per-(customer, priority) median order value binarized by the
+  * per-priority split. Second source so harmonize exercises the
+  * multi-source union + re-key path (ref: src/80_harmonize.py:33-86).
+  */
+object OrdersAdapter extends SourceAdapter {
+  val name = "orders"
+
+  def staging(s: SparkSession, d: String): StagingTriplet = {
+    val orders = Tables.orders(s, d)
+    val sidOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      k => md5(concat(lit("cust:"), k.cast("string")))
+    val pid = md5(concat(lit("prio:"), col("o_orderpriority")))
+
+    val subs = Tables.customer(s, d)
+      .withColumn("data", to_json(struct(col("c_custkey"), col("c_name"))))
+      .withColumn("sid", sidOf(col("c_custkey")))
+      .select("sid", "data")
+
+    val props = orders.select(col("o_orderpriority")).distinct()
+      .withColumn("data", to_json(struct(col("o_orderpriority"))))
+      .withColumn("pid", pid)
+      .select("pid", "data")
+
+    val pair = orders.groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, 0.5)").as("numvalue"))
+    val med = pair.groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(numvalue, 0.5)").as("med"))
+    val acts = pair.join(broadcast(med), Seq("o_orderpriority"))
+      .withColumn("value",
+        when(col("numvalue") >= col("med"), "positive").otherwise("negative"))
+      .withColumn("sid", sidOf(col("o_custkey")))
+      .withColumn("pid", pid)
+      .withColumn("aid",
+        concat(lit("orders-"), md5(concat_ws("|", col("sid"), col("pid")))))
+      .select("aid", "sid", "pid", "value", "numvalue")
+
+    StagingTriplet(subs, props, acts)
+  }
+}
