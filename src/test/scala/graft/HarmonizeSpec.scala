@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.harmonize.Harmonize
+import graft.sources.{EventsAdapter, OrdersAdapter}
+
+/** Brick-level invariants — the reference's own QC suite (SURVEY §2.12)
+  * run against the harmonized testdata brick at sf0.001.
+  */
+class HarmonizeSpec extends SparkSpec {
+
+  lazy val brick: Harmonize.Brick =
+    Harmonize.brick(spark, sf(), Seq(EventsAdapter, OrdersAdapter))
+
+  test("brick tables are non-empty (ref: 80_harmonize.py:96-99)") {
+    assert(brick.substances.count() > 0)
+    assert(brick.properties.count() > 0)
+    assert(brick.activities.count() > 0)
+  }
+
+  test("pid is unique per source in properties (ref: 80_harmonize.py:104-105)") {
+    val n = brick.properties.count()
+    val nDistinct = brick.properties.select("pid", "source").distinct().count()
+    assert(n == nDistinct)
+  }
+
+  test("all activity sources appear in the adapter set (ref: 80_harmonize.py:100-101)") {
+    val sources = brick.activities.select("source").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(sources == Set("events", "orders"))
+  }
+
+  test("activity ids are unique and content-addressed (ref: 80_harmonize.py:83-84)") {
+    val acts = brick.activities
+    assert(acts.count() == acts.select("aid").distinct().count())
+    // rerun produces identical ids — idempotence the reference asserts via
+    // before/after-distinct counts
+    val again = Harmonize.brick(spark, sf(), Seq(EventsAdapter, OrdersAdapter))
+      .activities
+    assert(acts.select("aid").except(again.select("aid")).count() == 0)
+  }
+
+  test("every activity sid/pid resolves to a brick substance/property (FK integrity)") {
+    val orphanSids = brick.activities.join(brick.substances.select("sid"),
+      Seq("sid"), "left_anti")
+    val orphanPids = brick.activities.join(brick.properties.select("pid"),
+      Seq("pid"), "left_anti")
+    assert(orphanSids.count() == 0)
+    assert(orphanPids.count() == 0)
+  }
+
+  test("per-source property counts consistent between tables (ref: src/tests.py:17-56)") {
+    val nProps = brick.properties.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nApids = brick.activities.groupBy("source")
+      .agg(countDistinct(col("pid")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nProps == nApids)
+  }
+
+  test("values are the closed positive/negative vocabulary") {
+    val vals = brick.activities.select("value").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(vals.subsetOf(Set("positive", "negative")))
+  }
+
+  test("numvalue is carried through (README.md:24/37 gap closed)") {
+    assert(brick.activities.filter(col("numvalue").isNull).count() == 0)
+  }
+}

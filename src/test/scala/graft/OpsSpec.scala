@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Ops
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binarizeByMedian splits on the exact per-group median") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0),   // median 2.0
+      ("b", 10.0), ("b", 20.0)              // median 15.0 (interpolated)
+    ).toDF("g", "v")
+    val out = Ops.binarizeByMedian(df, "v", "g").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSet
+    assert(out == Set(
+      ("a", 1.0, "negative"), ("a", 2.0, "positive"), ("a", 3.0, "positive"),
+      ("b", 10.0, "negative"), ("b", 20.0, "positive")))
+  }
+
+  test("groupSupportFilter keeps only groups with >= minN rows") {
+    val df = Seq("a", "a", "a", "b").toDF("g")
+    val out = Ops.groupSupportFilter(df, Seq("g"), 3)
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("a", "a", "a"))
+  }
+
+  test("discordanceFilter drops keys with conflicting values") {
+    val df = Seq(("k1", "pos"), ("k1", "pos"), ("k2", "pos"), ("k2", "neg"))
+      .toDF("k", "v")
+    val out = Ops.discordanceFilter(df, Seq("k"), "v")
+    assert(out.collect().map(_.getString(0)).toSet == Set("k1"))
+  }
+
+  test("synthesizeNegatives fills the missing grid cells") {
+    val df = Seq((1L, "x"), (1L, "y"), (2L, "x")).toDF("s", "p")
+    val out = Ops.synthesizeNegatives(df, "s", "p")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set(
+      (1L, "x", "positive"), (1L, "y", "positive"),
+      (2L, "x", "positive"), (2L, "y", "negative")))
+  }
+
+  test("stratifiedExactSample returns exactly n per stratum, deterministically") {
+    val df = (1 to 100).map(i => (if (i % 2 == 0) "even" else "odd", i))
+      .toDF("stratum", "id")
+    val a = Ops.stratifiedExactSample(df, "stratum", Seq("id"), 10)
+    val b = Ops.stratifiedExactSample(df.repartition(7), "stratum", Seq("id"), 10)
+    val countA = a.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(countA == Map("even" -> 10L, "odd" -> 10L))
+    // same rows regardless of input partitioning
+    assert(a.select("id").collect().map(_.getInt(0)).toSet
+      == b.select("id").collect().map(_.getInt(0)).toSet)
+  }
+}
