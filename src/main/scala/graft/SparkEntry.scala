@@ -15,7 +15,9 @@ object SparkEntry {
     SortSampleQueries,
     SetReshapeQueries,
     ScalarFuncQueries,
-    HarmonizeQueries
+    HarmonizeQueries,
+    TextQueries,
+    DedupQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection primitives over a (doc_id, lang, text) frame.
+  * Query surface in DedupQueries; recall properties proven in
+  * JaccardLshSpec against the exact-Jaccard ground truth.
+  */
+object Dedup {
+
+  /** Distinct word-3-shingles per doc; stop-shingles with document
+    * frequency > maxDf pruned (hot-key guard for the self-join and noise
+    * reduction for MinHash).
+    */
+  def shingles(docs: DataFrame, maxDf: Long = 100): DataFrame = {
+    val sh = docs
+      .withColumn("ts", split(col("text"), " "))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, size(ts)-2), " +
+            "g -> concat_ws(' ', ts[g-1], ts[g], ts[g+1]))"))).as("sh"))
+    val keep = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("sh")
+    sh.join(keep, Seq("sh"))
+  }
+
+  /** Exact pairwise Jaccard within lang blocks → (lang, da, db, j).
+    * Quadratic in block size — ground truth / small-scale only.
+    */
+  def jaccardPairs(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val b = sh.select(col("doc_id").as("db"), col("lang").as("langb"),
+      col("sh").as("shb"))
+    val common = sh.join(b,
+        col("sh") === col("shb") && col("lang") === col("langb") &&
+          col("doc_id") < col("db"))
+      .groupBy(col("lang"), col("doc_id").as("da"), col("db"))
+      .agg(count(lit(1)).as("common"))
+    val sa = sizes.select(col("doc_id").as("da"), col("n_sh").as("na"))
+    val sb = sizes.select(col("doc_id").as("db"), col("n_sh").as("nb"))
+    common.join(sa, Seq("da")).join(sb, Seq("db"))
+      .withColumn("j", col("common") / (col("na") + col("nb") - col("common")))
+      .select("lang", "da", "db", "j")
+  }
+
+  /** MinHash signatures: (doc_id, i, mh) for i in [0, numHashes). One
+    * narrow aggregation per doc — linear, hash-partitioned.
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 32): DataFrame =
+    sh.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${numHashes - 1}), " +
+          "i -> xxhash64(concat(cast(i AS string), '|', sh)))")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "h")
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(col("h")).as("mh"))
+
+  /** LSH banding over minhash signatures → candidate pairs with the
+    * estimated Jaccard (fraction of agreeing minhashes):
+    * (da, db, est_j). Sub-quadratic: candidates come from an equi-join
+    * on (band, band_key).
+    */
+  def minhashCandidates(sh: DataFrame, numHashes: Int = 32,
+      rowsPerBand: Int = 4): DataFrame = {
+    val minh = minhashSignatures(sh, numHashes)
+    val bands = minh.withColumn("band", (col("i") / rowsPerBand).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(expr("md5(concat_ws(',', transform(" +
+        "sort_array(collect_list(struct(i, mh))), " +
+        "x -> cast(x.mh AS string))))").as("band_key"))
+    val bb = bands.select(col("doc_id").as("db"), col("band"), col("band_key"))
+    val cand = bands.join(bb, Seq("band", "band_key"))
+      .filter(col("doc_id") < col("db"))
+      .select(col("doc_id").as("da"), col("db")).distinct()
+    val ma = minh.select(col("doc_id").as("da"), col("i"), col("mh").as("mha"))
+    val mb = minh.select(col("doc_id").as("db"), col("i"), col("mh").as("mhb"))
+    cand.join(ma, Seq("da")).join(mb, Seq("db", "i"))
+      .groupBy(col("da"), col("db"))
+      .agg((sum(when(col("mha") === col("mhb"), 1).otherwise(0))
+        / lit(numHashes.toDouble)).as("est_j"))
+  }
+
+  /** 64-bit SimHash per doc from term-frequency-weighted word hashes. */
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("w")))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 63), " +
+          "j -> cnt * (2 * cast(shiftright(h, j) & 1 AS int) - 1))")))
+      .withColumnRenamed("pos", "j").withColumnRenamed("col", "c")
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("c")).as("sc"))
+      .withColumn("bit", (col("sc") > 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("bit * shiftleft(cast(1 AS bigint), j)")).as("simhash"))
+
+  /** SimHash candidates via 4×16-bit pigeonhole blocks (any pair with
+    * hamming ≤ 3 shares an exact block) → (da, db, hamming).
+    */
+  def simhashCandidates(docs: DataFrame): DataFrame = {
+    val sim = simhashSignatures(docs)
+    val blocks = sim.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 3), b -> named_struct(" +
+          "'blk', b, 'bval', shiftright(simhash, b * 16) & 65535))"))
+        .as("x"))
+      .select(col("doc_id"), col("x.blk").as("blk"), col("x.bval").as("bval"))
+    val b2 = blocks.select(col("doc_id").as("db"), col("blk"), col("bval"))
+    val cand = blocks.join(b2, Seq("blk", "bval"))
+      .filter(col("doc_id") < col("db"))
+      .select(col("doc_id").as("da"), col("db")).distinct()
+    val simA = sim.select(col("doc_id").as("da"), col("simhash").as("ha"))
+    val simB = sim.select(col("doc_id").as("db"), col("simhash").as("hb"))
+    cand.join(simA, Seq("da")).join(simB, Seq("db"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+  }
+}

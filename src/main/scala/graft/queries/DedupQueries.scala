@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Dedup
+
+/** Deduplication over `documents` / `embeddings` — exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash, embedding-cosine. The training-data-pipeline
+  * core.
+  *
+  * Scale notes:
+  *   - dd2 (exact Jaccard) is the quadratic ground truth; it blocks on
+  *     lang and prunes stop-shingles (document frequency > 100) before
+  *     the self-join — the standard guards that keep the shingle join
+  *     from exploding on hot shingles. Still O(pairs); it exists to
+  *     validate the sub-quadratic paths.
+  *   - dd3 (MinHash+LSH) is the 100 TB path: per-doc signatures are one
+  *     narrow aggregation, banding turns near-dup search into an
+  *     equi-join on (band, band_key) — pure hash-partitioned, no
+  *     quadratic blow-up. 32 hashes × 8 bands of 4 ⇒ catches J≥0.5 pairs
+  *     with p≈1-(1-0.5^4)^8≈0.4..0.9 rising steeply with J.
+  *   - dd4 (SimHash) uses the pigeonhole block trick: 4 blocks of 16
+  *     bits; any pair with hamming ≤ 3 shares an exact block ⇒ candidate
+  *     generation is again an equi-join.
+  *   - dd5 brute-forces cosine pairs (nested-loop with the small side
+  *     broadcast); the LSH-bucketed scale path is in SimilarityQueries.
+  */
+object DedupQueries extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    // Exact + normalized-exact dedup: hash-groupBy on content hash.
+    "dd1_exact_dedup" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("norm", regexp_replace(lower(col("text")), "\\s+", " "))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_distinct_text"),
+          countDistinct(md5(col("norm"))).as("n_distinct_norm"))
+    }),
+
+    // N-gram Jaccard ground truth: pairwise within lang, df-pruned.
+    "dd2_ngram_jaccard" -> ((s, d) => {
+      Dedup.jaccardPairs(Dedup.shingles(Tables.documents(s, d)))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_pairs_examined"),
+          count(when(col("j") >= 0.2, 1)).as("n_near"))
+        .orderBy(col("lang"))
+    }),
+
+    // MinHash + LSH banding — the sub-quadratic near-dup path. xxhash64
+    // signatures are Spark-native (not replayable in the oracle ⇒
+    // rows-only check here; JaccardLshSpec proves candidate recall
+    // against dd2's ground truth).
+    "dd3_minhash_lsh" -> ((s, d) => {
+      Dedup.minhashCandidates(Dedup.shingles(Tables.documents(s, d)))
+        .agg(count(lit(1)).as("n_candidate_pairs"),
+          count(when(col("est_j") >= 0.5, 1)).as("n_est_ge05"))
+    }),
+
+    // SimHash near-dup: 64-bit signature, 4×16-bit pigeonhole blocks for
+    // candidate generation, exact hamming verify. Rows-only (xxhash64).
+    "dd4_simhash" -> ((s, d) => {
+      Dedup.simhashCandidates(Tables.documents(s, d))
+        .agg(count(lit(1)).as("n_candidate_pairs"),
+          count(when(col("hamming") <= 8, 1)).as("n_hamming_le8"),
+          count(when(col("hamming") <= 16, 1)).as("n_hamming_le16"))
+    }),
+
+    // Embedding-cosine near-dup: brute-force pair scan (oracle-checked);
+    // the bucketed scale path lives in SimilarityQueries.
+    "dd5_embedding_cosine" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      val a = e.select(col("vec_id").as("va"), col("v").as("x"))
+      val b = e.select(col("vec_id").as("vb"), col("v").as("y"))
+      a.crossJoin(b).filter(col("va") < col("vb"))
+        .withColumn("dot",
+          expr("aggregate(zip_with(x, y, (p, q) -> p * q), 0D, (acc, v) -> acc + v)"))
+        .withColumn("nx",
+          expr("sqrt(aggregate(transform(x, p -> p * p), 0D, (acc, v) -> acc + v))"))
+        .withColumn("ny",
+          expr("sqrt(aggregate(transform(y, p -> p * p), 0D, (acc, v) -> acc + v))"))
+        .withColumn("cos", col("dot") / (col("nx") * col("ny")))
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(col("cos") >= 0.4, 1)).as("n_ge_04"),
+          count(when(col("cos") >= 0.25, 1)).as("n_ge_025"))
+    })
+  )
+
+  private val shCte: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (
+      |  SELECT DISTINCT doc_id, lang,
+      |    ts[g] || ' ' || ts[g+1] || ' ' || ts[g+2] AS sh
+      |  FROM t CROSS JOIN unnest(range(1, len(ts) - 1)) AS u(g)),
+      |keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 100),
+      |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (sh))
+      |""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "dd1_exact_dedup" ->
+      """SELECT count(*) AS n_docs,
+        |  count(DISTINCT text) AS n_distinct_text,
+        |  count(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |    AS n_distinct_norm
+        |FROM documents""".stripMargin,
+
+    "dd2_ngram_jaccard" -> (shCte +
+      """, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.lang, a.doc_id AS da, b.doc_id AS db, count(*) AS common
+        |  FROM sh a JOIN sh b
+        |    ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3)
+        |SELECT lang, count(*) AS n_pairs_examined,
+        |  count(CASE WHEN common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.2
+        |    THEN 1 END) AS n_near
+        |FROM pairs JOIN sizes sa ON da = sa.doc_id
+        |JOIN sizes sb ON db = sb.doc_id
+        |GROUP BY 1 ORDER BY lang""".stripMargin),
+
+    "dd5_embedding_cosine" ->
+      """SELECT count(*) AS n_pairs,
+        |  count(CASE WHEN c >= 0.4 THEN 1 END) AS n_ge_04,
+        |  count(CASE WHEN c >= 0.25 THEN 1 END) AS n_ge_025
+        |FROM (
+        |  SELECT list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS c
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)""".stripMargin
+  )
+}

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text analysis over the `documents` table — the training-data-pipeline
+  * operator set: tokenization, language-ID, quality scoring, document
+  * fingerprinting, term frequencies.
+  *
+  * Scale notes: everything is per-row narrow compute (split/filter/
+  * higher-order functions — all codegen'd, no UDFs) followed by small
+  * hash aggregates, so the plan is scan → project → partial agg →
+  * exchange(few rows) → final agg. Token explosion (x5) shuffles only
+  * (token, count) partials thanks to map-side combine.
+  */
+object TextQueries extends QueryModule {
+
+  private val stop = Map(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "les"))
+
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(",")
+
+  val queries: Map[String, Q] = Map(
+    // Token counting: whitespace tokenizer + per-language profile.
+    "x1_token_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          max(col("n_tokens")).as("max_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    // Language-ID: stopword-hit scoring with a deterministic argmax —
+    // the n-gram-heuristic operator (scores, then confusion counts
+    // against the labeled lang column).
+    "x2_lang_id" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .withColumn("ts", split(lower(col("text")), " "))
+        .withColumn("s_en", expr(s"size(filter(ts, x -> x IN (${inList(stop("en"))})))"))
+        .withColumn("s_es", expr(s"size(filter(ts, x -> x IN (${inList(stop("es"))})))"))
+        .withColumn("s_de", expr(s"size(filter(ts, x -> x IN (${inList(stop("de"))})))"))
+        .withColumn("s_fr", expr(s"size(filter(ts, x -> x IN (${inList(stop("fr"))})))"))
+        .withColumn("predicted",
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+            col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr"))
+      scored.groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"), sum(col("s_en")).as("sum_s_en"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
+    // Quality scoring: type-token ratio + stopword ratio + length prior,
+    // identical double arithmetic on both engines.
+    "x3_quality_score" -> ((s, d) => {
+      val allStop = stop.values.flatten.toSeq.distinct
+      Tables.documents(s, d)
+        .withColumn("ts", split(lower(col("text")), " "))
+        .withColumn("n_tok", size(col("ts")))
+        .withColumn("ttr", size(array_distinct(col("ts"))) / col("n_tok"))
+        .withColumn("stop_ratio",
+          expr(s"size(filter(ts, x -> x IN (${inList(allStop)})))") / col("n_tok"))
+        .withColumn("len_prior",
+          least(col("n_tok") / lit(100.0), lit(1.0)))
+        .withColumn("score",
+          col("ttr") * 0.3 + col("stop_ratio") * 0.3 + col("len_prior") * 0.4)
+        .groupBy(col("lang"))
+        .agg(count(when(col("score") >= 0.5, 1)).as("n_good"),
+          count(lit(1)).as("n"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+        .orderBy(col("lang"))
+    }),
+
+    // Document fingerprinting: full-content hash + leading-shingle hash
+    // (rolling-hash stand-in), per source.
+    "x4_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("fp_full", md5(lower(col("text"))))
+        .withColumn("fp_head",
+          md5(concat_ws(" ", slice(split(lower(col("text")), " "), 1, 5))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp_full")).as("n_full_fp"),
+          countDistinct(col("fp_head")).as("n_head_fp"))
+        .orderBy(col("source"))
+    }),
+
+    // Term frequency: regex (BPE-ish) tokenizer, global top-20 with
+    // deterministic tiebreak.
+    "x5_token_freq" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x1_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(len(string_split(text, ' '))) AS sum_tokens,
+        |  sum(n_chars) AS sum_chars,
+        |  max(len(string_split(text, ' '))) AS max_tokens
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "x2_lang_id" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(list_filter(ts, x -> x IN ('the','a','and','of','to'))) AS s_en,
+        |    len(list_filter(ts, x -> x IN ('el','la','de','que','y'))) AS s_es,
+        |    len(list_filter(ts, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+        |    len(list_filter(ts, x -> x IN ('le','la','de','et','les'))) AS s_fr
+        |  FROM (SELECT lang, string_split(lower(text), ' ') AS ts FROM documents))
+        |SELECT lang,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |       WHEN s_de >= s_fr THEN 'de'
+        |       ELSE 'fr' END AS predicted,
+        |  count(*) AS n, sum(s_en) AS sum_s_en
+        |FROM scored GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+
+    "x3_quality_score" ->
+      """WITH q AS (
+        |  SELECT lang,
+        |    len(list_distinct(ts)) * 1.0 / len(ts) AS ttr,
+        |    len(list_filter(ts, x -> x IN ('the','a','and','of','to','el','la',
+        |      'de','que','y','der','die','das','und','ist','le','et','les')))
+        |      * 1.0 / len(ts) AS stop_ratio,
+        |    least(len(ts) / 100.0, 1.0) AS len_prior
+        |  FROM (SELECT lang, string_split(lower(text), ' ') AS ts FROM documents))
+        |SELECT lang,
+        |  count(CASE WHEN ttr * 0.3 + stop_ratio * 0.3 + len_prior * 0.4 >= 0.5
+        |    THEN 1 END) AS n_good,
+        |  count(*) AS n,
+        |  min(ttr * 0.3 + stop_ratio * 0.3 + len_prior * 0.4) AS min_score,
+        |  max(ttr * 0.3 + stop_ratio * 0.3 + len_prior * 0.4) AS max_score
+        |FROM q GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "x4_fingerprint" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(lower(text))) AS n_full_fp,
+        |  count(DISTINCT md5(array_to_string(
+        |    list_slice(string_split(lower(text), ' '), 1, 5), ' '))) AS n_head_fp
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "x5_token_freq" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+        |  FROM documents)
+        |WHERE token <> '' GROUP BY 1
+        |ORDER BY n DESC, token LIMIT 20""".stripMargin
+  )
+}
