@@ -17,7 +17,8 @@ object SparkEntry {
     ScalarFuncQueries,
     HarmonizeQueries,
     TextQueries,
-    DedupQueries
+    DedupQueries,
+    SimilarityQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Similarity search over the `embeddings` table — brute-force cosine
+  * top-k as the exact baseline, random-hyperplane LSH bucketing as the
+  * scale path, and nearest-centroid assignment (the IVF building block).
+  *
+  * All cosine math runs through the native `cosine_sim` Catalyst
+  * expression (graft.functions.CosineSim — fused codegen loop, no UDF,
+  * no intermediate arrays).
+  *
+  * Scale notes: ann1 is O(Q×N) with the query side tiny (broadcast
+  * nested-loop) — exact, fine for Q≪N, the baseline for recall checks.
+  * ann2 buckets every vector by 4 hyperplane signs (16 buckets) so
+  * search is an equi-join on bucket — at 100 TB this is the shape that
+  * works: signatures are one narrow projection, candidates co-partition
+  * by bucket id. ann3's centroid build is a (label, pos) hash aggregate
+  * over exploded elements — decimal-summed for deterministic centroids.
+  */
+object SimilarityQueries extends QueryModule {
+
+  /** 4 deterministic ±1 hyperplanes over 64 dims (seed 42). Literals on
+    * both engines — the oracle embeds the same matrix.
+    */
+  private val planes: Seq[Seq[Int]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(4)(Seq.fill(64)(if (rnd.nextBoolean()) 1 else -1))
+  }
+
+  private def planeLitSpark(p: Seq[Int]): String =
+    s"array(${p.map(v => s"${v}D").mkString(",")})"
+
+  private def planeLitDuck(p: Seq[Int]): String =
+    s"[${p.map(v => s"$v.0").mkString(",")}]"
+
+  /** bucket = Σ_j [dot(v, plane_j) >= 0] << j, as a SQL expression. */
+  private def bucketExprSpark(v: String): String =
+    planes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN aggregate(zip_with($v, ${planeLitSpark(p)}, " +
+        s"(x, p) -> cast(x AS double) * p), 0D, (a, b) -> a + b) >= 0 " +
+        s"THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def bucketExprDuck(v: String): String =
+    planes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_dot_product($v::DOUBLE[], ${planeLitDuck(p)}) >= 0 " +
+        s"THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val duckCos =
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
+      "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
+      "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+
+  val queries: Map[String, Q] = Map(
+    // Exact brute-force top-5 neighbors for the first 10 query vectors.
+    "ann1_brute_topk" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      q.join(c, col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", expr("cosine_sim(qv, nv)"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN: hyperplane-sign bucket signatures, then top-3
+    // within the query's bucket.
+    "ann2_lsh_topk" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .withColumn("bucket", expr(bucketExprSpark("embedding")))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("bucket"))
+      val c = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv"), col("bucket"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      q.join(c, Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", expr("cosine_sim(qv, nv)"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("bucket"), col("rank"),
+          col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Bucket census — the signature distribution an IVF/LSH planner
+    // would use to balance probes.
+    "ann3_bucket_census" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .withColumn("bucket", expr(bucketExprSpark("embedding")))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("label")).as("n_labels"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Nearest-centroid assignment (IVF coarse quantizer step): per-label
+    // decimal-exact centroids, assign every vector to its nearest, score
+    // against the true label.
+    "ann4_nearest_centroid" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val cent = e
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("col").cast(org.apache.spark.sql.types
+          .DecimalType(27, 12))).cast("double") / count(lit(1))).as("c"))
+        .groupBy(col("label"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, c))), " +
+          "x -> x.c)").as("cv"))
+        .select(col("label").as("clabel"), col("cv"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("clabel"))
+      e.crossJoin(broadcast(cent))
+        .withColumn("cos", expr("cosine_sim(embedding, cv)"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("clabel") === col("label"), 1)).as("n_correct"))
+        .orderBy(col("label"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ann1_brute_topk" ->
+      s"""SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY $duckCos DESC, b.vec_id) AS rank
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ann2_lsh_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    ${bucketExprDuck("embedding")} AS bucket
+         |  FROM embeddings)
+         |SELECT query_id, bucket, rank, neighbor_id FROM (
+         |  SELECT a.vec_id AS query_id, a.bucket, b.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY $duckCos DESC, b.vec_id) AS rank
+         |  FROM e a JOIN e b
+         |    ON a.bucket = b.bucket AND a.vec_id < 10
+         |      AND a.vec_id <> b.vec_id)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "ann3_bucket_census" ->
+      s"""SELECT ${bucketExprDuck("embedding")} AS bucket,
+         |  count(*) AS n, count(DISTINCT label) AS n_labels
+         |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "ann4_nearest_centroid" ->
+      """WITH expl AS (
+        |  SELECT label, unnest(embedding) AS e,
+        |    unnest(range(0, len(embedding))) AS pos
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, pos,
+        |    CAST(sum(CAST(e AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c
+        |  FROM expl GROUP BY 1, 2),
+        |cvec AS (
+        |  SELECT label AS clabel, list(c ORDER BY pos) AS cv
+        |  FROM cent GROUP BY 1),
+        |assigned AS (
+        |  SELECT v.vec_id, v.label, c.clabel,
+        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |      list_dot_product(v.embedding::DOUBLE[], c.cv) /
+        |        (sqrt(list_dot_product(v.embedding::DOUBLE[],
+        |           v.embedding::DOUBLE[])) *
+        |         sqrt(list_dot_product(c.cv, c.cv))) DESC, c.clabel) AS rk
+        |  FROM embeddings v CROSS JOIN cvec c)
+        |SELECT label, count(*) AS n,
+        |  count(CASE WHEN clabel = label THEN 1 END) AS n_correct
+        |FROM assigned WHERE rk = 1 GROUP BY 1 ORDER BY label""".stripMargin
+  )
+}
