@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.streaming.StreamingOps
+
+/** Event-time windowing over `events` — the batch face of the streaming
+  * operators (StreamingOps; stream-mode behavior incl. watermark/late
+  * data proven in StreamingSpec). Oracles replay window semantics with
+  * time_bucket / gap arithmetic.
+  */
+object StreamingQueries extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling 1-hour windows per event type.
+    "st1_tumbling_window" -> ((s, d) => {
+      StreamingOps.tumblingCounts(Tables.events(s, d), "1 hour")
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
+    // Gap-based sessionization (30-min inactivity) per user.
+    "st2_session_window" -> ((s, d) => {
+      StreamingOps.sessions(Tables.events(s, d), "30 minutes")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Hopping windows: 1-hour windows sliding every 30 minutes (each
+    // event lands in exactly 2 windows).
+    "st3_hopping_window" -> ((s, d) => {
+      StreamingOps.hoppingCounts(Tables.events(s, d), "1 hour",
+          "30 minutes")
+        .orderBy(col("win_start"), col("event_type"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "st1_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    // Session starts where the micro-second gap to the previous event of
+    // the same user is >= 30 min (Spark session windows are
+    // [start, last+gap), so an event at exactly last+gap opens a new
+    // session). Micros (not ns) to match Spark's timestamp precision.
+    "st2_session_window" ->
+      """WITH m AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |marked AS (
+        |  SELECT user_id,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |      >= 1800000000 OR
+        |      lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM m)
+        |SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+        |FROM marked GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "st3_hopping_window" ->
+      """SELECT win_start, event_type, count(*) AS n FROM (
+        |  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |    time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+        |    AS win_start, event_type
+        |  FROM events)
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+  )
+}

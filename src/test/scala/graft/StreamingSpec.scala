@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.streaming.StreamingOps
+
+/** True stream-mode behavior of the event-time operators: batch/stream
+  * parity, watermark late-data handling, and custom state with
+  * mapGroupsWithState.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private val rows = Seq(
+    (ts(0), 1L, "click"), (ts(10), 1L, "click"), (ts(59), 2L, "view"),
+    (ts(5), 2L, "click"), (ts(45), 1L, "view"))
+
+  test("tumblingCounts: streaming (complete mode) matches batch on same rows") {
+    val batchDf = rows.toDF("ts", "user_id", "event_type")
+    val expected = StreamingOps.tumblingCounts(batchDf, "30 minutes")
+      .collect().map(_.toString).sorted
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val streamed = StreamingOps.tumblingCounts(
+      mem.toDF().toDF("ts", "user_id", "event_type"), "30 minutes")
+    val query = streamed.writeStream.format("memory")
+      .queryName("tumbling_parity").outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(rows: _*)
+      query.processAllAvailable()
+      val got = spark.table("tumbling_parity")
+        .collect().map(_.toString).sorted
+      assert(got.toSeq == expected.toSeq)
+    } finally query.stop()
+  }
+
+  test("watermark drops events later than the horizon in append mode") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val agg = mem.toDF().toDF("ts", "user_id", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val query = agg.writeStream.format("memory")
+      .queryName("late_data").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts(0), 1L, "click"), (ts(10), 1L, "click"))
+      query.processAllAvailable()
+      // advance watermark far past the first window
+      mem.addData((Timestamp.valueOf("2024-01-01 12:00:00"), 1L, "click"))
+      query.processAllAvailable()
+      // this event is hours behind the watermark -> dropped
+      mem.addData((ts(1), 1L, "late"))
+      query.processAllAvailable()
+      val emitted = spark.table("late_data")
+      assert(emitted.filter(col("event_type") === "late").count() == 0)
+      // the on-time window was finalized with both clicks
+      val clicks = emitted.filter(col("event_type") === "click")
+        .agg(sum("n")).collect()(0).getLong(0)
+      assert(clicks == 2L)
+    } finally query.stop()
+  }
+
+  test("mapGroupsWithState maintains running per-user counts across triggers") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val counted = mem.toDF().toDF("ts", "user_id", "event_type")
+      .as[(Timestamp, Long, String)]
+      .groupByKey(_._2)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[(Timestamp, Long, String)],
+         state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + it.size
+          state.update(total)
+          (user, total)
+      }.toDF("user_id", "total")
+    val query = counted.writeStream.format("memory")
+      .queryName("running_counts").outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData((ts(0), 1L, "a"), (ts(1), 1L, "b"), (ts(2), 2L, "c"))
+      query.processAllAvailable()
+      mem.addData((ts(3), 1L, "d"))
+      query.processAllAvailable()
+      val last = spark.table("running_counts")
+        .groupBy("user_id").agg(max("total").as("total"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(last == Map(1L -> 3L, 2L -> 1L))
+    } finally query.stop()
+  }
+
+  test("sessions split on the inactivity gap") {
+    val df = Seq(
+      (ts(0), 1L, "a"), (ts(5), 1L, "a"),     // session 1
+      (ts(50), 1L, "a"),                      // session 2 (45-min gap)
+      (ts(0), 2L, "a")                        // user 2, one session
+    ).toDF("ts", "user_id", "event_type")
+    val out = StreamingOps.sessions(df, "30 minutes")
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L))
+  }
+}
