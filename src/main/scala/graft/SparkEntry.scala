@@ -19,7 +19,9 @@ object SparkEntry {
     TextQueries,
     DedupQueries,
     SimilarityQueries,
-    StreamingQueries
+    StreamingQueries,
+    MultimodalQueries,
+    EnrichQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

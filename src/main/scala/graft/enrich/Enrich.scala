@@ -1,0 +1,98 @@
+package graft.enrich
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Property enrichment — the reference's LLM stages re-architected
+  * (ref: src/91_property_categories.py, src/92_llm_property_titles.py;
+  * SURVEY §2.10 D5/D6, §7.1 module 7):
+  *
+  *   - `Labeler` is the pluggable backend (the reference calls GPT-4 with
+  *     retries); `RuleLabeler` is the deterministic default so
+  *     correctness never depends on a network (SURVEY §7.4 risk 3).
+  *   - `cachedLabel` is the md5-keyed checkpoint cache: load cache table,
+  *     anti-join to find misses, compute ONLY misses on executors,
+  *     append back — the reference's joblib disk cache as a parquet
+  *     table (ref: src/helper/cache_helper.py:4-26).
+  *   - Title uniqueness replaces the reference's sequential
+  *     retry-until-unique loop (inherently order-dependent,
+  *     src/92_llm_property_titles.py:54-70) with a deterministic
+  *     window: first pid (sorted) keeps the base title, later ones get a
+  *     ' #n' suffix — same invariant (globally unique titles), fully
+  *     distributed.
+  */
+object Enrich {
+
+  /** category/reason/strength triples for one property's JSON. 1→N rows
+    * (the reference's only UDTF-shaped mapping, D5).
+    */
+  trait Labeler extends Serializable {
+    def label(propJson: String): Seq[(String, String, Double)]
+  }
+
+  /** Deterministic rule backend over the harmonized property JSON. */
+  object RuleLabeler extends Labeler {
+    def label(propJson: String): Seq[(String, String, Double)] = {
+      def has(k: String, v: String) = propJson.contains(s""""$k":"$v"""")
+      val cats =
+        if (has("event_type", "click") || has("event_type", "view"))
+          Seq(("engagement", "ui interaction signal"))
+        else if (has("event_type", "purchase"))
+          Seq(("commerce", "monetary event"), ("engagement", "active use"))
+        else if (has("event_type", "signup"))
+          Seq(("lifecycle", "account creation"))
+        else if (has("event_type", "error"))
+          Seq(("reliability", "failure signal"))
+        else Seq(("urgency", "order priority class"))
+      cats.map { case (c, r) => (c, r, (1 + c.length % 10).toDouble) }
+    }
+  }
+
+  /** Categories for every property, computed through the cache table at
+    * `cacheDir` (parquet; created on first use). Returns
+    * (pid, category, reason, strength).
+    */
+  def cachedLabel(spark: SparkSession, properties: DataFrame,
+      backend: Labeler, cacheDir: String): DataFrame = {
+    import spark.implicits._
+    val props = properties.select(col("pid"), col("data")).distinct()
+    val cached: DataFrame =
+      try spark.read.parquet(cacheDir)
+      catch { case _: Exception =>
+        Seq.empty[(String, String, String, Double)]
+          .toDF("pid", "category", "reason", "strength")
+      }
+    val misses = props.join(cached.select("pid").distinct(), Seq("pid"),
+      "left_anti")
+    // emptiness checked on the anti-join, NOT on the labeled frame — the
+    // backend may be expensive (the reference's is an LLM call) and must
+    // run exactly once per missing pid, in the write below.
+    if (misses.isEmpty) cached
+    else {
+      misses.as[(String, String)].flatMap { case (pid, data) =>
+        backend.label(data).map { case (c, r, st) => (pid, c, r, st) }
+      }.toDF("pid", "category", "reason", "strength")
+        .write.mode("append").parquet(cacheDir)
+      spark.read.parquet(cacheDir)
+    }
+  }
+
+  /** Globally-unique deterministic titles: base title from the property
+    * JSON, ' #n' suffix for same-base collisions in pid order.
+    */
+  def titles(properties: DataFrame): DataFrame = {
+    val base = coalesce(
+      get_json_object(col("data"), "$.event_type"),
+      get_json_object(col("data"), "$.o_orderpriority"),
+      col("pid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("base")).orderBy(col("pid"))
+    properties.select(col("pid"), col("data")).distinct()
+      .withColumn("base", concat(lit("Property "), base))
+      .withColumn("seq", row_number().over(w))
+      .withColumn("title",
+        when(col("seq") === 1, col("base"))
+          .otherwise(concat(col("base"), lit(" #"), col("seq"))))
+      .select(col("pid"), col("title"))
+  }
+}

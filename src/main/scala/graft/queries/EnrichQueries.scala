@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.enrich.Enrich
+import graft.harmonize.Harmonize
+import graft.sources.{EventsAdapter, OrdersAdapter}
+
+/** Enrichment over harmonized properties — the reference's LLM stages
+  * with the deterministic rule backend (Enrich scaladoc). e1 runs the
+  * actual Labeler flatMap (1→N, the UDTF shape); the oracle replays the
+  * rules as SQL. e2 is the distributed title-uniqueness pass.
+  */
+object EnrichQueries extends QueryModule {
+
+  private def properties(s: org.apache.spark.sql.SparkSession, d: String) =
+    Harmonize.brick(s, d, Seq(EventsAdapter, OrdersAdapter)).properties
+
+  val queries: Map[String, Q] = Map(
+    // D5: property → categories (1→N via typed flatMap of the Labeler).
+    "e1_property_categories" -> ((s, d) => {
+      import s.implicits._
+      val props = properties(s, d).select(col("pid"), col("data")).distinct()
+      val labeled = props.as[(String, String)].flatMap { case (pid, data) =>
+        Enrich.RuleLabeler.label(data).map { case (c, r, st) =>
+          (pid, c, r, st)
+        }
+      }.toDF("pid", "category", "reason", "strength")
+      labeled.orderBy(col("pid"), col("category"))
+    }),
+
+    // Category census — the ≥10-categories-with-≥10-properties QC shape
+    // (ref: src/91_property_categories.py:61-80) at testdata scale.
+    "e2_category_census" -> ((s, d) => {
+      import s.implicits._
+      val props = properties(s, d).select(col("pid"), col("data")).distinct()
+      props.as[(String, String)].flatMap { case (pid, data) =>
+        Enrich.RuleLabeler.label(data).map { case (c, _, _) => (pid, c) }
+      }.toDF("pid", "category")
+        .groupBy(col("category"))
+        .agg(countDistinct(col("pid")).as("n_props"))
+        .orderBy(col("category"))
+    }),
+
+    // D6: globally-unique deterministic titles.
+    "e3_property_titles" -> ((s, d) => {
+      Enrich.titles(properties(s, d)).orderBy(col("pid"))
+    })
+  )
+
+  /** Distinct harmonized property (pid, data) pairs, as SQL. */
+  private val propsCte: String =
+    """WITH props AS (
+      |  SELECT DISTINCT md5(data) AS pid, data FROM (
+      |    SELECT to_json(struct_pack(event_type := event_type)) AS data
+      |    FROM (SELECT DISTINCT event_type FROM events)
+      |    UNION ALL
+      |    SELECT to_json(struct_pack(o_orderpriority := o_orderpriority))
+      |    FROM (SELECT DISTINCT o_orderpriority FROM orders))),
+      |labeled AS (
+      |  SELECT pid, unnest(CASE
+      |    WHEN json_extract_string(data, '$.event_type') IN ('click','view')
+      |      THEN [struct_pack(category := 'engagement',
+      |              reason := 'ui interaction signal')]
+      |    WHEN json_extract_string(data, '$.event_type') = 'purchase'
+      |      THEN [struct_pack(category := 'commerce',
+      |              reason := 'monetary event'),
+      |            struct_pack(category := 'engagement',
+      |              reason := 'active use')]
+      |    WHEN json_extract_string(data, '$.event_type') = 'signup'
+      |      THEN [struct_pack(category := 'lifecycle',
+      |              reason := 'account creation')]
+      |    WHEN json_extract_string(data, '$.event_type') = 'error'
+      |      THEN [struct_pack(category := 'reliability',
+      |              reason := 'failure signal')]
+      |    ELSE [struct_pack(category := 'urgency',
+      |            reason := 'order priority class')] END) AS x
+      |  FROM props)
+      |""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "e1_property_categories" -> (propsCte +
+      """SELECT pid, x.category AS category, x.reason AS reason,
+        |  CAST(1 + length(x.category) % 10 AS DOUBLE) AS strength
+        |FROM labeled ORDER BY pid, category""".stripMargin),
+
+    "e2_category_census" -> (propsCte +
+      """SELECT x.category AS category, count(DISTINCT pid) AS n_props
+        |FROM labeled GROUP BY 1 ORDER BY category""".stripMargin),
+
+    "e3_property_titles" ->
+      """WITH props AS (
+        |  SELECT DISTINCT md5(data) AS pid, data FROM (
+        |    SELECT to_json(struct_pack(event_type := event_type)) AS data
+        |    FROM (SELECT DISTINCT event_type FROM events)
+        |    UNION ALL
+        |    SELECT to_json(struct_pack(o_orderpriority := o_orderpriority))
+        |    FROM (SELECT DISTINCT o_orderpriority FROM orders))),
+        |based AS (
+        |  SELECT pid,
+        |    'Property ' || coalesce(
+        |      json_extract_string(data, '$.event_type'),
+        |      json_extract_string(data, '$.o_orderpriority'),
+        |      pid) AS base,
+        |    row_number() OVER (PARTITION BY 'Property ' || coalesce(
+        |      json_extract_string(data, '$.event_type'),
+        |      json_extract_string(data, '$.o_orderpriority'),
+        |      pid) ORDER BY pid) AS seq
+        |  FROM props)
+        |SELECT pid,
+        |  CASE WHEN seq = 1 THEN base ELSE base || ' #' || seq END AS title
+        |FROM based ORDER BY pid""".stripMargin
+  )
+}

@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.multimodal.Multimodal
+
+/** Multimodal binary-column pipeline over `documents` (payload = utf8
+  * bytes standing in for media bytes; see Multimodal scaladoc — decode is
+  * a deterministic stub, the plumbing is real and oracle-checked).
+  */
+object MultimodalQueries extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    // Binary column plumbing: cast→binary, byte lengths, binary hashing.
+    "mm1_binary_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("payload"))).as("sum_bytes"),
+          countDistinct(md5(col("payload"))).as("n_fingerprints"))
+        .orderBy(col("source"))
+    }),
+
+    // Typed Dataset[MediaRecord] → mapPartitions decode →
+    // Dataset[MediaFeatures], aggregated per media kind.
+    "mm2_decoded_features" -> ((s, d) => {
+      implicit val spark = s
+      val media = Multimodal.toMedia(Tables.documents(s, d))
+      Multimodal.decodeFeatures(media).toDF()
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_bytes")).as("sum_bytes"),
+          sum(col("width")).as("sum_width"),
+          sum(col("height")).as("sum_height"),
+          countDistinct(col("fingerprint")).as("n_fp"))
+        .orderBy(col("kind"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm1_binary_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  sum(octet_length(encode(text))) AS sum_bytes,
+        |  count(DISTINCT md5(text)) AS n_fingerprints
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // Replays the stub codec's arithmetic (dims from byte length,
+    // fingerprint = md5 of the bytes).
+    "mm2_decoded_features" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio'
+        |            ELSE 'video' END AS kind,
+        |  count(*) AS n,
+        |  sum(octet_length(encode(text))) AS sum_bytes,
+        |  sum(64 + octet_length(encode(text)) % 512) AS sum_width,
+        |  sum(64 + (octet_length(encode(text)) * 7) % 512) AS sum_height,
+        |  count(DISTINCT md5(text)) AS n_fp
+        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin
+  )
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.functions._
+import graft.enrich.Enrich
+import graft.harmonize.Harmonize
+import graft.multimodal.Multimodal
+import graft.sources.{EventsAdapter, OrdersAdapter}
+
+class EnrichSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val props = Harmonize
+    .brick(spark, sf(), Seq(EventsAdapter, OrdersAdapter)).properties
+
+  test("cachedLabel computes misses once, then serves from the cache table") {
+    val dir = Files.createTempDirectory("graft-cache").toString + "/cache"
+    val calls = EnrichSpec.calls
+    calls.set(0)
+    val counting = new Enrich.Labeler {
+      def label(j: String): Seq[(String, String, Double)] = {
+        EnrichSpec.calls.incrementAndGet()
+        Enrich.RuleLabeler.label(j)
+      }
+    }
+    val first = Enrich.cachedLabel(spark, props, counting, dir)
+    val nProps = props.select("pid").distinct().count()
+    val firstCount = first.count()
+    val callsAfterFirst = calls.get()
+    assert(callsAfterFirst == nProps, "every property labeled once")
+
+    val second = Enrich.cachedLabel(spark, props, counting, dir)
+    assert(second.count() == firstCount)
+    assert(calls.get() == callsAfterFirst, "second pass is all cache hits")
+  }
+
+  test("titles are globally unique and deterministic") {
+    val t1 = Enrich.titles(props)
+    val t2 = Enrich.titles(props)
+    assert(t1.count() == t1.select("title").distinct().count())
+    assert(t1.exceptAll(t2).count() == 0)
+  }
+
+  test("media decode pipeline is deterministic and keeps one row per doc") {
+    implicit val s = spark
+    val docs = Tables.documents(spark, sf())
+    val feats = Multimodal.decodeFeatures(Multimodal.toMedia(docs)).toDF()
+    assert(feats.count() == docs.count())
+    assert(feats.select("doc_id").distinct().count() == docs.count())
+    // fingerprint matches an independent md5 of the same bytes
+    val cross = feats.join(docs, Seq("doc_id"))
+      .withColumn("expected_fp", md5(col("text").cast("binary")))
+    assert(cross.filter(col("fingerprint") =!= col("expected_fp")).count() == 0)
+  }
+}
+
+object EnrichSpec {
+  val calls = new AtomicInteger(0)
+}
