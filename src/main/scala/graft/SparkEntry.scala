@@ -21,7 +21,8 @@ object SparkEntry {
     SimilarityQueries,
     StreamingQueries,
     MultimodalQueries,
-    EnrichQueries
+    EnrichQueries,
+    SourceSinkQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
