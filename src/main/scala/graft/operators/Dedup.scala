@@ -46,56 +46,67 @@ object Dedup {
       .select("lang", "da", "db", "j")
   }
 
-  /** MinHash signatures: (doc_id, i, mh) for i in [0, numHashes). One
-    * narrow aggregation per doc — linear, hash-partitioned.
+  /** MinHash signatures: (doc_id, sig: Array[Long] of length numHashes).
+    * Each shingle row carries its hash array whole; the element-wise
+    * ArrayAgg.arrayMin combines map-side, so the shuffle moves one
+    * signature per doc per partition — never numHashes× the shingle
+    * count (see graft.functions.ArrayAgg scaladoc).
     */
   def minhashSignatures(sh: DataFrame, numHashes: Int = 32): DataFrame =
-    sh.select(col("doc_id"), posexplode(expr(
+    sh.select(col("doc_id"), expr(
         s"transform(sequence(0, ${numHashes - 1}), " +
-          "i -> xxhash64(concat(cast(i AS string), '|', sh)))")))
-      .withColumnRenamed("pos", "i").withColumnRenamed("col", "h")
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(col("h")).as("mh"))
+          "i -> xxhash64(concat(cast(i AS string), '|', sh)))").as("hs"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.ArrayAgg.arrayMin(numHashes)(col("hs")).as("sig"))
 
   /** LSH banding over minhash signatures → candidate pairs with the
     * estimated Jaccard (fraction of agreeing minhashes):
     * (da, db, est_j). Sub-quadratic: candidates come from an equi-join
-    * on (band, band_key).
+    * on (band, band_key); the estimate is one zip_with over the two
+    * signatures (no per-index join).
     */
   def minhashCandidates(sh: DataFrame, numHashes: Int = 32,
       rowsPerBand: Int = 4): DataFrame = {
+    val nBands = numHashes / rowsPerBand
     val minh = minhashSignatures(sh, numHashes)
-    val bands = minh.withColumn("band", (col("i") / rowsPerBand).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(expr("md5(concat_ws(',', transform(" +
-        "sort_array(collect_list(struct(i, mh))), " +
-        "x -> cast(x.mh AS string))))").as("band_key"))
+    val bands = minh.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${nBands - 1}), b -> md5(concat_ws(',', " +
+          s"transform(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), " +
+          "v -> cast(v AS string)))))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
     val bb = bands.select(col("doc_id").as("db"), col("band"), col("band_key"))
     val cand = bands.join(bb, Seq("band", "band_key"))
       .filter(col("doc_id") < col("db"))
       .select(col("doc_id").as("da"), col("db")).distinct()
-    val ma = minh.select(col("doc_id").as("da"), col("i"), col("mh").as("mha"))
-    val mb = minh.select(col("doc_id").as("db"), col("i"), col("mh").as("mhb"))
-    cand.join(ma, Seq("da")).join(mb, Seq("db", "i"))
-      .groupBy(col("da"), col("db"))
-      .agg((sum(when(col("mha") === col("mhb"), 1).otherwise(0))
-        / lit(numHashes.toDouble)).as("est_j"))
+    val ma = minh.select(col("doc_id").as("da"), col("sig").as("siga"))
+    val mb = minh.select(col("doc_id").as("db"), col("sig").as("sigb"))
+    cand.join(ma, Seq("da")).join(mb, Seq("db"))
+      .withColumn("est_j", expr(
+        "aggregate(zip_with(siga, sigb, (x, y) -> IF(x = y, 1, 0)), 0, " +
+          s"(a, v) -> a + v) / cast($numHashes AS double)"))
+      .select("da", "db", "est_j")
   }
 
-  /** 64-bit SimHash per doc from term-frequency-weighted word hashes. */
+  /** 64-bit SimHash per doc from term-frequency-weighted word hashes.
+    * Per-word bit contributions stay as one 64-long array per word row;
+    * ArrayAgg.arraySum folds them element-wise (map-side), then one
+    * zip_with assembles the sign bits into the signature.
+    */
   def simhashSignatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", xxhash64(col("w")))
-      .select(col("doc_id"), posexplode(expr(
+      .select(col("doc_id"), expr(
         "transform(sequence(0, 63), " +
-          "j -> cnt * (2 * cast(shiftright(h, j) & 1 AS int) - 1))")))
-      .withColumnRenamed("pos", "j").withColumnRenamed("col", "c")
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("c")).as("sc"))
-      .withColumn("bit", (col("sc") > 0).cast("long"))
+          "j -> cnt * (2 * cast(shiftright(h, j) & 1 AS bigint) - 1))")
+        .as("contrib"))
       .groupBy(col("doc_id"))
-      .agg(sum(expr("bit * shiftleft(cast(1 AS bigint), j)")).as("simhash"))
+      .agg(graft.functions.ArrayAgg.arraySum(64)(col("contrib")).as("sums"))
+      .withColumn("simhash", expr(
+        "aggregate(zip_with(sums, sequence(0, 63), " +
+          "(s, j) -> IF(s > 0, shiftleft(cast(1 AS bigint), j), 0L)), " +
+          "cast(0 AS bigint), (a, v) -> a + v)"))
+      .select("doc_id", "simhash")
 
   /** SimHash candidates via 4×16-bit pigeonhole blocks (any pair with
     * hamming ≤ 3 shares an exact block) → (da, db, hamming).
