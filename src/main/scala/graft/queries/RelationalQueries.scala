@@ -168,6 +168,53 @@ object RelationalQueries extends QueryModule {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // A9: size-by-key table census — per-table profiling loop
+    // (ref: src/06_integrate_ice.R:13-14) as one unioned query.
+    "a9_table_census" -> ((s, d) => {
+      import s.implicits._
+      val stats = Seq(
+        ("customer", Tables.customer(s, d).select(col("c_custkey"))),
+        ("supplier", Tables.supplier(s, d).select(col("s_suppkey"))),
+        ("part", Tables.part(s, d).select(col("p_partkey"))),
+        ("orders", Tables.orders(s, d).select(col("o_orderkey"))))
+      stats.map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(df.columns.head).as("n_keys"))
+          .withColumn("tbl", lit(name))
+          .select("tbl", "n_rows", "n_keys")
+      }.reduce(_ unionByName _).orderBy(col("tbl"))
+    }),
+
+    // Rollup — hierarchical subtotals (absent in the reference; part of a
+    // complete engine's grouping surface).
+    "a11_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Cube — full grouping-set lattice.
+    "a12_cube" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // Approx count-distinct — the 100 TB swap for A4's exact distinct
+    // (SURVEY §7.4 risk 6). HLL++ values are engine-specific ⇒ no SQL
+    // oracle (rows-only); A4ApproxSpec bounds the error vs exact.
+    "a13_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_suppkey"), 0.02).as("n_supp_approx"),
+          countDistinct(col("l_suppkey")).as("n_supp_exact"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Flagship: TPC-H Q1-shaped pricing summary — the densest exercise of
     // scan + pushdown + multi-metric hash aggregate.
     "q1_pricing_summary" -> ((s, d) => {
@@ -269,6 +316,30 @@ object RelationalQueries extends QueryModule {
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5), 0) AS med_price
         |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "a9_table_census" ->
+      """SELECT * FROM (
+        |  SELECT 'customer' AS tbl, count(*) AS n_rows,
+        |    count(DISTINCT c_custkey) AS n_keys FROM customer
+        |  UNION ALL SELECT 'supplier', count(*), count(DISTINCT s_suppkey)
+        |    FROM supplier
+        |  UNION ALL SELECT 'part', count(*), count(DISTINCT p_partkey)
+        |    FROM part
+        |  UNION ALL SELECT 'orders', count(*), count(DISTINCT o_orderkey)
+        |    FROM orders)
+        |ORDER BY tbl""".stripMargin,
+
+    "a11_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "a12_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
