@@ -31,6 +31,28 @@ object Harmonize {
   case class Brick(substances: DataFrame, properties: DataFrame,
       activities: DataFrame)
 
+  /** Session-scoped memo of the brick per (session, sfDir, adapters):
+    * Verify/Bench run every query in one session and six queries read the
+    * brick — persisting the three tables once (MEMORY_AND_DISK, the
+    * explicit-materialization stance of the reference's staging cache,
+    * SURVEY §4 "Materialization") removes five rebuilds. Results are
+    * unchanged: persist only caches the deterministic plan output.
+    */
+  private val memo =
+    scala.collection.mutable.Map.empty[(SparkSession, String, String), Brick]
+
+  def cachedBrick(spark: SparkSession, sfDir: String,
+      adapters: Seq[SourceAdapter]): Brick = memo.synchronized {
+    val key = (spark, sfDir, adapters.map(_.name).mkString(","))
+    memo.getOrElseUpdate(key, {
+      val b = brick(spark, sfDir, adapters)
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      Brick(b.substances.persist(MEMORY_AND_DISK),
+        b.properties.persist(MEMORY_AND_DISK),
+        b.activities.persist(MEMORY_AND_DISK))
+    })
+  }
+
   def brick(spark: SparkSession, sfDir: String,
       adapters: Seq[SourceAdapter]): Brick = {
     val staged = adapters.map(a => a.name -> a.staging(spark, sfDir))

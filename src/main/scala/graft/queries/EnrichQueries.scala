@@ -13,7 +13,7 @@ import graft.sources.{EventsAdapter, OrdersAdapter}
 object EnrichQueries extends QueryModule {
 
   private def properties(s: org.apache.spark.sql.SparkSession, d: String) =
-    Harmonize.brick(s, d, Seq(EventsAdapter, OrdersAdapter)).properties
+    Harmonize.cachedBrick(s, d, Seq(EventsAdapter, OrdersAdapter)).properties
 
   val queries: Map[String, Q] = Map(
     // D5: property → categories (1→N via typed flatMap of the Labeler).

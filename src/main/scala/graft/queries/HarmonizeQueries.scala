@@ -16,7 +16,7 @@ import graft.sources.{EventsAdapter, OrdersAdapter}
 object HarmonizeQueries extends QueryModule {
 
   private def brick(s: org.apache.spark.sql.SparkSession, d: String) =
-    Harmonize.brick(s, d, Seq(EventsAdapter, OrdersAdapter))
+    Harmonize.cachedBrick(s, d, Seq(EventsAdapter, OrdersAdapter))
 
   val queries: Map[String, Q] = Map(
     // Brick substances: union + canonicalize + md5 re-key
