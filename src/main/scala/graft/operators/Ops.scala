@@ -76,6 +76,52 @@ object Ops {
       .drop("__seen")
   }
 
+  /** As-of join: for each left row, attach the right row with the
+    * greatest `ts` <= left's `ts` for the same `key` (the time-series
+    * enrichment primitive Spark lacks as a builtin). Composed from
+    * existing operators per the brief's preference order (a): tag both
+    * sides, union, and carry the last right payload forward with an
+    * ordered window — one shuffle on `key`, no range-join blowup, state
+    * bounded per key. Ties (equal ts) match the right row, i.e. ">="
+    * semantics, right-before-left via the tag sort.
+    *
+    * Caller contract: right must be unique per (key, ts) (pre-aggregate
+    * ties), and right payload columns must be non-null and distinct from
+    * left's column names.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+      ts: String): DataFrame = {
+    val payload = right.columns.filterNot(c => c == key || c == ts).toSeq
+    val l = left.withColumn("__is_left", lit(1))
+    val r = right.withColumn("__is_left", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__is_left") === 1)
+      .drop("__is_left").drop(payload: _*)
+  }
+
+  /** Skew-guard join: salt the big side's key with a deterministic hash
+    * of `uniqueCol` into `saltFactor` sub-keys and explode the small side
+    * across all salts, so one hot key spreads over `saltFactor`
+    * partitions. Result is row-identical to the unsalted join (OpsSpec).
+    * AQE's skew-join handles moderate skew automatically; this is the
+    * explicit operator for pathological keys.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      uniqueCol: String, saltFactor: Int): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(col(uniqueCol)), lit(saltFactor)))
+    val exploded = small
+      .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+      .withColumn("__salt", col("__salt").cast("long"))
+    salted.join(exploded, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Exact-n deterministic stratified sample: `n` rows per stratum chosen
     * by md5 order of the row key (ref: src/06_integrate_ice.R:107-110 made
     * deterministic, O4; SURVEY §7.4 risk 3).

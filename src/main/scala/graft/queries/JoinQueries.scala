@@ -130,6 +130,37 @@ object JoinQueries extends QueryModule {
       Tables.lineitem(s, d)
         .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .agg(count(lit(1)).as("n_matched"))
+    }),
+
+    // As-of join (no Spark builtin — composed per Ops.asOfJoin): each
+    // event picks up the user's most recent order at or before the event
+    // time. Oracle: DuckDB's native ASOF LEFT JOIN.
+    "j10_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val r = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("user_id"),
+          col("o_orderdate").as("ts"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      graft.operators.Ops.asOfJoin(ev, r, "user_id", "ts")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(col("asof_o_orderkey")).as("n_matched"),
+          countDistinct(col("asof_o_orderkey")).as("n_orders"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Salted skew-guard join — row-identical to the plain join (the
+    // oracle is the unsalted SQL), hot keys spread across 8 sub-keys.
+    "j11_salted_join" -> ((s, d) => {
+      graft.operators.Ops.saltedJoin(
+          Tables.orders(s, d), Tables.customer(s, d)
+            .withColumnRenamed("c_custkey", "o_custkey"),
+          "o_custkey", "o_orderkey", 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_custs"))
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -202,6 +233,23 @@ object JoinQueries extends QueryModule {
 
     "j9_join_count" ->
       """SELECT count(*) AS n_matched
-        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+
+    "j10_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_type, count(*) AS n,
+        |  count(r.o_orderkey) AS n_matched,
+        |  count(DISTINCT r.o_orderkey) AS n_orders
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "j11_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_custs
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
   )
 }

@@ -215,6 +215,17 @@ object RelationalQueries extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
+    // SQL-text entry point: temp views + spark.sql — the parse→analyze→
+    // optimize path of the engine's SQL surface.
+    "q2_sql_api" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""SELECT o_orderpriority, count(*) AS n
+              |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+              |WHERE c_mktsegment = 'BUILDING'
+              |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // Flagship: TPC-H Q1-shaped pricing summary — the densest exercise of
     // scan + pushdown + multi-metric hash aggregate.
     "q1_pricing_summary" -> ((s, d) => {
@@ -340,6 +351,12 @@ object RelationalQueries extends QueryModule {
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST,
         |  o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q2_sql_api" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

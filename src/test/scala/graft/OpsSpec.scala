@@ -52,4 +52,28 @@ class OpsSpec extends SparkSpec {
     assert(a.select("id").collect().map(_.getInt(0)).toSet
       == b.select("id").collect().map(_.getInt(0)).toSet)
   }
+
+  test("asOfJoin picks the latest right row at or before each left ts") {
+    val left = Seq((1L, 10L, "e1"), (1L, 25L, "e2"), (1L, 5L, "e0"),
+      (2L, 50L, "e3")).toDF("k", "ts", "ev")
+    val right = Seq((1L, 10L, "r10"), (1L, 20L, "r20"), (2L, 60L, "r60"))
+      .toDF("k", "ts", "payload")
+    val out = Ops.asOfJoin(left, right, "k", "ts")
+      .select("ev", "asof_payload")
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(
+      "e0" -> None,            // before any right row
+      "e1" -> Some("r10"),     // ties match (>= semantics)
+      "e2" -> Some("r20"),     // latest prior
+      "e3" -> None))           // right row is after the event
+  }
+
+  test("saltedJoin is row-identical to the plain join") {
+    val big = (1 to 1000).map(i => (i % 3, i)).toDF("k", "id")
+    val small = Seq((0, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+    val salted = Ops.saltedJoin(big, small, "k", "id", 8)
+    val plain = big.join(small, Seq("k"))
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
 }
