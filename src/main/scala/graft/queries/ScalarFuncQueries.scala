@@ -108,6 +108,32 @@ object ScalarFuncQueries extends QueryModule {
         .orderBy(col("dist"), col("n_name"))
     }),
 
+    // D1 on dirty input: the canonicalizer UDF over events.props (spacing
+    // noise), md5'd — the id-defining path of the harmonize pipeline
+    // exercised against DuckDB's JSON minifier (props are single-key, so
+    // minified == canonical).
+    "d1_canonicalize_props" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("canon",
+          graft.functions.CanonicalJson.canonicalizeJson(col("props")))
+        .groupBy(col("event_type"))
+        .agg(count(col("canon")).as("n_ok"),
+          countDistinct(md5(col("canon"))).as("n_ids"))
+        .orderBy(col("event_type"))
+    }),
+
+    // F6b: schema-typed JSON access via from_json (SURVEY §1.4 "expose
+    // typed access via from_json with per-source StructType").
+    "f12_from_json" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("parsed", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .groupBy(col("event_type"))
+        .agg(sum(col("parsed.k")).as("sum_k"),
+          count(when(col("parsed.k").isNotNull, 1)).as("n_parsed"))
+        .orderBy(col("event_type"))
+    }),
+
     // Extra: datetime functions — none exist in the reference (SURVEY §2.9
     // note) but any engine at this scale needs calendar bucketing.
     "f11_datetime" -> ((s, d) => {
@@ -169,6 +195,18 @@ object ScalarFuncQueries extends QueryModule {
     "f10_levenshtein" ->
       """SELECT n_name, levenshtein(n_name, 'UNITED STATES') AS dist
         |FROM nation ORDER BY dist, n_name""".stripMargin,
+
+    "d1_canonicalize_props" ->
+      """SELECT event_type, count(*) AS n_ok,
+        |  count(DISTINCT md5(json_extract(props, '$')::VARCHAR)) AS n_ids
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "f12_from_json" ->
+      """SELECT event_type,
+        |  sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+        |  count(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+        |    THEN 1 END) AS n_parsed
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "f11_datetime" ->
       """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
