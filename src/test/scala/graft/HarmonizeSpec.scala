@@ -67,4 +67,19 @@ class HarmonizeSpec extends SparkSpec {
   test("numvalue is carried through (README.md:24/37 gap closed)") {
     assert(brick.activities.filter(col("numvalue").isNull).count() == 0)
   }
+
+  test("DataQuality suite passes on the brick and catches corruption") {
+    import graft.harmonize.DataQuality
+    val ok = DataQuality.run(brick, Set("events", "orders"))
+    assert(ok.forall(_.passed), ok.filterNot(_.passed).mkString("; "))
+    // corrupt: mislabel a value and add an unknown source
+    val bad = brick.copy(activities = brick.activities
+      .withColumn("value", lit("maybe"))
+      .withColumn("source", lit("mystery")))
+    val res = DataQuality.run(bad, Set("events", "orders"))
+      .map(r => r.name -> r.passed).toMap
+    assert(!res("closed_value_vocabulary"))
+    assert(!res("sources_closed"))
+    assert(!res("property_count_consistency"))
+  }
 }
