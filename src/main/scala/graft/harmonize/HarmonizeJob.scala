@@ -1,7 +1,7 @@
 package graft.harmonize
 
 import org.apache.spark.sql.SparkSession
-import graft.sources.{EventsAdapter, OrdersAdapter}
+import graft.sources.{DocumentsAdapter, EventsAdapter, OrdersAdapter}
 
 /** The reference's harmonize entry point as a standalone job
   * (ref: dvc.yaml harmonize stage + src/80_harmonize.py):
@@ -23,7 +23,7 @@ object HarmonizeJob {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val adapters = Seq(EventsAdapter, OrdersAdapter)
+    val adapters = Seq(EventsAdapter, OrdersAdapter, DocumentsAdapter)
     val brick = Harmonize.cachedBrick(spark, sfDir, adapters)
     brick.substances.write.mode("overwrite").parquet(s"$outDir/substances.parquet")
     brick.properties.write.mode("overwrite").parquet(s"$outDir/properties.parquet")

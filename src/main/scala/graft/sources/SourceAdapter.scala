@@ -67,6 +67,45 @@ object EventsAdapter extends SourceAdapter {
   }
 }
 
+/** Documents-as-assay adapter: document = substance, language =
+  * property, document length binarized against the per-language median —
+  * third source so harmonize exercises a >2-way union + re-key
+  * (the reference unions ~15, src/80_harmonize.py:33).
+  */
+object DocumentsAdapter extends SourceAdapter {
+  val name = "documents"
+
+  def staging(s: SparkSession, d: String): StagingTriplet = {
+    val docs = Tables.documents(s, d)
+    val sid = md5(concat(lit("doc:"), col("doc_id").cast("string")))
+    val pid = md5(concat(lit("lang:"), col("lang")))
+
+    val subs = docs.select(col("doc_id")).distinct()
+      .withColumn("data", to_json(struct(col("doc_id"))))
+      .withColumn("sid", sid)
+      .select("sid", "data")
+
+    val props = docs.select(col("lang")).distinct()
+      .withColumn("data", to_json(struct(col("lang"))))
+      .withColumn("pid", pid)
+      .select("pid", "data")
+
+    val med = docs.groupBy(col("lang"))
+      .agg(expr("percentile(n_chars, 0.5)").as("med"))
+    val acts = docs.join(broadcast(med), Seq("lang"))
+      .withColumn("numvalue", col("n_chars").cast("double"))
+      .withColumn("value",
+        when(col("numvalue") >= col("med"), "positive").otherwise("negative"))
+      .withColumn("sid", sid)
+      .withColumn("pid", pid)
+      .withColumn("aid",
+        concat(lit("documents-"), md5(concat_ws("|", col("sid"), col("pid")))))
+      .select("aid", "sid", "pid", "value", "numvalue")
+
+    StagingTriplet(subs, props, acts)
+  }
+}
+
 /** Orders-as-assay adapter: customer = substance, order priority =
   * property, per-(customer, priority) median order value binarized by the
   * per-priority split. Second source so harmonize exercises the

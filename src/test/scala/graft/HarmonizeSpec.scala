@@ -82,4 +82,16 @@ class HarmonizeSpec extends SparkSpec {
     assert(!res("sources_closed"))
     assert(!res("property_count_consistency"))
   }
+
+  test("three-source harmonize passes the full DataQuality suite") {
+    import graft.harmonize.{DataQuality, Harmonize}
+    import graft.sources.DocumentsAdapter
+    val b3 = Harmonize.brick(spark, sf(),
+      Seq(EventsAdapter, OrdersAdapter, DocumentsAdapter))
+    val res = DataQuality.run(b3, Set("events", "orders", "documents"))
+    assert(res.forall(_.passed), res.filterNot(_.passed).mkString("; "))
+    val sources = b3.activities.select("source").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(sources == Set("events", "orders", "documents"))
+  }
 }
