@@ -93,6 +93,27 @@ object TextQueries extends QueryModule {
         .orderBy(col("source"))
     }),
 
+    // Self-trained bigram LM scoring: per-doc fluency = mean corpus
+    // frequency of its bigrams (the n-gram-LM quality signal without a
+    // float log, keeping cross-engine arithmetic exact).
+    "x6_bigram_lm" -> ((s, d) => {
+      val bi = Tables.documents(s, d)
+        .withColumn("ts", split(lower(col("text")), " "))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, size(ts)-1), " +
+            "g -> concat_ws(' ', ts[g-1], ts[g]))")).as("bg"))
+      val counts = bi.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+      bi.join(counts, Seq("bg"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg((sum(col("cnt")) / count(lit(1))).as("score"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+        .orderBy(col("lang"))
+    }),
+
     // Term frequency: regex (BPE-ish) tokenizer, global top-20 with
     // deterministic tiebreak.
     "x5_token_freq" -> ((s, d) => {
@@ -153,6 +174,20 @@ object TextQueries extends QueryModule {
         |  count(DISTINCT md5(array_to_string(
         |    list_slice(string_split(lower(text), ' '), 1, 5), ' '))) AS n_head_fp
         |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "x6_bigram_lm" ->
+      """WITH bi AS (
+        |  SELECT doc_id, lang, ts[g] || ' ' || ts[g+1] AS bg
+        |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS ts
+        |        FROM documents WHERE len(string_split(lower(text), ' ')) >= 2)
+        |  CROSS JOIN unnest(range(1, len(ts))) AS u(g)),
+        |counts AS (SELECT bg, count(*) AS cnt FROM bi GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, lang, sum(cnt) * 1.0 / count(*) AS score
+        |  FROM bi JOIN counts USING (bg) GROUP BY 1, 2)
+        |SELECT lang, count(*) AS n_docs,
+        |  min(score) AS min_score, max(score) AS max_score
+        |FROM scored GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "x5_token_freq" ->
       """SELECT token, count(*) AS n FROM (
