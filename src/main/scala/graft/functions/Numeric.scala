@@ -30,9 +30,17 @@ object Numeric {
 
   /** Exact decimal sum of a product of two money-like columns (e.g.
     * extendedprice * (1 - discount)). Multiply in decimal space so the
-    * product itself is exact before summation.
-    * Oracle form: CAST(SUM(CAST(x AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4))) AS DOUBLE).
+    * product is exact, then renormalize to scale 4 BEFORE summing: for
+    * 2-dp money inputs the product has ≤4 decimals so this loses
+    * nothing, and it keeps the summed value's scaled integer below 2^53
+    * — above that, engines that convert decimal→double as
+    * (double)int128 / 10^scale (two roundings) drift 1 ulp from a
+    * correctly-rounded conversion, which exact differential testing
+    * catches at sf0.1.
+    * Oracle form: CAST(SUM(CAST(CAST(x AS DECIMAL(18,4)) *
+    *   CAST(y AS DECIMAL(18,4)) AS DECIMAL(28,4))) AS DOUBLE).
     */
   def dsumProduct(x: Column, y: Column): Column =
-    sum(x.cast(DecimalType(18, 4)) * y.cast(DecimalType(18, 4))).cast("double")
+    sum((x.cast(DecimalType(18, 4)) * y.cast(DecimalType(18, 4)))
+      .cast(DecimalType(28, 4))).cast("double")
 }
