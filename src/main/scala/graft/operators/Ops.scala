@@ -10,6 +10,29 @@ import org.apache.spark.sql.functions._
   */
 object Ops {
 
+  /** Exactness mode (SURVEY §7.4 risk 6): Exact for oracle-reproducible
+    * results at test scale; Approx swaps in the sketch/streaming
+    * algorithms (percentile_approx, HLL++) that keep the same plan shape
+    * but bounded memory at 100 TB. Same operator API either way.
+    */
+  sealed trait Exactness
+  case object Exact extends Exactness
+  case object Approx extends Exactness
+
+  /** Grouped median expression under the chosen exactness. */
+  def medianExpr(valueCol: String, mode: Exactness):
+      org.apache.spark.sql.Column = mode match {
+    case Exact => expr(s"percentile($valueCol, 0.5)")
+    case Approx => expr(s"percentile_approx($valueCol, 0.5, 10000)")
+  }
+
+  /** Distinct-count expression under the chosen exactness. */
+  def nDistinctExpr(valueCol: String, mode: Exactness):
+      org.apache.spark.sql.Column = mode match {
+    case Exact => countDistinct(col(valueCol))
+    case Approx => approx_count_distinct(col(valueCol), 0.02)
+  }
+
   /** Binarize a numeric column against its per-group EXACT median
     * (ref: src/01_integrate_toxvaldb.R:24-25; SURVEY §4 decision 1:
     * `percentile`, not `percentile_approx`, for reproducible ids).
@@ -23,9 +46,9 @@ object Ops {
     * removed.
     */
   def binarizeByMedian(df: DataFrame, valueCol: String, groupCol: String,
-      outCol: String = "value"): DataFrame = {
+      outCol: String = "value", mode: Exactness = Exact): DataFrame = {
     val med = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+      .agg(medianExpr(valueCol, mode).as("__med"))
     df.join(broadcast(med), Seq(groupCol))
       .withColumn(outCol,
         when(col(valueCol) >= col("__med"), "positive").otherwise("negative"))

@@ -76,4 +76,25 @@ class OpsSpec extends SparkSpec {
     assert(salted.exceptAll(plain).count() == 0)
     assert(plain.exceptAll(salted).count() == 0)
   }
+
+  test("Approx exactness mode tracks Exact on real data") {
+    val ev = Tables.events(spark, sf()).select("event_type", "value")
+    val exact = Ops.binarizeByMedian(ev, "value", "event_type",
+        mode = Ops.Exact)
+      .groupBy("event_type", "value").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val approx = Ops.binarizeByMedian(ev, "value", "event_type",
+        mode = Ops.Approx)
+      .groupBy("event_type", "value").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // same keys; class counts within 5% (approx median shifts the split
+    // by at most a few rank positions)
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(5, n / 20),
+        s"$k: exact=$n approx=${approx(k)}")
+    }
+  }
 }

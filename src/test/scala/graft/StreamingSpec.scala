@@ -105,4 +105,26 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 2L, 2L -> 1L))
   }
+
+  test("file-source readStream over parquet matches the batch result") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val batchDf = rows.toDF("ts", "user_id", "event_type")
+    batchDf.write.mode("overwrite").parquet(s"$dir/in")
+    val expected = StreamingOps.tumblingCounts(batchDf, "30 minutes")
+      .collect().map(_.toString).sorted
+
+    val streamed = StreamingOps.tumblingCounts(
+      spark.readStream.schema(batchDf.schema).parquet(s"$dir/in"),
+      "30 minutes")
+    val query = streamed.writeStream.format("memory")
+      .queryName("file_stream")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      query.processAllAvailable()
+      val got = spark.table("file_stream").collect().map(_.toString).sorted
+      assert(got.toSeq == expected.toSeq)
+    } finally query.stop()
+  }
 }
