@@ -80,6 +80,20 @@ object DedupQueries extends QueryModule {
           count(when(col("hamming") <= 16, 1)).as("n_hamming_le16"))
     }),
 
+    // Dedup materialization: apply the greedy keep-lowest-id policy to
+    // the J>=0.5 near-dup pairs and report the surviving corpus — what a
+    // training pipeline actually emits.
+    "dd6_dedup_materialize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dropped = Dedup.jaccardPairs(cachedShingles(s, d))
+        .filter(col("j") >= 0.5)
+        .select(col("db").as("doc_id")).distinct()
+      val kept = docs.join(dropped, Seq("doc_id"), "left_anti")
+      kept.agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("kept_chars"))
+        .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
+    }),
+
     // Embedding-cosine near-dup: brute-force pair scan (oracle-checked);
     // the bucketed scale path lives in SimilarityQueries.
     "dd5_embedding_cosine" -> ((s, d) => {
@@ -134,6 +148,25 @@ object DedupQueries extends QueryModule {
         |FROM pairs JOIN sizes sa ON da = sa.doc_id
         |JOIN sizes sb ON db = sb.doc_id
         |GROUP BY 1 ORDER BY lang""".stripMargin),
+
+    "dd6_dedup_materialize" -> (shCte +
+      """, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+        |  FROM sh a JOIN sh b
+        |    ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dropped AS (
+        |  SELECT DISTINCT db AS doc_id
+        |  FROM pairs JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id
+        |  WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.5)
+        |SELECT
+        |  (SELECT count(*) FROM documents
+        |     WHERE doc_id NOT IN (SELECT doc_id FROM dropped)) AS n_kept,
+        |  (SELECT sum(n_chars) FROM documents
+        |     WHERE doc_id NOT IN (SELECT doc_id FROM dropped)) AS kept_chars,
+        |  (SELECT count(*) FROM dropped) AS n_dropped""".stripMargin),
 
     "dd5_embedding_cosine" ->
       """SELECT count(*) AS n_pairs,

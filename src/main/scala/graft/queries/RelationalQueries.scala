@@ -215,6 +215,17 @@ object RelationalQueries extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Multi-quantile profiling — exact quartiles per group (the
+    // distribution census a pipeline runs before choosing thresholds).
+    "a14_quantiles" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.25)").as("q25"),
+          expr("percentile(l_extendedprice, 0.5)").as("q50"),
+          expr("percentile(l_extendedprice, 0.75)").as("q75"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // SQL-text entry point: temp views + spark.sql — the parse→analyze→
     // optimize path of the engine's SQL surface.
     "q2_sql_api" -> ((s, d) => {
@@ -351,6 +362,13 @@ object RelationalQueries extends QueryModule {
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST,
         |  o_orderpriority NULLS FIRST""".stripMargin,
+
+    "a14_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.25) AS q25,
+        |  quantile_cont(l_extendedprice, 0.5) AS q50,
+        |  quantile_cont(l_extendedprice, 0.75) AS q75
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "q2_sql_api" ->
       """SELECT o_orderpriority, count(*) AS n
