@@ -42,6 +42,17 @@ object DedupQueries extends QueryModule {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
+  private val jMemo = scala.collection.mutable
+    .Map.empty[(SparkSession, String), DataFrame]
+
+  /** Jaccard pair frame shared by dd2 (census) and dd6 (materialize). */
+  private def cachedJaccard(s: SparkSession, d: String): DataFrame =
+    jMemo.synchronized {
+      jMemo.getOrElseUpdate((s, d),
+        Dedup.jaccardPairs(cachedShingles(s, d))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
   val queries: Map[String, Q] = Map(
     // Exact + normalized-exact dedup: hash-groupBy on content hash.
     "dd1_exact_dedup" -> ((s, d) => {
@@ -54,7 +65,7 @@ object DedupQueries extends QueryModule {
 
     // N-gram Jaccard ground truth: pairwise within lang, df-pruned.
     "dd2_ngram_jaccard" -> ((s, d) => {
-      Dedup.jaccardPairs(cachedShingles(s, d))
+      cachedJaccard(s, d)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_pairs_examined"),
           count(when(col("j") >= 0.2, 1)).as("n_near"))
@@ -85,7 +96,7 @@ object DedupQueries extends QueryModule {
     // training pipeline actually emits.
     "dd6_dedup_materialize" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val dropped = Dedup.jaccardPairs(cachedShingles(s, d))
+      val dropped = cachedJaccard(s, d)
         .filter(col("j") >= 0.5)
         .select(col("db").as("doc_id")).distinct()
       val kept = docs.join(dropped, Seq("doc_id"), "left_anti")

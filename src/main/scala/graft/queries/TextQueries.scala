@@ -103,8 +103,10 @@ object TextQueries extends QueryModule {
         .select(col("doc_id"), col("lang"), explode(expr(
           "transform(sequence(1, size(ts)-1), " +
             "g -> concat_ws(' ', ts[g-1], ts[g]))")).as("bg"))
+      // the bigram vocabulary is tiny relative to the corpus — broadcast
+      // it so the 400k-row instance frame never shuffles
       val counts = bi.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
-      bi.join(counts, Seq("bg"))
+      bi.join(broadcast(counts), Seq("bg"))
         .groupBy(col("doc_id"), col("lang"))
         .agg((sum(col("cnt")) / count(lit(1))).as("score"))
         .groupBy(col("lang"))
