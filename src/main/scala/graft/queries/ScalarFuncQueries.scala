@@ -134,6 +134,20 @@ object ScalarFuncQueries extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // F6c: MapType view of the JSON blob (SURVEY §1.4 "MapType(String,
+    // String) view") — schema-free key census via map_keys + explode.
+    "f13_json_map_view" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("m", from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)))
+        .select(explode(map_keys(col("m"))).as("key"))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("key"))
+    }),
+
     // Extra: datetime functions — none exist in the reference (SURVEY §2.9
     // note) but any engine at this scale needs calendar bucketing.
     "f11_datetime" -> ((s, d) => {
@@ -195,6 +209,11 @@ object ScalarFuncQueries extends QueryModule {
     "f10_levenshtein" ->
       """SELECT n_name, levenshtein(n_name, 'UNITED STATES') AS dist
         |FROM nation ORDER BY dist, n_name""".stripMargin,
+
+    "f13_json_map_view" ->
+      """SELECT key, count(*) AS n FROM (
+        |  SELECT unnest(json_keys(props)) AS key FROM events)
+        |GROUP BY 1 ORDER BY key""".stripMargin,
 
     "d1_canonicalize_props" ->
       """SELECT event_type, count(*) AS n_ok,
