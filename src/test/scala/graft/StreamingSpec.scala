@@ -127,4 +127,46 @@ class StreamingSpec extends SparkSpec {
       assert(got.toSeq == expected.toSeq)
     } finally query.stop()
   }
+
+  test("stream-static dimension join enriches events in flight") {
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val joined = mem.toDF().toDF("ts", "user_id", "event_type")
+      .join(dim, Seq("user_id"))
+      .groupBy("tier").count()
+    val query = joined.writeStream.format("memory")
+      .queryName("stream_static").outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData((ts(0), 1L, "a"), (ts(1), 1L, "b"), (ts(2), 2L, "c"),
+        (ts(3), 9L, "d")) // user 9 has no dim row -> dropped (inner)
+      query.processAllAvailable()
+      val got = spark.table("stream_static").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("gold" -> 2L, "silver" -> 1L))
+    } finally query.stop()
+  }
+
+  test("stream-stream interval join pairs events within the time bound") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val purchases = MemoryStream[(Timestamp, Long)]
+    val c = clicks.toDF().toDF("c_ts", "c_user").withWatermark("c_ts", "1 hour")
+    val p = purchases.toDF().toDF("p_ts", "p_user").withWatermark("p_ts", "1 hour")
+    // purchase attributed to a click by the same user within 30 minutes
+    val joined = c.join(p,
+      expr("c_user = p_user AND p_ts >= c_ts AND " +
+        "p_ts <= c_ts + interval 30 minutes"))
+    val query = joined.writeStream.format("memory")
+      .queryName("stream_stream").outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData((ts(0), 1L), (ts(0), 2L))
+      purchases.addData((ts(10), 1L),  // within 30 min of user 1's click
+        (Timestamp.valueOf("2024-01-01 11:30:00"), 2L)) // outside bound
+      query.processAllAvailable()
+      val got = spark.table("stream_stream")
+        .select("c_user").collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(1L), s"expected only user 1 attributed, got $got")
+    } finally query.stop()
+  }
 }
