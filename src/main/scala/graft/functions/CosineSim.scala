@@ -120,6 +120,8 @@ object GraftFunctions {
 class GraftExtensions
     extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(
-      e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+      e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.cosineSimDescriptor)
+    e.injectOptimizerRule(_ => graft.plans.PushDistinctThroughUnion)
+  }
 }
