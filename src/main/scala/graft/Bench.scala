@@ -10,6 +10,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.PushDistinctThroughUnion
     // session warm-up (scheduler, codegen, shuffle service) so the first
     // measured query isn't charged Spark's init cost
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -22,6 +22,8 @@ object HarmonizeJob {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.PushDistinctThroughUnion
 
     val adapters = Seq(EventsAdapter, OrdersAdapter, DocumentsAdapter)
     val brick = Harmonize.cachedBrick(spark, sfDir, adapters)
