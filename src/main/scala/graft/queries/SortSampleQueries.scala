@@ -34,6 +34,17 @@ object SortSampleQueries extends QueryModule {
         .agg(max(col("n")).as("max_dup"))
     }),
 
+    // Native per-group top-k — the custom LogicalPlan + Strategy +
+    // SparkPlan operator (graft.plans.TopKPerGroup): bounded k-heaps, no
+    // sort. Output limited to (group, order) columns so exact-value ties
+    // at the k boundary compare as identical multisets across engines.
+    "o5_native_topk" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      graft.plans.TopK.topKPerGroup(ev, Seq("event_type"), "value",
+          desc = true, k = 5)
+        .orderBy(col("event_type"), col("value").desc)
+    }),
+
     // O4: stratified exact-n sampling — n rows per stratum, selected by a
     // content-hash order so the sample is stable across runs and engines
     // (ref: src/06_integrate_ice.R:107-110, made deterministic).
@@ -59,6 +70,14 @@ object SortSampleQueries extends QueryModule {
       """SELECT max(n) AS max_dup FROM (
         |  SELECT l_orderkey, l_linenumber, count(*) AS n
         |  FROM lineitem GROUP BY 1, 2)""".stripMargin,
+
+    "o5_native_topk" ->
+      """SELECT event_type, value FROM (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC) AS rn
+        |  FROM events)
+        |WHERE rn <= 5 ORDER BY event_type, value DESC""".stripMargin,
 
     "o4_stratified_sample" ->
       """SELECT l_returnflag, count(*) AS n_sampled,
