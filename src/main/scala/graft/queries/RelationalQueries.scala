@@ -237,6 +237,45 @@ object RelationalQueries extends QueryModule {
               |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
     }),
 
+    // TPC-H Q3-shaped shipping priority: selective dimension filter →
+    // two fact joins → aggregate → top-10. Exercises join reorder,
+    // pushdown through joins, and TakeOrdered.
+    "q3_shipping_priority" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+      val cutoff = to_timestamp(lit("1995-03-15"))
+      val ord = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+      val li = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount"))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5-shaped local-supplier volume: 6-way join through two
+    // broadcast dims + three fact/mid tables with a co-location
+    // predicate (customer and supplier in the same nation).
+    "q5_local_supplier" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey") &&
+            col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount"))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // Flagship: TPC-H Q1-shaped pricing summary — the densest exercise of
     // scan + pushdown + multi-metric hash aggregate.
     "q1_pricing_summary" -> ((s, d) => {
@@ -369,6 +408,33 @@ object RelationalQueries extends QueryModule {
         |  quantile_cont(l_extendedprice, 0.5) AS q50,
         |  quantile_cont(l_extendedprice, 0.75) AS q75
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    CAST(1 - l_discount AS DECIMAL(18,4)) AS DECIMAL(28,4)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    CAST(1 - l_discount AS DECIMAL(18,4)) AS DECIMAL(28,4)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q2_sql_api" ->
       """SELECT o_orderpriority, count(*) AS n
