@@ -33,6 +33,32 @@ object StreamingQueries extends QueryModule {
       StreamingOps.hoppingCounts(Tables.events(s, d), "1 hour",
           "30 minutes")
         .orderBy(col("win_start"), col("event_type"))
+    }),
+
+    // Typed per-group processing: KeyValueGroupedDataset.flatMapGroups
+    // reimplements the 30-min-gap sessionization imperatively per user —
+    // same oracle as st2, proving the typed path agrees with the
+    // session_window operator. Group payloads are bounded (one user's
+    // events); the shuffle is the groupByKey hash exchange.
+    "st4_typed_sessions" -> ((s, d) => {
+      import s.implicits._
+      val gapUs = 30L * 60 * 1000000
+      Tables.events(s, d)
+        .select(col("user_id"), (col("ts_ns") / 1000).cast("long").as("us"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (user: Long, it: Iterator[(Long, Long)]) =>
+          val times = it.map(_._2).toArray.sorted
+          var sessions = 0
+          var last = Long.MinValue
+          times.foreach { t =>
+            if (last == Long.MinValue || t - last >= gapUs) sessions += 1
+            last = t
+          }
+          Iterator((user, sessions.toLong, times.length.toLong))
+        }
+        .toDF("user_id", "n_sessions", "n_events")
+        .orderBy(col("user_id"))
     })
   )
 
@@ -47,6 +73,19 @@ object StreamingQueries extends QueryModule {
     // [start, last+gap), so an event at exactly last+gap opens a new
     // session). Micros (not ns) to match Spark's timestamp precision.
     "st2_session_window" ->
+      """WITH m AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |marked AS (
+        |  SELECT user_id,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |      >= 1800000000 OR
+        |      lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM m)
+        |SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+        |FROM marked GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "st4_typed_sessions" ->
       """WITH m AS (
         |  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
         |marked AS (
