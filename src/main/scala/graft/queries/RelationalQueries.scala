@@ -237,6 +237,47 @@ object RelationalQueries extends QueryModule {
               |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
     }),
 
+    // Subquery surface: Catalyst rewrites these into semi/anti/cross
+    // joins (RewritePredicateSubquery / scalar subquery planning) — the
+    // engine capability, not just the syntax.
+    "q6_exists_subquery" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""SELECT c_mktsegment, count(*) AS n FROM customer_v
+              |WHERE EXISTS (SELECT 1 FROM orders_v
+              |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+              |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)
+    }),
+
+    // Scalar subquery against the EXACT median (avg of doubles would be
+    // partition-order dependent — the median is deterministic).
+    "q7_scalar_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderstatus, count(*) AS n FROM orders_v
+              |WHERE o_totalprice >
+              |  (SELECT percentile(o_totalprice, 0.5) FROM orders_v)
+              |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    "q8_in_subquery" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT count(*) AS n_parts FROM part_v
+              |WHERE p_partkey IN
+              |  (SELECT l_partkey FROM lineitem_v WHERE l_quantity > 49)
+              |""".stripMargin)
+    }),
+
+    // NOT IN → null-aware anti join path.
+    "q9_not_in_subquery" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT count(*) AS n_parts FROM part_v
+              |WHERE p_partkey NOT IN
+              |  (SELECT l_partkey FROM lineitem_v WHERE l_quantity > 49)
+              |""".stripMargin)
+    }),
+
     // TPC-H Q3-shaped shipping priority: selective dimension filter →
     // two fact joins → aggregate → top-10. Exercises join reorder,
     // pushdown through joins, and TakeOrdered.
@@ -408,6 +449,28 @@ object RelationalQueries extends QueryModule {
         |  quantile_cont(l_extendedprice, 0.5) AS q50,
         |  quantile_cont(l_extendedprice, 0.75) AS q75
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q6_exists_subquery" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "q7_scalar_subquery" ->
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |WHERE o_totalprice >
+        |  (SELECT quantile_cont(o_totalprice, 0.5) FROM orders)
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "q8_in_subquery" ->
+      """SELECT count(*) AS n_parts FROM part
+        |WHERE p_partkey IN
+        |  (SELECT l_partkey FROM lineitem WHERE l_quantity > 49)""".stripMargin,
+
+    "q9_not_in_subquery" ->
+      """SELECT count(*) AS n_parts FROM part
+        |WHERE p_partkey NOT IN
+        |  (SELECT l_partkey FROM lineitem WHERE l_quantity > 49)""".stripMargin,
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate,
