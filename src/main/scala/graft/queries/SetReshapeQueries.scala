@@ -66,6 +66,19 @@ object SetReshapeQueries extends QueryModule {
         .orderBy(col("metric"))
     }),
 
+    // Generator null-preservation: explode_outer keeps rows whose array
+    // is empty (the outer-generate path; plain explode would drop them).
+    "u6_explode_outer" -> ((s, d) => {
+      Tables.part(s, d)
+        .withColumn("toks",
+          expr("filter(split(lower(p_name), ' '), x -> x LIKE 'a%')"))
+        .select(col("p_partkey"), explode_outer(col("toks")).as("tok"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("tok").isNull, 1)).as("n_empty_parts"),
+          countDistinct(col("tok")).as("n_tokens"))
+    }),
+
     // R4: nest-to-JSON struct pack — the staging `data` blob construction
     // (ref: src/09_integrate_pubchem.py:34, to_json(struct(...))).
     "r4_nest_json" -> ((s, d) => {
@@ -109,6 +122,17 @@ object SetReshapeQueries extends QueryModule {
         |  UNION ALL
         |  SELECT p_partkey, 'retailprice', p_retailprice FROM part)
         |GROUP BY 1 ORDER BY metric""".stripMargin,
+
+    "u6_explode_outer" ->
+      """SELECT count(*) AS n_rows,
+        |  count(CASE WHEN u.tok IS NULL THEN 1 END) AS n_empty_parts,
+        |  count(DISTINCT u.tok) AS n_tokens
+        |FROM (
+        |  SELECT p_partkey,
+        |    list_filter(string_split(lower(p_name), ' '),
+        |      x -> x LIKE 'a%') AS toks
+        |  FROM part) t
+        |LEFT JOIN LATERAL (SELECT unnest(toks) AS tok) AS u ON TRUE""".stripMargin,
 
     "r4_nest_json" ->
       """SELECT n_nationkey,
