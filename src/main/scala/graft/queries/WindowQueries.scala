@@ -117,6 +117,36 @@ object WindowQueries extends QueryModule {
         .orderBy(col("user_id"))
     }),
 
+    // Extra: RANGE frame — events in the preceding hour per user (the
+    // sliding event-time window as a numeric range frame over micros).
+    "w9_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0)
+      Tables.events(s, d)
+        .withColumn("us", (col("ts_ns") / 1000).cast("long"))
+        .withColumn("n_last_hour", count(lit(1)).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("n_last_hour")).as("max_burst"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Extra: percent_rank / cume_dist / ntile — exact rational outputs
+    // with a total order (unique tiebreak).
+    "w10_rank_family" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy(col("o_orderpriority"), col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("pr")).as("min_pr"), max(col("cd")).as("max_cd"))
+        .orderBy(col("o_orderpriority"), col("quartile"))
+    }),
+
     // Extra: rank/dense_rank — top-2 orders per priority by price with
     // deterministic tiebreak.
     "w8_rank" -> ((s, d) => {
@@ -191,6 +221,27 @@ object WindowQueries extends QueryModule {
         |  FROM events)
         |WHERE prev_value IS NOT NULL
         |GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "w9_range_frame" ->
+      """SELECT user_id, max(n_last_hour) AS max_burst, count(*) AS n FROM (
+        |  SELECT user_id,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY us
+        |      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |      AS n_last_hour
+        |  FROM (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events))
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "w10_rank_family" ->
+      """SELECT o_orderpriority, quartile, count(*) AS n,
+        |  min(pr) AS min_pr, max(cd) AS max_cd FROM (
+        |  SELECT o_orderpriority,
+        |    percent_rank() OVER w AS pr,
+        |    cume_dist() OVER w AS cd,
+        |    ntile(4) OVER w AS quartile
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey))
+        |GROUP BY 1, 2 ORDER BY o_orderpriority, quartile""".stripMargin,
 
     "w8_rank" ->
       """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
