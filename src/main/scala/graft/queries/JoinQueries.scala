@@ -150,6 +150,24 @@ object JoinQueries extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // Native as-of join — the custom LogicalPlan+Strategy+SparkPlan
+    // sorted-merge operator (graft.plans.AsOfJoinNative); same oracle as
+    // j10 proves both as-of implementations and DuckDB agree.
+    "j12_native_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val r = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("user_id"),
+          col("o_orderdate").as("ts"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      graft.plans.AsOf.asOfJoinNative(ev, r, "user_id", "ts")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(col("o_orderkey")).as("n_matched"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("event_type"))
+    }),
+
     // Salted skew-guard join — row-identical to the plain join (the
     // oracle is the unsalted SQL), hot keys spread across 8 sub-keys.
     "j11_salted_join" -> ((s, d) => {
@@ -236,6 +254,17 @@ object JoinQueries extends QueryModule {
         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
 
     "j10_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_type, count(*) AS n,
+        |  count(r.o_orderkey) AS n_matched,
+        |  count(DISTINCT r.o_orderkey) AS n_orders
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "j12_native_asof" ->
       """WITH r AS (
         |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
         |  FROM orders GROUP BY 1, 2)
