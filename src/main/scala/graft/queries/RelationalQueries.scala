@@ -204,6 +204,19 @@ object RelationalQueries extends QueryModule {
           col("o_orderpriority").asc_nulls_first)
     }),
 
+    // Explicit GROUPING SETS with grouping_id — the general grouping
+    // lattice (rollup/cube are the special cases above).
+    "a15_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+              |  grouping_id(l_returnflag, l_linestatus) AS gid,
+              |  count(*) AS n
+              |FROM lineitem_v
+              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+              |  (l_returnflag), ())
+              |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+    }),
+
     // Approx count-distinct — the 100 TB swap for A4's exact distinct
     // (SURVEY §7.4 risk 6). HLL++ values are engine-specific ⇒ no SQL
     // oracle (rows-only); A4ApproxSpec bounds the error vs exact.
@@ -442,6 +455,15 @@ object RelationalQueries extends QueryModule {
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST,
         |  o_orderpriority NULLS FIRST""".stripMargin,
+
+    "a15_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  grouping_id(l_returnflag, l_linestatus) AS gid,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
 
     "a14_quantiles" ->
       """SELECT l_returnflag,

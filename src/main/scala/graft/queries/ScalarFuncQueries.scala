@@ -99,6 +99,23 @@ object ScalarFuncQueries extends QueryModule {
         .orderBy(col("src").asc_nulls_first)
     }),
 
+    // Array algebra: intersect/union/except/sort over token sets — the
+    // set operations at column granularity.
+    "f14_array_algebra" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("ts", expr("array_distinct(split(lower(text), ' '))"))
+        .withColumn("stop", expr("array('the','a','and','of','to')"))
+        .withColumn("n_stop_hits", expr("size(array_intersect(ts, stop))"))
+        .withColumn("n_content", expr("size(array_except(ts, stop))"))
+        .withColumn("first_sorted",
+          expr("try_element_at(array_sort(ts), 1)"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_stop_hits")).as("sum_stop"),
+          sum(col("n_content")).as("sum_content"),
+          min(col("first_sorted")).as("min_first"))
+        .orderBy(col("lang"))
+    }),
+
     // F10: string distance — levenshtein for label similarity
     // (ref: src/helper/magentic_label.py:11-12).
     "f10_levenshtein" -> ((s, d) => {
@@ -205,6 +222,19 @@ object ScalarFuncQueries extends QueryModule {
         |    x -> list_contains(['click','view','purchase'], x))[-1] AS src
         |  FROM events)
         |GROUP BY 1 ORDER BY src NULLS FIRST""".stripMargin,
+
+    "f14_array_algebra" ->
+      """SELECT lang,
+        |  sum(len(list_intersect(ts, ['the','a','and','of','to'])))
+        |    AS sum_stop,
+        |  sum(len(list_filter(ts,
+        |    x -> NOT list_contains(['the','a','and','of','to'], x))))
+        |    AS sum_content,
+        |  min(list_sort(ts)[1]) AS min_first
+        |FROM (
+        |  SELECT lang, list_distinct(string_split(lower(text), ' ')) AS ts
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "f10_levenshtein" ->
       """SELECT n_name, levenshtein(n_name, 'UNITED STATES') AS dist
