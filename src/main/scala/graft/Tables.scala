@@ -17,14 +17,16 @@ object Tables {
     * vectorized reader rejects; the legacy conf reads it as LongType
     * (nanos since epoch). `ts_ns` keeps the raw long for ordering;
     * `ts` is re-derived as a microsecond timestamp for event-time work.
+    * Integer `div` (not `/`): Divide promotes to double and epoch nanos
+    * (~1e18) exceed 2^53, so a double round-trip can shift the value by
+    * up to ~256 ns and the truncated microsecond by 1.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(spark, dir, "events")
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", org.apache.spark.sql.functions
-        .timestamp_micros((org.apache.spark.sql.functions.col("ts_ns") /
-          1000L).cast("long")))
+      .withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts_ns div 1000)"))
   }
 
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")

@@ -30,10 +30,22 @@ object Enrich {
     def label(propJson: String): Seq[(String, String, Double)]
   }
 
-  /** Deterministic rule backend over the harmonized property JSON. */
+  /** Deterministic rule backend over the harmonized property JSON.
+    * Parses the JSON (rather than substring-matching) so it is
+    * insensitive to serialization style — canonical `data` uses Python
+    * json.dumps spacing (see CanonicalJson).
+    */
   object RuleLabeler extends Labeler {
+    @transient private lazy val mapper =
+      new com.fasterxml.jackson.databind.ObjectMapper()
+
     def label(propJson: String): Seq[(String, String, Double)] = {
-      def has(k: String, v: String) = propJson.contains(s""""$k":"$v"""")
+      val eventType: String =
+        try {
+          val n = mapper.readTree(propJson).get("event_type")
+          if (n == null) null else n.asText
+        } catch { case scala.util.control.NonFatal(_) => null }
+      def has(k: String, v: String) = k == "event_type" && v == eventType
       val cats =
         if (has("event_type", "click") || has("event_type", "view"))
           Seq(("engagement", "ui interaction signal"))
@@ -48,9 +60,16 @@ object Enrich {
     }
   }
 
-  /** Categories for every property, computed through the cache table at
-    * `cacheDir` (parquet; created on first use). Returns
-    * (pid, category, reason, strength).
+  /** Categories for the requested properties, computed through the cache
+    * table at `cacheDir` (parquet; created on first use). Returns
+    * (pid, category, reason, strength) for exactly the requested pids.
+    *
+    * Concurrency contract: the check-then-append is NOT atomic — a task
+    * retry or a concurrent job appending the same pids can leave
+    * duplicate (pid, category) rows in the cache files. Single writer is
+    * assumed (the reference's joblib cache has the same contract); the
+    * read path defends anyway by deduplicating on (pid, category), so a
+    * dirty cache degrades to wasted bytes, never to double-counted rows.
     */
   def cachedLabel(spark: SparkSession, properties: DataFrame,
       backend: Labeler, cacheDir: String): DataFrame = {
@@ -67,14 +86,19 @@ object Enrich {
     // emptiness checked on the anti-join, NOT on the labeled frame — the
     // backend may be expensive (the reference's is an LLM call) and must
     // run exactly once per missing pid, in the write below.
-    if (misses.isEmpty) cached
-    else {
-      misses.as[(String, String)].flatMap { case (pid, data) =>
-        backend.label(data).map { case (c, r, st) => (pid, c, r, st) }
-      }.toDF("pid", "category", "reason", "strength")
-        .write.mode("append").parquet(cacheDir)
-      spark.read.parquet(cacheDir)
-    }
+    val all =
+      if (misses.isEmpty) cached
+      else {
+        misses.as[(String, String)].flatMap { case (pid, data) =>
+          backend.label(data).map { case (c, r, st) => (pid, c, r, st) }
+        }.toDF("pid", "category", "reason", "strength")
+          .write.mode("append").parquet(cacheDir)
+        spark.read.parquet(cacheDir)
+      }
+    // Defensive read: dedup retry-duplicated rows, return only the
+    // requested pids (the cache may hold a superset from earlier runs).
+    all.dropDuplicates("pid", "category")
+      .join(props.select("pid"), Seq("pid"), "left_semi")
   }
 
   /** Globally-unique deterministic titles: base title from the property

@@ -23,11 +23,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Accumulation order (dot, na, nb summed left-to-right in double) is
   * fixed and engine-portable — bit-identical to the DuckDB oracle's
   * list_dot_product formulation, which the differential tests rely on.
+  *
+  * Null/shape semantics: null if either array is null, if the lengths
+  * differ (DuckDB's list_cosine_similarity errors instead — we choose
+  * null so a bad row can't kill a 100 TB scan; filter `IS NULL` to
+  * audit), or if any element is null. Zero/empty vectors yield NaN
+  * (0/0), matching the brute-force double math everywhere else.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
   private def elemType(e: Expression): DataType =
@@ -47,14 +54,19 @@ case class CosineSim(left: Expression, right: Expression)
           s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
   }
 
+  private def elemNullable(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
-    val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y; i += 1
@@ -78,15 +90,30 @@ case class CosineSim(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      // element null checks only generated when the schema allows null
+      // elements — containsNull=false keeps the hot loop branch-free.
+      val elemNullCheck =
+        if (elemNullable(left) || elemNullable(right))
+          s"""if ($l.isNullAt($i) || $r.isNullAt($i)) {
+             |    ${ev.isNull} = true; break;
+             |  }""".stripMargin
+        else ""
       s"""
-         |int $n = Math.min($l.numElements(), $r.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = ${getL(l, i)};
-         |  double $y = ${getR(r, i)};
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |int $n = $l.numElements();
+         |if ($n != $r.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemNullCheck
+         |    double $x = ${getL(l, i)};
+         |    double $y = ${getR(r, i)};
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+         |  }
          |}
-         |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
        """.stripMargin
     })
   }

@@ -62,6 +62,7 @@ case class AsOfJoinNativeExec(leftKey: Attribute, leftTs: Attribute,
     val rOut = right.output
     val lk = leftKey; val lt = leftTs; val rk = rightKey; val rt = rightTs
     val payload = rightPayload
+    val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       // 1-col orderings over the key and ts types
       def ord1(dt: org.apache.spark.sql.types.DataType) = {
@@ -78,6 +79,13 @@ case class AsOfJoinNativeExec(leftKey: Attribute, leftTs: Attribute,
       val payloadProj = UnsafeProjection.create(payload, rOut)
       val nullPayload = new GenericInternalRow(payload.size)
       val joined = new JoinedRow()
+      // Parents (SortExec, ShuffleExchangeExec) cast rows to UnsafeRow;
+      // JoinedRow is not one, so project every emitted row like
+      // SortMergeJoinExec does. The projection's output buffer is
+      // reused — safe for pipelined consumers, which copy when buffering.
+      // outAttrs (not lOut ++ payload): its payload attrs are nullability-
+      // adjusted, so the projection emits real nulls for non-matches.
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val rBuf = rIt.buffered
       var lastMatch: InternalRow = null
       var lastMatchKey: InternalRow = null
@@ -98,8 +106,8 @@ case class AsOfJoinNativeExec(leftKey: Attribute, leftTs: Attribute,
             lastMatchKey = curKey
           } else advancing = false
         }
-        if (lastMatch != null) joined(l, payloadProj(lastMatch))
-        else joined(l, nullPayload)
+        if (lastMatch != null) resultProj(joined(l, payloadProj(lastMatch)))
+        else resultProj(joined(l, nullPayload))
       }
     }
   }

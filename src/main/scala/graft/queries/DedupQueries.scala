@@ -175,7 +175,7 @@ object DedupQueries extends QueryModule {
         |SELECT
         |  (SELECT count(*) FROM documents
         |     WHERE doc_id NOT IN (SELECT doc_id FROM dropped)) AS n_kept,
-        |  (SELECT sum(n_chars) FROM documents
+        |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
         |     WHERE doc_id NOT IN (SELECT doc_id FROM dropped)) AS kept_chars,
         |  (SELECT count(*) FROM dropped) AS n_dropped""".stripMargin),
 

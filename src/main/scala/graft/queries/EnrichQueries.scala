@@ -51,10 +51,10 @@ object EnrichQueries extends QueryModule {
   private val propsCte: String =
     """WITH props AS (
       |  SELECT DISTINCT md5(data) AS pid, data FROM (
-      |    SELECT to_json(struct_pack(event_type := event_type)) AS data
+      |    SELECT '{"event_type": "' || event_type || '"}' AS data
       |    FROM (SELECT DISTINCT event_type FROM events)
       |    UNION ALL
-      |    SELECT to_json(struct_pack(o_orderpriority := o_orderpriority))
+      |    SELECT '{"o_orderpriority": "' || o_orderpriority || '"}'
       |    FROM (SELECT DISTINCT o_orderpriority FROM orders))),
       |labeled AS (
       |  SELECT pid, unnest(CASE
@@ -90,10 +90,10 @@ object EnrichQueries extends QueryModule {
     "e3_property_titles" ->
       """WITH props AS (
         |  SELECT DISTINCT md5(data) AS pid, data FROM (
-        |    SELECT to_json(struct_pack(event_type := event_type)) AS data
+        |    SELECT '{"event_type": "' || event_type || '"}' AS data
         |    FROM (SELECT DISTINCT event_type FROM events)
         |    UNION ALL
-        |    SELECT to_json(struct_pack(o_orderpriority := o_orderpriority))
+        |    SELECT '{"o_orderpriority": "' || o_orderpriority || '"}'
         |    FROM (SELECT DISTINCT o_orderpriority FROM orders))),
         |based AS (
         |  SELECT pid,

@@ -83,7 +83,11 @@ object HarmonizeQueries extends QueryModule {
     })
   )
 
-  /** Shared oracle CTE chain replaying staging + harmonize in DuckDB. */
+  /** Shared oracle CTE chain replaying staging + harmonize in DuckDB.
+    * The canonical `data` bytes are Python json.dumps style (': ' / ', '
+    * separators — see CanonicalJson), built here by string concat since
+    * DuckDB's to_json is compact.
+    */
   private val actsCte: String =
     """WITH epair AS (
       |  SELECT user_id, event_type, quantile_cont(value, 0.5) AS numvalue
@@ -92,8 +96,8 @@ object HarmonizeQueries extends QueryModule {
       |  SELECT event_type, quantile_cont(numvalue, 0.5) AS med
       |  FROM epair GROUP BY 1),
       |eacts AS (
-      |  SELECT md5(to_json(struct_pack(user_id := user_id))) AS sid,
-      |    md5(to_json(struct_pack(event_type := event_type))) AS pid,
+      |  SELECT md5('{"user_id": ' || CAST(user_id AS VARCHAR) || '}') AS sid,
+      |    md5('{"event_type": "' || event_type || '"}') AS pid,
       |    CASE WHEN numvalue >= med THEN 'positive' ELSE 'negative' END AS value,
       |    numvalue, 'events' AS source
       |  FROM epair JOIN emed USING (event_type)),
@@ -105,9 +109,9 @@ object HarmonizeQueries extends QueryModule {
       |  SELECT o_orderpriority, quantile_cont(numvalue, 0.5) AS med
       |  FROM opair GROUP BY 1),
       |oacts AS (
-      |  SELECT md5(to_json(struct_pack(c_custkey := c_custkey,
-      |      c_name := c_name))) AS sid,
-      |    md5(to_json(struct_pack(o_orderpriority := o_orderpriority))) AS pid,
+      |  SELECT md5('{"c_custkey": ' || CAST(c_custkey AS VARCHAR) ||
+      |      ', "c_name": "' || c_name || '"}') AS sid,
+      |    md5('{"o_orderpriority": "' || o_orderpriority || '"}') AS pid,
       |    CASE WHEN numvalue >= med THEN 'positive' ELSE 'negative' END AS value,
       |    numvalue, 'orders' AS source
       |  FROM opair
@@ -123,22 +127,23 @@ object HarmonizeQueries extends QueryModule {
     "h1_substances_brick" ->
       """SELECT md5(data) AS sid, source, data FROM (
         |  SELECT 'events' AS source,
-        |    to_json(struct_pack(user_id := user_id)) AS data
+        |    '{"user_id": ' || CAST(user_id AS VARCHAR) || '}' AS data
         |  FROM (SELECT DISTINCT user_id FROM events)
         |  UNION ALL
         |  SELECT 'orders',
-        |    to_json(struct_pack(c_custkey := c_custkey, c_name := c_name))
+        |    '{"c_custkey": ' || CAST(c_custkey AS VARCHAR) ||
+        |      ', "c_name": "' || c_name || '"}'
         |  FROM customer)
         |ORDER BY sid, source""".stripMargin,
 
     "h2_properties_brick" ->
       """SELECT md5(data) AS pid, source, data FROM (
         |  SELECT 'events' AS source,
-        |    to_json(struct_pack(event_type := event_type)) AS data
+        |    '{"event_type": "' || event_type || '"}' AS data
         |  FROM (SELECT DISTINCT event_type FROM events)
         |  UNION ALL
         |  SELECT 'orders',
-        |    to_json(struct_pack(o_orderpriority := o_orderpriority)) AS data
+        |    '{"o_orderpriority": "' || o_orderpriority || '"}' AS data
         |  FROM (SELECT DISTINCT o_orderpriority FROM orders))
         |ORDER BY pid, source""".stripMargin,
 

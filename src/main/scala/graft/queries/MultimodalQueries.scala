@@ -41,7 +41,7 @@ object MultimodalQueries extends QueryModule {
   val oracle: Map[String, String] = Map(
     "mm1_binary_stats" ->
       """SELECT source, count(*) AS n_docs,
-        |  sum(octet_length(encode(text))) AS sum_bytes,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
         |  count(DISTINCT md5(text)) AS n_fingerprints
         |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
 
@@ -52,9 +52,9 @@ object MultimodalQueries extends QueryModule {
         |            WHEN doc_id % 3 = 1 THEN 'audio'
         |            ELSE 'video' END AS kind,
         |  count(*) AS n,
-        |  sum(octet_length(encode(text))) AS sum_bytes,
-        |  sum(64 + octet_length(encode(text)) % 512) AS sum_width,
-        |  sum(64 + (octet_length(encode(text)) * 7) % 512) AS sum_height,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+        |  CAST(sum(64 + octet_length(encode(text)) % 512) AS BIGINT) AS sum_width,
+        |  CAST(sum(64 + (octet_length(encode(text)) * 7) % 512) AS BIGINT) AS sum_height,
         |  count(DISTINCT md5(text)) AS n_fp
         |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin
   )

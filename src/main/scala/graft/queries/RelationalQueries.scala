@@ -398,8 +398,8 @@ object RelationalQueries extends QueryModule {
 
     "a3_conditional_sum" ->
       """SELECT l_returnflag,
-        |  SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_disc,
-        |  SUM(CASE WHEN l_tax = 0.0 THEN 1 ELSE 0 END) AS n_notax
+        |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
+        |  CAST(SUM(CASE WHEN l_tax = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_notax
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "a4_count_distinct" ->

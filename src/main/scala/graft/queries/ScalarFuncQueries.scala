@@ -195,7 +195,7 @@ object ScalarFuncQueries extends QueryModule {
 
     "f4_casts" ->
       """SELECT o_orderstatus,
-        |  sum(CAST(floor(o_totalprice) AS BIGINT)) AS sum_price_int,
+        |  CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_price_int,
         |  max(length(CAST(o_orderkey AS VARCHAR))) AS max_keylen
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
@@ -208,7 +208,7 @@ object ScalarFuncQueries extends QueryModule {
 
     "f6_json_extract" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
         |  count(CASE WHEN json_extract_string(props, '$.k') IS NULL
         |    THEN 1 END) AS n_null
@@ -225,10 +225,10 @@ object ScalarFuncQueries extends QueryModule {
 
     "f14_array_algebra" ->
       """SELECT lang,
-        |  sum(len(list_intersect(ts, ['the','a','and','of','to'])))
+        |  CAST(sum(len(list_intersect(ts, ['the','a','and','of','to']))) AS BIGINT)
         |    AS sum_stop,
-        |  sum(len(list_filter(ts,
-        |    x -> NOT list_contains(['the','a','and','of','to'], x))))
+        |  CAST(sum(len(list_filter(ts,
+        |    x -> NOT list_contains(['the','a','and','of','to'], x)))) AS BIGINT)
         |    AS sum_content,
         |  min(list_sort(ts)[1]) AS min_first
         |FROM (
@@ -252,7 +252,7 @@ object ScalarFuncQueries extends QueryModule {
 
     "f12_from_json" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
         |  count(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
         |    THEN 1 END) AS n_parsed
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,

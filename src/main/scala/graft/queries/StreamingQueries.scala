@@ -44,7 +44,7 @@ object StreamingQueries extends QueryModule {
       import s.implicits._
       val gapUs = 30L * 60 * 1000000
       Tables.events(s, d)
-        .select(col("user_id"), (col("ts_ns") / 1000).cast("long").as("us"))
+        .select(col("user_id"), expr("ts_ns div 1000").as("us"))
         .as[(Long, Long)]
         .groupByKey(_._1)
         .flatMapGroups { (user: Long, it: Iterator[(Long, Long)]) =>
@@ -82,7 +82,7 @@ object StreamingQueries extends QueryModule {
         |      lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
         |    THEN 1 ELSE 0 END AS new_s
         |  FROM m)
-        |SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+        |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM marked GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     "st4_typed_sessions" ->
@@ -95,7 +95,7 @@ object StreamingQueries extends QueryModule {
         |      lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
         |    THEN 1 ELSE 0 END AS new_s
         |  FROM m)
-        |SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+        |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM marked GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     "st3_hopping_window" ->

@@ -132,8 +132,8 @@ object TextQueries extends QueryModule {
   val oracle: Map[String, String] = Map(
     "x1_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
-        |  sum(len(string_split(text, ' '))) AS sum_tokens,
-        |  sum(n_chars) AS sum_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  max(len(string_split(text, ' '))) AS max_tokens
         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
 
@@ -150,7 +150,7 @@ object TextQueries extends QueryModule {
         |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
         |       WHEN s_de >= s_fr THEN 'de'
         |       ELSE 'fr' END AS predicted,
-        |  count(*) AS n, sum(s_en) AS sum_s_en
+        |  count(*) AS n, CAST(sum(s_en) AS BIGINT) AS sum_s_en
         |FROM scored GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
 
     "x3_quality_score" ->

@@ -124,7 +124,7 @@ object WindowQueries extends QueryModule {
         .orderBy(col("us"))
         .rangeBetween(-3600000000L, 0)
       Tables.events(s, d)
-        .withColumn("us", (col("ts_ns") / 1000).cast("long"))
+        .withColumn("us", expr("ts_ns div 1000"))
         .withColumn("n_last_hour", count(lit(1)).over(w))
         .groupBy(col("user_id"))
         .agg(max(col("n_last_hour")).as("max_burst"),

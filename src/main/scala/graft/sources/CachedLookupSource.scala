@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   * Scale notes: the rate limit is per partition (the reference's global
   * 300 ms driver-side sleep would serialize a cluster); coalesce the
   * miss frame to bound aggregate request rate (`maxConcurrency`).
+  *
+  * Concurrency contract: check-then-append is not atomic — single writer
+  * assumed (same as the reference's disk memo). The read path dedups on
+  * key and returns only the requested keys, so a retry-duplicated cache
+  * never yields duplicate join rows downstream.
   */
 class CachedLookupSource(fetch: String => Option[String],
     cacheDir: String, minIntervalMs: Long, maxConcurrency: Int = 4)
@@ -34,22 +39,25 @@ class CachedLookupSource(fetch: String => Option[String],
         Seq.empty[(String, String)].toDF("key", "value")
       }
     val misses = wanted.join(cached.select("key"), Seq("key"), "left_anti")
-    if (misses.isEmpty) cached
-    else {
-      val interval = minIntervalMs
-      val f = fetchFn
-      misses.coalesce(maxConcurrency).as[String].mapPartitions { it =>
-        var last = 0L
-        it.map { k =>
-          val wait = last + interval - System.currentTimeMillis()
-          if (wait > 0) Thread.sleep(wait)
-          last = System.currentTimeMillis()
-          k -> f(k).orNull
-        }
-      }.toDF("key", "value")
-        .filter(col("value").isNotNull)
-        .write.mode("append").parquet(cacheDir)
-      spark.read.parquet(cacheDir)
-    }
+    val all =
+      if (misses.isEmpty) cached
+      else {
+        val interval = minIntervalMs
+        val f = fetchFn
+        misses.coalesce(maxConcurrency).as[String].mapPartitions { it =>
+          var last = 0L
+          it.map { k =>
+            val wait = last + interval - System.currentTimeMillis()
+            if (wait > 0) Thread.sleep(wait)
+            last = System.currentTimeMillis()
+            k -> f(k).orNull
+          }
+        }.toDF("key", "value")
+          .filter(col("value").isNotNull)
+          .write.mode("append").parquet(cacheDir)
+        spark.read.parquet(cacheDir)
+      }
+    all.dropDuplicates("key")
+      .join(wanted, Seq("key"), "left_semi")
   }
 }

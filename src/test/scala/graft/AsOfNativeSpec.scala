@@ -35,6 +35,26 @@ class AsOfNativeSpec extends SparkSpec {
     assert(composed.exceptAll(native).count() == 0)
   }
 
+  test("rows survive a Sort/Exchange directly above (UnsafeRow contract)") {
+    // SortExec and ShuffleExchangeExec cast input rows to UnsafeRow; the
+    // exec must project its JoinedRow output (ADVICE r1). No intervening
+    // Project here — orderBy consumes the join output directly.
+    val left = Seq((1L, 10L, "e1"), (1L, 25L, "e2"), (2L, 50L, "e3"))
+      .toDF("k", "ts", "ev")
+    val right = Seq((1L, 10L, "r10"), (1L, 20L, "r20"))
+      .toDF("k", "ts", "payload")
+    val sorted = AsOf.asOfJoinNative(left, right, "k", "ts")
+      .orderBy(desc("ts"))
+    val rows = sorted.collect()
+    assert(rows.map(_.getString(2)).toSeq == Seq("e3", "e2", "e1"))
+    assert(Option(rows(0).getString(3)).isEmpty)  // e3: no match -> null
+    assert(rows(1).getString(3) == "r20")
+    // and through a repartition (ShuffleExchangeExec above the join)
+    val n = AsOf.asOfJoinNative(left, right, "k", "ts")
+      .repartition(4, col("ev")).count()
+    assert(n == 3)
+  }
+
   test("plans as a co-partitioned sorted merge (AsOfJoinNative node)") {
     val ev = Tables.events(spark, sf())
       .select(col("user_id"), col("ts"), col("event_id"))

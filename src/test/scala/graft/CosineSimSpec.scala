@@ -51,6 +51,34 @@ class CosineSimSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("length mismatch and null elements yield null, not garbage") {
+    // ADVICE r1: silent truncation / undefined reads replaced with null.
+    val mism = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)))
+      .toDF("a", "b")
+      .select(expr("cosine_sim(a, b)").as("c")).collect()(0)
+    assert(mism.isNullAt(0))
+    val withNullElem = Seq((Seq(Some(1.0f), None), Seq(Some(1.0f), Some(2.0f))))
+      .toDF("a", "b")
+      .select(expr("cosine_sim(a, b)").as("c")).collect()(0)
+    assert(withNullElem.isNullAt(0))
+    // interpreted path agrees
+    import graft.functions.CosineSim
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    val lit2 = Literal(ArrayData.toArrayData(Array(1.0, 2.0)),
+      ArrayType(DoubleType, containsNull = false))
+    val lit3 = Literal(ArrayData.toArrayData(Array(1.0, 2.0, 3.0)),
+      ArrayType(DoubleType, containsNull = false))
+    assert(CosineSim(lit2, lit3).eval(null) == null)
+  }
+
+  test("zero vectors yield NaN (0/0), documented") {
+    val r = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(expr("cosine_sim(a, b)").as("c")).collect()(0)
+    assert(!r.isNullAt(0) && r.getDouble(0).isNaN)
+  }
+
   test("non-array input is rejected at analysis") {
     val df = Seq((1, 2)).toDF("a", "b")
     intercept[Exception] { df.select(expr("cosine_sim(a, b)")).collect() }

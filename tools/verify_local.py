@@ -7,8 +7,13 @@ Usage: python3 tools/verify_local.py [sfDir] [outDir]
 2. Registers each <sfDir>/<table>.parquet as a DuckDB view.
 3. Runs every SQL in <outDir>/oracle_sql.json, compares against the
    Spark parquet dump per query: column names (sorted), row counts, and
-   exact values (sorted rows, column-sorted) — stricter than any
-   plausible driver hash, so passing here should pass the driver.
+   STRINGIFIED values (sorted rows, column-sorted). Stringified — not
+   numerically coerced — because the driver hashes rendered values, so a
+   DuckDB HUGEINT fetched as float64 ("3.0") must NOT silently equal a
+   Spark int64 ("3"). Round-1 lesson: every DuckDB SUM(integer) returns
+   HUGEINT -> pandas float64; always CAST(sum(...) AS BIGINT) in oracle
+   SQL. Bit-identical doubles stringify identically (shortest
+   round-trip repr), so this is safe for genuinely-float columns too.
 
 Driver-side tooling only (duckdb/pandas/pyarrow are not available to the
 Scala engine itself).
@@ -40,23 +45,18 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str:
         return f"ROWS mismatch: spark={len(a)} duck={len(b)}"
     for c in a.columns:
         av, bv = a[c], b[c]
-        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
-            av = pd.to_numeric(av, errors="coerce")
-            bv = pd.to_numeric(bv, errors="coerce")
-            neq = ~((av == bv) | (av.isna() & bv.isna()))
-            if neq.any():
-                i = neq.idxmax()
-                return (f"VALUE mismatch col={c} row={i}: "
-                        f"spark={av[i]!r} duck={bv[i]!r} "
-                        f"(n_mismatch={int(neq.sum())}, "
-                        f"maxabs={float((av-bv).abs().max())})")
-        else:
-            if not av.astype(str).equals(bv.astype(str)):
-                neq = av.astype(str) != bv.astype(str)
-                i = neq.idxmax()
-                return (f"VALUE mismatch col={c} row={i}: "
-                        f"spark={av[i]!r} duck={bv[i]!r} "
-                        f"(n_mismatch={int(neq.sum())})")
+        fa = pd.api.types.is_float_dtype(av)
+        fb = pd.api.types.is_float_dtype(bv)
+        if fa != fb:
+            return (f"DTYPE mismatch col={c}: spark={av.dtype} "
+                    f"duck={bv.dtype} — driver's string-hash WILL differ "
+                    f"(e.g. '3' vs '3.0'); CAST the oracle side")
+        if not av.astype(str).equals(bv.astype(str)):
+            neq = av.astype(str) != bv.astype(str)
+            i = neq.idxmax()
+            return (f"VALUE mismatch col={c} row={i}: "
+                    f"spark={av[i]!r} duck={bv[i]!r} "
+                    f"(n_mismatch={int(neq.sum())})")
     return "OK"
 
 
