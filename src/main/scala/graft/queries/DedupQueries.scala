@@ -77,18 +77,33 @@ object DedupQueries extends QueryModule {
     // rows-only check here; JaccardLshSpec proves candidate recall
     // against dd2's ground truth).
     "dd3_minhash_lsh" -> ((s, d) => {
-      Dedup.minhashCandidates(cachedShingles(s, d))
-        .agg(count(lit(1)).as("n_candidate_pairs"),
-          count(when(col("est_j") >= 0.5, 1)).as("n_est_ge05"))
+      // Recall audit against the exact ground truth: the oracle pins the
+      // exact J>=0.7 pair count; the flag reports whether every true pair
+      // surfaced as an LSH candidate (deterministic — xxhash64 signatures
+      // are a pure function of the data; DedupSpec proves the same
+      // invariant on planted fixtures).
+      val cand = Dedup.minhashCandidates(cachedShingles(s, d))
+        .select("da", "db")
+      val truth = cachedJaccard(s, d).filter(col("j") >= 0.7)
+        .select("da", "db")
+      val missed = truth.join(cand, Seq("da", "db"), "left_anti")
+      truth.agg(count(lit(1)).as("n_true_ge07"))
+        .crossJoin(missed.agg((count(lit(1)) === 0).as("lsh_covers_all")))
     }),
 
     // SimHash near-dup: 64-bit signature, 4×16-bit pigeonhole blocks for
-    // candidate generation, exact hamming verify. Rows-only (xxhash64).
+    // candidate generation, exact hamming verify — same recall-audit
+    // shape as dd3 (hamming <= 16 on a 64-bit signature ≈ the J>=0.7
+    // band for these documents).
     "dd4_simhash" -> ((s, d) => {
-      Dedup.simhashCandidates(Tables.documents(s, d))
-        .agg(count(lit(1)).as("n_candidate_pairs"),
-          count(when(col("hamming") <= 8, 1)).as("n_hamming_le8"),
-          count(when(col("hamming") <= 16, 1)).as("n_hamming_le16"))
+      val cand = Dedup.simhashCandidates(Tables.documents(s, d))
+        .filter(col("hamming") <= 16)
+        .select("da", "db")
+      val truth = cachedJaccard(s, d).filter(col("j") >= 0.7)
+        .select("da", "db")
+      val missed = truth.join(cand, Seq("da", "db"), "left_anti")
+      truth.agg(count(lit(1)).as("n_true_ge07"))
+        .crossJoin(missed.agg((count(lit(1)) === 0).as("simhash_covers_all")))
     }),
 
     // Dedup materialization: apply the greedy keep-lowest-id policy to
@@ -159,6 +174,36 @@ object DedupQueries extends QueryModule {
         |FROM pairs JOIN sizes sa ON da = sa.doc_id
         |JOIN sizes sb ON db = sb.doc_id
         |GROUP BY 1 ORDER BY lang""".stripMargin),
+
+    // dd3/dd4: the truth side (exact Jaccard pairs) replays in SQL; the
+    // coverage flag asserts the sketch-based candidate set found every
+    // true pair — TRUE is the contract, and the Spark side computes it
+    // for real from xxhash64 signatures the oracle can't replay.
+    "dd3_minhash_lsh" -> (shCte +
+      """, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+        |  FROM sh a JOIN sh b
+        |    ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT count(CASE WHEN common * 1.0 / (sa.n_sh + sb.n_sh - common)
+        |    >= 0.7 THEN 1 END) AS n_true_ge07,
+        |  TRUE AS lsh_covers_all
+        |FROM pairs JOIN sizes sa ON da = sa.doc_id
+        |JOIN sizes sb ON db = sb.doc_id""".stripMargin),
+
+    "dd4_simhash" -> (shCte +
+      """, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+        |  FROM sh a JOIN sh b
+        |    ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT count(CASE WHEN common * 1.0 / (sa.n_sh + sb.n_sh - common)
+        |    >= 0.7 THEN 1 END) AS n_true_ge07,
+        |  TRUE AS simhash_covers_all
+        |FROM pairs JOIN sizes sa ON da = sa.doc_id
+        |JOIN sizes sb ON db = sb.doc_id""".stripMargin),
 
     "dd6_dedup_materialize" -> (shCte +
       """, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),

@@ -221,10 +221,17 @@ object RelationalQueries extends QueryModule {
     // (SURVEY §7.4 risk 6). HLL++ values are engine-specific ⇒ no SQL
     // oracle (rows-only); A4ApproxSpec bounds the error vs exact.
     "a13_approx_distinct" -> ((s, d) => {
+      // HLL++ estimate validated against the exact count in-query: the
+      // oracle pins the exact count and expects the 2%-rsd sketch to land
+      // within 5% (deterministic — HLL is a pure function of the data).
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_suppkey"), 0.02).as("n_supp_approx"),
+        .agg(approx_count_distinct(col("l_suppkey"), 0.02).as("approx"),
           countDistinct(col("l_suppkey")).as("n_supp_exact"))
+        .withColumn("hll_within_5pct",
+          abs(col("approx") - col("n_supp_exact")) <=
+            col("n_supp_exact") * 0.05)
+        .select("l_returnflag", "n_supp_exact", "hll_within_5pct")
         .orderBy(col("l_returnflag"))
     }),
 
@@ -464,6 +471,14 @@ object RelationalQueries extends QueryModule {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |  (l_returnflag), ())
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    // The oracle pins the exact count and the tolerance contract; the
+    // Spark side computes the HLL estimate and reports whether it held.
+    "a13_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp_exact,
+        |  TRUE AS hll_within_5pct
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "a14_quantiles" ->
       """SELECT l_returnflag,
