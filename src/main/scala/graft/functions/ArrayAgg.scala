@@ -3,20 +3,46 @@ package graft.functions
 import org.apache.spark.sql.{Column, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.functions._
 
-/** Element-wise array aggregators (typed `Aggregator` UDAFs).
+/** Element-wise array aggregation for signature builds (MinHash, SimHash).
   *
-  * Why: signature builds (MinHash, SimHash) are logically "combine one
-  * small array per row, element-wise, per group". The naive plan —
-  * posexplode to (group, i, v) rows + groupBy(group, i) — multiplies the
-  * row count by the array length (×32/×64) before the exchange and
-  * shuffles wide. These aggregators keep the array whole: map-side
-  * partial combine produces ONE array per group per partition, so the
-  * shuffle carries |groups| rows regardless of array length. At 100 TB
-  * that's the difference between shuffling signatures and shuffling the
-  * corpus.
+  * Why this shape: the naive plan — posexplode to (group, i, v) rows +
+  * groupBy(group, i) — multiplies the row count by the array length
+  * (×32/×64) before the exchange and shuffles wide. Aggregating the
+  * array element-wise keeps the shuffle at |groups| rows × n longs
+  * regardless of input size. At 100 TB that's the difference between
+  * shuffling signatures and shuffling the corpus.
+  *
+  * Why n builtin aggs and not a typed Aggregator UDAF: a
+  * `udaf(Aggregator[Array[Long], ...])` plans as ObjectHashAggregate
+  * with a boxed buffer and a per-row catalyst<->JVM array round trip.
+  * `array(min(c[0]), ..., min(c[n-1]))` plans as a codegen'd
+  * HashAggregate over n primitive long slots — same shuffle bytes,
+  * no per-row allocation (measured ~2x faster on the dd3/dd4 builds).
   */
+object ArrayAgg {
+  /** Element-wise min over Array[Long] columns of length n. */
+  def arrayMin(n: Int)(c: Column): Column =
+    array((0 until n).map(i => min(element_at(c, i + 1))): _*)
+
+  /** Element-wise sum over Array[Long] columns of length n. */
+  def arraySum(n: Int)(c: Column): Column =
+    array((0 until n).map(i => sum(element_at(c, i + 1))): _*)
+
+  /** Typed-Aggregator variants — the engine's UDAF surface (the
+    * reference has none, SURVEY §2.10; this is the canonical custom-
+    * aggregation extension point for semantics the builtin composition
+    * can't express, e.g. non-decomposable state). ArrayAggSpec proves
+    * both paths agree; the builtin forms above stay on the hot path.
+    */
+  def arrayMinUdaf(n: Int)(c: Column): Column =
+    udaf(new ArrayMin(n), ExpressionEncoder[Array[Long]]()).apply(c)
+
+  def arraySumUdaf(n: Int)(c: Column): Column =
+    udaf(new ArraySum(n), ExpressionEncoder[Array[Long]]()).apply(c)
+}
+
 private[functions] abstract class ArrayLongReduce(n: Int)
     extends Aggregator[Array[Long], Array[Long], Array[Long]] {
   protected def combine(a: Long, b: Long): Long
@@ -45,14 +71,4 @@ private[functions] class ArrayMin(n: Int) extends ArrayLongReduce(n) {
 private[functions] class ArraySum(n: Int) extends ArrayLongReduce(n) {
   protected def combine(a: Long, b: Long): Long = a + b
   protected def unit: Long = 0L
-}
-
-object ArrayAgg {
-  /** Element-wise min over Array[Long] columns of length n. */
-  def arrayMin(n: Int)(c: Column): Column =
-    udaf(new ArrayMin(n), ExpressionEncoder[Array[Long]]()).apply(c)
-
-  /** Element-wise sum over Array[Long] columns of length n. */
-  def arraySum(n: Int)(c: Column): Column =
-    udaf(new ArraySum(n), ExpressionEncoder[Array[Long]]()).apply(c)
 }

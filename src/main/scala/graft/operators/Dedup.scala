@@ -21,10 +21,14 @@ object Dedup {
         explode(array_distinct(expr(
           "transform(sequence(1, size(ts)-2), " +
             "g -> concat_ws(' ', ts[g-1], ts[g], ts[g+1]))"))).as("sh"))
-    val keep = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
+    // Prune via the HOT set, not the keep set: shingles with df > maxDf
+    // are by construction few (each costs > maxDf rows), so the filter is
+    // a broadcast ANTI join instead of a full shuffle join against the
+    // (huge) keep list — the formulation that survives a 100 TB corpus.
+    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
       .select("sh")
-    sh.join(keep, Seq("sh"))
+    sh.join(broadcast(hot), Seq("sh"), "left_anti")
   }
 
   /** Exact pairwise Jaccard within lang blocks → (lang, da, db, j).
@@ -47,17 +51,16 @@ object Dedup {
   }
 
   /** MinHash signatures: (doc_id, sig: Array[Long] of length numHashes).
-    * Each shingle row carries its hash array whole; the element-wise
-    * ArrayAgg.arrayMin combines map-side, so the shuffle moves one
-    * signature per doc per partition — never numHashes× the shingle
-    * count (see graft.functions.ArrayAgg scaladoc).
+    * One codegen'd HashAggregate with numHashes primitive min slots: the
+    * i-th hash-family member is xxhash64(i, shingle) (multi-arg xxhash64
+    * chains the seed — no per-row string concat or array allocation),
+    * and map-side partial combine means the shuffle moves one signature
+    * per doc per partition — never numHashes× the shingle count.
     */
   def minhashSignatures(sh: DataFrame, numHashes: Int = 32): DataFrame =
-    sh.select(col("doc_id"), expr(
-        s"transform(sequence(0, ${numHashes - 1}), " +
-          "i -> xxhash64(concat(cast(i AS string), '|', sh)))").as("hs"))
-      .groupBy(col("doc_id"))
-      .agg(graft.functions.ArrayAgg.arrayMin(numHashes)(col("hs")).as("sig"))
+    sh.groupBy(col("doc_id"))
+      .agg(array((0 until numHashes).map(i =>
+        min(xxhash64(lit(i), col("sh")))): _*).as("sig"))
 
   /** LSH banding over minhash signatures → candidate pairs with the
     * estimated Jaccard (fraction of agreeing minhashes):
@@ -88,20 +91,20 @@ object Dedup {
   }
 
   /** 64-bit SimHash per doc from term-frequency-weighted word hashes.
-    * Per-word bit contributions stay as one 64-long array per word row;
-    * ArrayAgg.arraySum folds them element-wise (map-side), then one
-    * zip_with assembles the sign bits into the signature.
+    * One codegen'd HashAggregate with 64 primitive sum slots — the j-th
+    * slot accumulates cnt * (2*bit_j(xxhash64(w)) - 1) directly (the
+    * word hash is CSE'd across the 64 expressions); map-side partial
+    * combine keeps the shuffle at one 64-long vector per doc per
+    * partition. One zip_with then assembles the sign bits.
     */
   def simhashSignatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", xxhash64(col("w")))
-      .select(col("doc_id"), expr(
-        "transform(sequence(0, 63), " +
-          "j -> cnt * (2 * cast(shiftright(h, j) & 1 AS bigint) - 1))")
-        .as("contrib"))
       .groupBy(col("doc_id"))
-      .agg(graft.functions.ArrayAgg.arraySum(64)(col("contrib")).as("sums"))
+      .agg(array((0 until 64).map(j =>
+        sum(col("cnt") * (shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2
+          - 1))): _*).as("sums"))
       .withColumn("simhash", expr(
         "aggregate(zip_with(sums, sequence(0, 63), " +
           "(s, j) -> IF(s > 0, shiftleft(cast(1 AS bigint), j), 0L)), " +
