@@ -235,6 +235,22 @@ object RelationalQueries extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
+    // The other half of the SURVEY §7.4-risk-6 exactness config: the
+    // percentile_approx scale path (GK sketch, mergeable, bounded
+    // memory — what replaces exact percentile at 100 TB), validated
+    // in-query against the exact median the oracle pins.
+    "a16_approx_quantile" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(graft.operators.Ops.medianExpr("l_extendedprice",
+            graft.operators.Ops.Approx).as("approx"),
+          expr("percentile(l_extendedprice, 0.5)").as("med_exact"))
+        .withColumn("approx_within_1pct",
+          abs(col("approx") / col("med_exact") - 1) <= 0.01)
+        .select("l_returnflag", "med_exact", "approx_within_1pct")
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Multi-quantile profiling — exact quartiles per group (the
     // distribution census a pipeline runs before choosing thresholds).
     "a14_quantiles" -> ((s, d) => {
@@ -478,6 +494,12 @@ object RelationalQueries extends QueryModule {
       """SELECT l_returnflag,
         |  count(DISTINCT l_suppkey) AS n_supp_exact,
         |  TRUE AS hll_within_5pct
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "a16_approx_quantile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS med_exact,
+        |  TRUE AS approx_within_1pct
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "a14_quantiles" ->

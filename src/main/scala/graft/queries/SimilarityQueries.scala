@@ -134,6 +134,49 @@ object SimilarityQueries extends QueryModule {
         .agg(count(lit(1)).as("n"),
           count(when(col("clabel") === col("label"), 1)).as("n_correct"))
         .orderBy(col("label"))
+    }),
+
+    // Full IVF probe path: assign every vector to its nearest centroid
+    // (the inverted lists), then each query searches ONLY its own list —
+    // the sub-linear ANN shape. At 100 TB: centroids broadcast, lists
+    // hash-partition on list_id, the probe is an equi-join — search cost
+    // is |list| not |corpus|. Exact top-3 within the probed list,
+    // oracle-replayed end to end.
+    "ann5_ivf_topk" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val cent = e
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("col").cast(org.apache.spark.sql.types
+          .DecimalType(27, 12))).cast("double") / count(lit(1))).as("c"))
+        .groupBy(col("label"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, c))), " +
+          "x -> x.c)").as("cv"))
+        .select(col("label").as("clabel"), col("cv"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("clabel"))
+      val assigned = e.crossJoin(broadcast(cent))
+        .withColumn("ccos", expr("cosine_sim(embedding, cv)"))
+        .withColumn("rk", row_number().over(wAssign))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("embedding"),
+          col("clabel").as("list_id"))
+      val q = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("list_id"))
+      val c = assigned.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv"), col("list_id"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      q.join(c, Seq("list_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", expr("cosine_sim(qv, nv)"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("list_id"), col("rank"),
+          col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -188,6 +231,41 @@ object SimilarityQueries extends QueryModule {
         |  FROM embeddings v CROSS JOIN cvec c)
         |SELECT label, count(*) AS n,
         |  count(CASE WHEN clabel = label THEN 1 END) AS n_correct
-        |FROM assigned WHERE rk = 1 GROUP BY 1 ORDER BY label""".stripMargin
+        |FROM assigned WHERE rk = 1 GROUP BY 1 ORDER BY label""".stripMargin,
+
+    "ann5_ivf_topk" ->
+      """WITH expl AS (
+        |  SELECT label, unnest(embedding) AS e,
+        |    unnest(range(0, len(embedding))) AS pos
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, pos,
+        |    CAST(sum(CAST(e AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c
+        |  FROM expl GROUP BY 1, 2),
+        |cvec AS (
+        |  SELECT label AS clabel, list(c ORDER BY pos) AS cv
+        |  FROM cent GROUP BY 1),
+        |assigned AS (
+        |  SELECT vec_id, embedding, clabel AS list_id FROM (
+        |    SELECT v.vec_id, v.embedding, c.clabel,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_dot_product(v.embedding::DOUBLE[], c.cv) /
+        |          (sqrt(list_dot_product(v.embedding::DOUBLE[],
+        |             v.embedding::DOUBLE[])) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.clabel) AS rk
+        |    FROM embeddings v CROSS JOIN cvec c)
+        |  WHERE rk = 1)
+        |SELECT query_id, list_id, rank, neighbor_id FROM (
+        |  SELECT a.vec_id AS query_id, a.list_id, b.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |      list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |        (sqrt(list_dot_product(a.embedding::DOUBLE[],
+        |           a.embedding::DOUBLE[])) *
+        |         sqrt(list_dot_product(b.embedding::DOUBLE[],
+        |           b.embedding::DOUBLE[]))) DESC, b.vec_id) AS rank
+        |  FROM assigned a JOIN assigned b
+        |    ON a.list_id = b.list_id AND a.vec_id < 10
+        |      AND a.vec_id <> b.vec_id)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -126,6 +126,40 @@ object TextQueries extends QueryModule {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(20)
+    }),
+
+    // Winnowing fingerprints (rolling-hash document fingerprinting, the
+    // MOSS scheme over word 3-grams): hash every gram, keep the min hash
+    // of each 4-gram window, dedupe per doc. Shape matters: posexplode
+    // the gram hashes (each md5 computed exactly ONCE) and take the
+    // window min with a ROWS frame — the naive array formulation
+    // transform(j -> array_min(slice(hs, j, w))) inlines the whole hs
+    // transform per window after project-collapse, going O(n²) in md5
+    // calls. At 100 TB the fingerprint build is one scan + one per-doc
+    // window; near-dup lookup is then an equi-join on fp.
+    "x7_winnowing" -> ((s, d) => {
+      val w = 4
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("i"))
+        .rowsBetween(0, w - 1)
+      Tables.documents(s, d)
+        .withColumn("ts", split(lower(col("text")), " "))
+        .filter(size(col("ts")) >= 3 + w - 1)
+        // gram count is known pre-explode — carry it instead of a second
+        // whole-partition window
+        .withColumn("n", size(col("ts")) - 2)
+        .select(col("lang"), col("doc_id"), col("n"), posexplode(expr(
+          "transform(sequence(1, size(ts) - 2), " +
+            "g -> md5(concat_ws(' ', ts[g-1], ts[g], ts[g+1])))")))
+        .withColumnRenamed("pos", "i").withColumnRenamed("col", "h")
+        .withColumn("m", min(col("h")).over(win))
+        .filter(col("i") <= col("n") - w)
+        .select(col("lang"), col("doc_id"), col("m")).distinct()
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_fp_total"),
+          countDistinct(col("m")).as("n_fp_unique"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -196,6 +230,25 @@ object TextQueries extends QueryModule {
         |  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
         |  FROM documents)
         |WHERE token <> '' GROUP BY 1
-        |ORDER BY n DESC, token LIMIT 20""".stripMargin
+        |ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "x7_winnowing" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS ts
+        |  FROM documents WHERE len(string_split(lower(text), ' ')) >= 6),
+        |grams AS (
+        |  SELECT doc_id, lang,
+        |    [md5(ts[g] || ' ' || ts[g+1] || ' ' || ts[g+2])
+        |      FOR g IN range(1, len(ts) - 1)] AS hs
+        |  FROM docs),
+        |wins AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct([list_aggregate(hs[j:j+3], 'min')
+        |      FOR j IN range(1, len(hs) - 2)]) AS fps
+        |  FROM grams)
+        |SELECT lang, count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_fp_total, count(DISTINCT fp) AS n_fp_unique
+        |FROM (SELECT doc_id, lang, unnest(fps) AS fp FROM wins)
+        |GROUP BY 1 ORDER BY lang""".stripMargin
   )
 }
