@@ -368,6 +368,49 @@ object RelationalQueries extends QueryModule {
           davg(col("l_extendedprice")).as("avg_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // TPC-H Q10-shaped returned-item report: who returned the most
+    // revenue — fact filter + two joins + top-20.
+    "q10_returned_items" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount"))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q12-shaped priority split: per return flag, how many lines
+    // belong to high- vs low-priority orders after a shipdate cutoff.
+    "q12_priority_split" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01")))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0)
+            .otherwise(1)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // TPC-H Q14-shaped promo share: ratio of two exact decimal sums —
+    // division happens once, on two bit-identical doubles.
+    "q14_promo_share" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100.0) *
+            dsumProduct(when(col("p_type").startsWith("PROMO"),
+              col("l_extendedprice")).otherwise(0.0),
+              lit(1) - col("l_discount")) /
+            dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount")))
+            .as("promo_revenue_pct"))
     })
   )
 
@@ -573,6 +616,38 @@ object RelationalQueries extends QueryModule {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
-        |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    CAST(1 - l_discount AS DECIMAL(18,4)) AS DECIMAL(28,4)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q12_priority_split" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q14_promo_share" ->
+      """SELECT 100.0 *
+        |  CAST(SUM(CAST(CAST(CASE WHEN p_type LIKE 'PROMO%'
+        |      THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,4)) *
+        |    CAST(1 - l_discount AS DECIMAL(18,4)) AS DECIMAL(28,4)))
+        |    AS DOUBLE) /
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    CAST(1 - l_discount AS DECIMAL(18,4)) AS DECIMAL(28,4)))
+        |    AS DOUBLE) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
   )
 }
