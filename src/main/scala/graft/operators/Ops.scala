@@ -33,6 +33,31 @@ object Ops {
     case Approx => approx_count_distinct(col(valueCol), 0.02)
   }
 
+  /** Exact grouped median via sort + window — bit-identical to
+    * `percentile(v, 0.5)` (same lower + (upper-lower)*0.5 interpolation)
+    * but with a different physical shape: shuffle+sort and one window
+    * pass instead of ObjectHashAggregate. The percentile aggregate
+    * buffers EVERY group value in an in-memory map entry, which is the
+    * formulation that dies on large groups at 100 TB; sort is spillable
+    * and group size never matters. Returns one row per group:
+    * (groupCols*, out). OpsSpec proves bit-equality on real data.
+    */
+  def groupedMedianBySort(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, out: String): DataFrame = {
+    val gcols = groupCols.map(col)
+    val w = Window.partitionBy(gcols: _*).orderBy(col(valueCol))
+    val cw = Window.partitionBy(gcols: _*)
+    df.select(gcols :+ col(valueCol): _*)
+      .filter(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cw))
+      // integer div: Column./ promotes to double
+      .filter(expr("__rn = (__n + 1) div 2 OR __rn = __n div 2 + 1"))
+      .groupBy(gcols: _*)
+      .agg((min(col(valueCol)) +
+        (max(col(valueCol)) - min(col(valueCol))) * 0.5).as(out))
+  }
+
   /** Binarize a numeric column against its per-group EXACT median
     * (ref: src/01_integrate_toxvaldb.R:24-25; SURVEY §4 decision 1:
     * `percentile`, not `percentile_approx`, for reproducible ids).

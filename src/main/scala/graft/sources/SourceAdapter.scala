@@ -49,11 +49,16 @@ object EventsAdapter extends SourceAdapter {
       .select("pid", "data")
 
     // per-(substance, property) exact median, then binarize against the
-    // per-property median split (A5 + W2 join-back).
+    // per-property median split (A5 + W2 join-back). Two formulations by
+    // group size: pair-level groups are small and bounded (one user's
+    // values) — percentile's per-group buffer is fine at any corpus
+    // size; the med-of-medians groups ALL pairs per property — the
+    // unbounded-group shape — so it uses the spillable sort-based
+    // median (bit-identical, Ops.groupedMedianBySort).
     val pair = ev.groupBy(col("user_id"), col("event_type"))
       .agg(expr("percentile(value, 0.5)").as("numvalue"))
-    val med = pair.groupBy(col("event_type"))
-      .agg(expr("percentile(numvalue, 0.5)").as("med"))
+    val med = graft.operators.Ops.groupedMedianBySort(pair,
+      Seq("event_type"), "numvalue", "med")
     val acts = pair.join(broadcast(med), Seq("event_type"))
       .withColumn("value",
         when(col("numvalue") >= col("med"), "positive").otherwise("negative"))
@@ -90,8 +95,9 @@ object DocumentsAdapter extends SourceAdapter {
       .withColumn("pid", pid)
       .select("pid", "data")
 
-    val med = docs.groupBy(col("lang"))
-      .agg(expr("percentile(n_chars, 0.5)").as("med"))
+    val med = graft.operators.Ops.groupedMedianBySort(
+      docs.withColumn("n_chars_d", col("n_chars").cast("double")),
+      Seq("lang"), "n_chars_d", "med")
     val acts = docs.join(broadcast(med), Seq("lang"))
       .withColumn("numvalue", col("n_chars").cast("double"))
       .withColumn("value",
@@ -130,10 +136,12 @@ object OrdersAdapter extends SourceAdapter {
       .withColumn("pid", pid)
       .select("pid", "data")
 
+    // same split as EventsAdapter: bounded pair groups -> percentile,
+    // unbounded per-priority groups -> sort-based median
     val pair = orders.groupBy(col("o_custkey"), col("o_orderpriority"))
       .agg(expr("percentile(o_totalprice, 0.5)").as("numvalue"))
-    val med = pair.groupBy(col("o_orderpriority"))
-      .agg(expr("percentile(numvalue, 0.5)").as("med"))
+    val med = graft.operators.Ops.groupedMedianBySort(pair,
+      Seq("o_orderpriority"), "numvalue", "med")
     val acts = pair.join(broadcast(med), Seq("o_orderpriority"))
       .withColumn("value",
         when(col("numvalue") >= col("med"), "positive").otherwise("negative"))

@@ -97,4 +97,24 @@ class OpsSpec extends SparkSpec {
         s"$k: exact=$n approx=${approx(k)}")
     }
   }
+
+  test("groupedMedianBySort is bit-identical to percentile on real data") {
+    // both even- and odd-sized groups; values are arbitrary doubles so
+    // interpolation bit-compat (lower + (upper-lower)*0.5) is exercised
+    val ev = Tables.events(spark, sf())
+    val viaSort = Ops.groupedMedianBySort(ev,
+        Seq("user_id", "event_type"), "value", "m")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    val viaPercentile = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("m"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(viaSort.size == viaPercentile.size)
+    viaPercentile.foreach { case (k, v) =>
+      // bit equality, not epsilon
+      assert(java.lang.Double.doubleToRawLongBits(viaSort(k)) ==
+        java.lang.Double.doubleToRawLongBits(v), s"$k: ${viaSort(k)} != $v")
+    }
+  }
 }
