@@ -39,4 +39,15 @@ object StreamingOps {
         col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("win.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Streaming exact dedup on a content key — the ingestion-side dedup of
+    * a training-data pipeline (batch exact-dedup is dd1). State is
+    * bounded: `dropDuplicatesWithinWatermark` evicts seen keys once the
+    * watermark passes them, so memory is horizon × arrival rate, not the
+    * full corpus history.
+    */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+      horizon: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

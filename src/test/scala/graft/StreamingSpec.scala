@@ -169,4 +169,64 @@ class StreamingSpec extends SparkSpec {
       assert(got == Seq(1L), s"expected only user 1 attributed, got $got")
     } finally query.stop()
   }
+
+  test("dropDuplicatesWithinWatermark dedups repeated keys across triggers") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val deduped = StreamingOps.dedupWithinWatermark(
+      mem.toDF().toDF("ts", "user_id", "content_key"), Seq("content_key"))
+    val query = deduped.writeStream.format("memory")
+      .queryName("stream_dedup").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts(0), 1L, "a"), (ts(1), 2L, "a"), (ts(2), 3L, "b"))
+      query.processAllAvailable()
+      // same keys again in a later trigger, still inside the watermark
+      mem.addData((ts(3), 4L, "a"), (ts(4), 5L, "b"), (ts(5), 6L, "c"))
+      query.processAllAvailable()
+      val got = spark.table("stream_dedup")
+        .select("content_key").collect().map(_.getString(0)).sorted.toSeq
+      assert(got == Seq("a", "b", "c"), s"got $got")
+    } finally query.stop()
+  }
+
+  test("foreachBatch sink writes exactly-once-per-batch parquet epochs") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-feb").toString
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val query = mem.toDF().toDF("ts", "user_id", "event_type")
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], epoch: Long) =>
+        batch.write.mode("overwrite").parquet(s"$dir/epoch=$epoch")
+        ()
+      }
+      .start()
+    try {
+      mem.addData((ts(0), 1L, "click"))
+      query.processAllAvailable()
+      mem.addData((ts(1), 2L, "view"), (ts(2), 3L, "click"))
+      query.processAllAvailable()
+      val all = spark.read
+        .option("basePath", dir)
+        .parquet(s"$dir/epoch=*")
+      assert(all.count() == 3)
+      assert(all.select("epoch").distinct().count() == 2)
+    } finally query.stop()
+  }
+
+  test("Trigger.AvailableNow drains a file source then stops on its own") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-avnow").toString
+    val batchDf = rows.toDF("ts", "user_id", "event_type")
+    batchDf.write.mode("overwrite").parquet(s"$dir/in")
+    val query = spark.readStream.schema(batchDf.schema).parquet(s"$dir/in")
+      .writeStream.format("memory").queryName("avail_now")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    query.awaitTermination(60000)
+    assert(!query.isActive, "AvailableNow query should self-terminate")
+    assert(spark.table("avail_now").count() == rows.size)
+  }
 }
