@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The library's session entry point: one place that wires the full
+  * graft extension surface (native functions, optimizer rules, planner
+  * strategies) and the engine's recommended runtime configuration.
+  *
+  * Deployment paths, equivalent:
+  *   - `GraftSession.local(cpus)` / `GraftSession.configure(builder)` —
+  *     programmatic;
+  *   - `--conf spark.sql.extensions=graft.functions.GraftExtensions` —
+  *     for clusters where the session is built by the platform
+  *     (spark-submit, Thrift server, notebooks).
+  *
+  * Configuration stance (SURVEY §4): rely on AQE (on by default in
+  * Spark 4) for runtime coalescing, broadcast conversion, and skew-join
+  * splitting rather than hand-tuned fixed values; pin only what
+  * correctness needs (UTC session timezone) and what local-mode sizing
+  * needs (shuffle partitions ≈ cores — at cluster scale leave the
+  * default and let AQE coalesce).
+  */
+object GraftSession {
+
+  /** Apply graft extensions + recommended confs to an arbitrary builder. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+
+  /** Local session sized for this machine — Verify/Bench/Explain use it. */
+  def local(cpus: String, appName: String = "graft"): SparkSession = {
+    val spark = configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    // extraStrategies/extraOptimizations are additive session state, kept
+    // here too for sessions created before the extensions conf existed
+    // (getOrCreate may return a pre-existing session the conf can't
+    // retrofit).
+    if (!spark.experimental.extraStrategies.contains(plans.AsOfStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ plans.AsOfStrategy
+    }
+    if (!spark.experimental.extraOptimizations
+        .contains(plans.PushDistinctThroughUnion)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.PushDistinctThroughUnion
+    }
+    functions.GraftFunctions.register(spark)
+    spark
+  }
+}

@@ -150,5 +150,6 @@ class GraftExtensions
       e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.cosineSimDescriptor)
     e.injectOptimizerRule(_ => graft.plans.PushDistinctThroughUnion)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
   }
 }
