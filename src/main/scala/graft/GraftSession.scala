@@ -35,20 +35,26 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
-    // extraStrategies/extraOptimizations are additive session state, kept
-    // here too for sessions created before the extensions conf existed
-    // (getOrCreate may return a pre-existing session the conf can't
-    // retrofit).
-    if (!spark.experimental.extraStrategies.contains(plans.AsOfStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ plans.AsOfStrategy
+    // When getOrCreate returned a PRE-EXISTING session, the extensions
+    // conf above could not retrofit it — fall back to the additive
+    // session state. When the session is fresh, GraftExtensions already
+    // injected everything; adding to experimental too would run the rule
+    // in two optimizer batches and consult the strategy twice per query.
+    val viaExtensions = spark.conf.getOption("spark.sql.extensions")
+      .exists(_.contains("GraftExtensions"))
+    if (!viaExtensions) {
+      if (!spark.experimental.extraStrategies.contains(plans.AsOfStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ plans.AsOfStrategy
+      }
+      if (!spark.experimental.extraOptimizations
+          .contains(plans.PushDistinctThroughUnion)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+
+            plans.PushDistinctThroughUnion
+      }
+      functions.GraftFunctions.register(spark)
     }
-    if (!spark.experimental.extraOptimizations
-        .contains(plans.PushDistinctThroughUnion)) {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ plans.PushDistinctThroughUnion
-    }
-    functions.GraftFunctions.register(spark)
     spark
   }
 }

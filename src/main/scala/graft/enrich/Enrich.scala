@@ -45,17 +45,14 @@ object Enrich {
           val n = mapper.readTree(propJson).get("event_type")
           if (n == null) null else n.asText
         } catch { case scala.util.control.NonFatal(_) => null }
-      def has(k: String, v: String) = k == "event_type" && v == eventType
-      val cats =
-        if (has("event_type", "click") || has("event_type", "view"))
-          Seq(("engagement", "ui interaction signal"))
-        else if (has("event_type", "purchase"))
+      val cats = eventType match {
+        case "click" | "view" => Seq(("engagement", "ui interaction signal"))
+        case "purchase" =>
           Seq(("commerce", "monetary event"), ("engagement", "active use"))
-        else if (has("event_type", "signup"))
-          Seq(("lifecycle", "account creation"))
-        else if (has("event_type", "error"))
-          Seq(("reliability", "failure signal"))
-        else Seq(("urgency", "order priority class"))
+        case "signup" => Seq(("lifecycle", "account creation"))
+        case "error" => Seq(("reliability", "failure signal"))
+        case _ => Seq(("urgency", "order priority class"))
+      }
       cats.map { case (c, r) => (c, r, (1 + c.length % 10).toDouble) }
     }
   }
@@ -95,9 +92,15 @@ object Enrich {
           .write.mode("append").parquet(cacheDir)
         spark.read.parquet(cacheDir)
       }
-    // Defensive read: dedup retry-duplicated rows, return only the
-    // requested pids (the cache may hold a superset from earlier runs).
-    all.dropDuplicates("pid", "category")
+    // Defensive read: collapse retry-duplicated rows DETERMINISTICALLY
+    // (a nondeterministic backend can append differing reason/strength
+    // for the same (pid, category); min-of-struct always picks the same
+    // winner, where dropDuplicates would pick per partition order), and
+    // return only the requested pids (the cache may hold a superset).
+    all.groupBy(col("pid"), col("category"))
+      .agg(min(struct(col("reason"), col("strength"))).as("__rs"))
+      .select(col("pid"), col("category"),
+        col("__rs.reason").as("reason"), col("__rs.strength").as("strength"))
       .join(props.select("pid"), Seq("pid"), "left_semi")
   }
 

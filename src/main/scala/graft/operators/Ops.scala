@@ -47,7 +47,7 @@ object Ops {
     val gcols = groupCols.map(col)
     val w = Window.partitionBy(gcols: _*).orderBy(col(valueCol))
     val cw = Window.partitionBy(gcols: _*)
-    df.select(gcols :+ col(valueCol): _*)
+    val medNonNull = df.select(gcols :+ col(valueCol): _*)
       .filter(col(valueCol).isNotNull)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(cw))
@@ -56,6 +56,11 @@ object Ops {
       .groupBy(gcols: _*)
       .agg((min(col(valueCol)) +
         (max(col(valueCol)) - min(col(valueCol))) * 0.5).as(out))
+    // percentile() keeps all-NULL groups (median NULL); preserve that —
+    // dropping them would silently delete those groups' rows downstream
+    // of an inner join-back.
+    df.select(gcols: _*).distinct()
+      .join(medNonNull, groupCols, "left")
   }
 
   /** Binarize a numeric column against its per-group EXACT median

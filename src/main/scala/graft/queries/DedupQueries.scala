@@ -72,29 +72,32 @@ object DedupQueries extends QueryModule {
         .orderBy(col("lang"))
     }),
 
-    // MinHash + LSH banding — the sub-quadratic near-dup path. xxhash64
-    // signatures are Spark-native (not replayable in the oracle ⇒
-    // rows-only check here; JaccardLshSpec proves candidate recall
-    // against dd2's ground truth).
+    // MinHash + LSH banding — the sub-quadratic near-dup path. Recall
+    // audit against the exact ground truth: the oracle pins the exact
+    // J>=0.7 pair count, the flag asserts the LSH candidate set found
+    // >= 80% of them. The margin is deliberate: banding catches a
+    // J=0.7 pair with p≈0.89 per pair (higher for the stronger planted
+    // dups), so an all-found flag would hold only by luck of the hash
+    // family on a given dataset, while 80% is the contract the
+    // algorithm actually warrants. xxhash64 signatures are a pure
+    // function of the data, so the flag is deterministic per dataset;
+    // DedupSpec proves full J>=0.7 coverage on the fixtures.
     "dd3_minhash_lsh" -> ((s, d) => {
-      // Recall audit against the exact ground truth: the oracle pins the
-      // exact J>=0.7 pair count; the flag reports whether every true pair
-      // surfaced as an LSH candidate (deterministic — xxhash64 signatures
-      // are a pure function of the data; DedupSpec proves the same
-      // invariant on planted fixtures).
       val cand = Dedup.minhashCandidates(cachedShingles(s, d))
         .select("da", "db")
       val truth = cachedJaccard(s, d).filter(col("j") >= 0.7)
         .select("da", "db")
       val missed = truth.join(cand, Seq("da", "db"), "left_anti")
       truth.agg(count(lit(1)).as("n_true_ge07"))
-        .crossJoin(missed.agg((count(lit(1)) === 0).as("lsh_covers_all")))
+        .crossJoin(missed.agg(count(lit(1)).as("__miss")))
+        .select(col("n_true_ge07"),
+          (col("__miss") * 5 <= col("n_true_ge07")).as("lsh_recall_ge_08"))
     }),
 
     // SimHash near-dup: 64-bit signature, 4×16-bit pigeonhole blocks for
-    // candidate generation, exact hamming verify — same recall-audit
-    // shape as dd3 (hamming <= 16 on a 64-bit signature ≈ the J>=0.7
-    // band for these documents).
+    // candidate generation, exact hamming verify — same 80%-recall
+    // contract as dd3 (the pigeonhole guarantee is only hamming <= 3;
+    // coverage of the J>=0.7 band at hamming <= 16 is empirical).
     "dd4_simhash" -> ((s, d) => {
       val cand = Dedup.simhashCandidates(Tables.documents(s, d))
         .filter(col("hamming") <= 16)
@@ -103,7 +106,10 @@ object DedupQueries extends QueryModule {
         .select("da", "db")
       val missed = truth.join(cand, Seq("da", "db"), "left_anti")
       truth.agg(count(lit(1)).as("n_true_ge07"))
-        .crossJoin(missed.agg((count(lit(1)) === 0).as("simhash_covers_all")))
+        .crossJoin(missed.agg(count(lit(1)).as("__miss")))
+        .select(col("n_true_ge07"),
+          (col("__miss") * 5 <= col("n_true_ge07"))
+            .as("simhash_recall_ge_08"))
     }),
 
     // Dedup materialization: apply the greedy keep-lowest-id policy to
@@ -188,7 +194,7 @@ object DedupQueries extends QueryModule {
         |  GROUP BY 1, 2)
         |SELECT count(CASE WHEN common * 1.0 / (sa.n_sh + sb.n_sh - common)
         |    >= 0.7 THEN 1 END) AS n_true_ge07,
-        |  TRUE AS lsh_covers_all
+        |  TRUE AS lsh_recall_ge_08
         |FROM pairs JOIN sizes sa ON da = sa.doc_id
         |JOIN sizes sb ON db = sb.doc_id""".stripMargin),
 
@@ -201,7 +207,7 @@ object DedupQueries extends QueryModule {
         |  GROUP BY 1, 2)
         |SELECT count(CASE WHEN common * 1.0 / (sa.n_sh + sb.n_sh - common)
         |    >= 0.7 THEN 1 END) AS n_true_ge07,
-        |  TRUE AS simhash_covers_all
+        |  TRUE AS simhash_recall_ge_08
         |FROM pairs JOIN sizes sa ON da = sa.doc_id
         |JOIN sizes sb ON db = sb.doc_id""".stripMargin),
 

@@ -57,7 +57,9 @@ class CachedLookupSource(fetch: String => Option[String],
           .write.mode("append").parquet(cacheDir)
         spark.read.parquet(cacheDir)
       }
-    all.dropDuplicates("key")
+    // min() rather than dropDuplicates: deterministic winner if a retry
+    // ever appended two values for one key
+    all.groupBy(col("key")).agg(min(col("value")).as("value"))
       .join(wanted, Seq("key"), "left_semi")
   }
 }

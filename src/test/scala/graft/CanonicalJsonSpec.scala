@@ -85,5 +85,9 @@ class CanonicalJsonSpec extends AnyFunSuite {
   test("invalid JSON yields null") {
     assert(canonicalize("{nope") == null)
     assert(canonicalize(null) == null)
+    // trailing content after a valid first value is invalid too (the
+    // reference's json.loads raises; an id from a prefix would be wrong)
+    assert(canonicalize("""{"a":1} trailing""") == null)
+    assert(canonicalize("""{"a":1}{"b":2}""") == null)
   }
 }

@@ -117,4 +117,15 @@ class OpsSpec extends SparkSpec {
         java.lang.Double.doubleToRawLongBits(v), s"$k: ${viaSort(k)} != $v")
     }
   }
+
+  test("groupedMedianBySort keeps all-NULL groups like percentile does") {
+    val df = Seq[(String, Option[Double])](
+      ("a", Some(1.0)), ("a", Some(3.0)), ("b", None), ("b", None),
+      ("c", Some(5.0)), ("c", None)
+    ).toDF("g", "v")
+    val got = Ops.groupedMedianBySort(df, Seq("g"), "v", "m")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map("a" -> Some(2.0), "b" -> None, "c" -> Some(5.0)))
+  }
 }
