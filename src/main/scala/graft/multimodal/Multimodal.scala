@@ -73,4 +73,45 @@ object Multimodal {
       }
     }
   }
+
+  case class FrameRef(doc_id: Long, frame_idx: Int, ts_ms: Long,
+      fingerprint: String)
+
+  /** Frame sampling over video payloads — the 1→N multimodal shape
+    * (flatMap generator, controlled fan-out: the stub emits
+    * 1 + n_bytes % 4 frames; a real codec emits one per keyframe or
+    * fixed stride). Frame fingerprints are md5(payload_utf8 + "|" + idx)
+    * so the DuckDB oracle replays the arithmetic end to end (mm3).
+    */
+  def frameSample(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): Dataset[FrameRef] = {
+    import spark.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      val text = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+      val nFrames = 1 + (r.payload.length % 4)
+      (0 until nFrames).map { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val fp = md.digest((text + "|" + i)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        FrameRef(r.doc_id, i, i * 40L, fp)
+      }
+    }
+  }
+
+  /** Integer aspect-preserving resize of decoded dims: the largest side
+    * is clamped to maxDim, the other floor-scaled by the same ratio.
+    * Pure metadata arithmetic (the stub never touches pixels); a real
+    * implementation resizes inside the per-partition codec instead.
+    */
+  def resize(features: Dataset[MediaFeatures], maxDim: Int)(
+      implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    features.map { f =>
+      val m = math.max(f.width, f.height)
+      if (m <= maxDim) f
+      else f.copy(width = f.width * maxDim / m,
+        height = f.height * maxDim / m)
+    }
+  }
 }

@@ -35,6 +35,18 @@ object MultimodalQueries extends QueryModule {
           sum(col("height")).as("sum_height"),
           countDistinct(col("fingerprint")).as("n_fp"))
         .orderBy(col("kind"))
+    }),
+
+    // Frame sampling (1→N flatMap over video payloads) — census of the
+    // sampled frames; the oracle replays the stub's fan-out arithmetic.
+    "mm3_frame_sample" -> ((s, d) => {
+      implicit val spark = s
+      val media = Multimodal.toMedia(Tables.documents(s, d))
+      Multimodal.frameSample(media).toDF()
+        .agg(countDistinct(col("doc_id")).as("n_videos"),
+          count(lit(1)).as("n_frames"),
+          countDistinct(col("fingerprint")).as("n_fp"),
+          sum(col("ts_ms")).as("sum_ts_ms"))
     })
   )
 
@@ -56,6 +68,19 @@ object MultimodalQueries extends QueryModule {
         |  CAST(sum(64 + octet_length(encode(text)) % 512) AS BIGINT) AS sum_width,
         |  CAST(sum(64 + (octet_length(encode(text)) * 7) % 512) AS BIGINT) AS sum_height,
         |  count(DISTINCT md5(text)) AS n_fp
-        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
+
+    "mm3_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS n_bytes
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT doc_id, g * 40 AS ts_ms,
+        |    md5(text || '|' || CAST(g AS VARCHAR)) AS fp
+        |  FROM v CROSS JOIN unnest(range(0, 1 + n_bytes % 4)) AS u(g))
+        |SELECT count(DISTINCT doc_id) AS n_videos, count(*) AS n_frames,
+        |  count(DISTINCT fp) AS n_fp,
+        |  CAST(sum(ts_ms) AS BIGINT) AS sum_ts_ms
+        |FROM f""".stripMargin
   )
 }

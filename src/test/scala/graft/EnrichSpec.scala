@@ -53,6 +53,40 @@ class EnrichSpec extends SparkSpec {
       .withColumn("expected_fp", md5(col("text").cast("binary")))
     assert(cross.filter(col("fingerprint") =!= col("expected_fp")).count() == 0)
   }
+
+  test("frame sampling fans out only videos, 1..4 frames at 40ms stride") {
+    implicit val s = spark
+    val media = Multimodal.toMedia(Tables.documents(spark, sf()))
+    val frames = Multimodal.frameSample(media).toDF()
+    val videos = media.filter(_.kind == "video").count()
+    val perDoc = frames.groupBy("doc_id").count()
+    assert(perDoc.count() == videos)
+    assert(perDoc.filter(col("count") < 1 || col("count") > 4).count() == 0)
+    // ts stride: frame i at i*40ms
+    assert(frames.filter(col("ts_ms") =!= col("frame_idx") * 40).count() == 0)
+    // fingerprints unique per (doc, frame)
+    assert(frames.select("fingerprint").distinct().count() == frames.count())
+  }
+
+  test("resize clamps the largest side and preserves aspect ordering") {
+    implicit val s = spark
+    val feats = Multimodal.decodeFeatures(
+      Multimodal.toMedia(Tables.documents(spark, sf())))
+    val resized = Multimodal.resize(feats, 128).toDF()
+    assert(resized.filter(col("width") > 128 || col("height") > 128)
+      .count() == 0)
+    // untouched when already within bounds
+    val joined = feats.toDF().select(col("doc_id"),
+        col("width").as("w0"), col("height").as("h0"))
+      .join(resized.select(col("doc_id"), col("width"), col("height")),
+        Seq("doc_id"))
+    assert(joined.filter(col("w0") <= 128 && col("h0") <= 128 &&
+      (col("width") =!= col("w0") || col("height") =!= col("h0")))
+      .count() == 0)
+    // aspect: the relative order of width vs height survives
+    assert(joined.filter((col("w0") > col("h0")) &&
+      (col("width") < col("height"))).count() == 0)
+  }
 }
 
 object EnrichSpec {
