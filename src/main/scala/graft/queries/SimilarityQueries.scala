@@ -144,6 +144,35 @@ object SimilarityQueries extends QueryModule {
         .select(col("query_id"), col("list_id"), col("rank"),
           col("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Multi-probe IVF: each query searches its top-2 centroid lists —
+    // the standard recall knob (nprobe) of an IVF index. The probe set
+    // is a per-query centroid ranking (tiny: Q × K); candidates come
+    // from the same inverted lists via the same equi-join. Lists are
+    // disjoint, so no candidate dedup is needed.
+    "ann6_ivf_multiprobe" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val wProbe = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("clabel"))
+      val probes = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+        .crossJoin(broadcast(centroids(s, d)))
+        .withColumn("ccos", expr("cosine_sim(embedding, cv)"))
+        .withColumn("prk", row_number().over(wProbe))
+        .filter(col("prk") <= 2)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("clabel").as("list_id"))
+      val c = cachedAssigned(s, d).select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv"), col("list_id"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      probes.join(c, Seq("list_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", expr("cosine_sim(qv, nv)"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -272,6 +301,50 @@ object SimilarityQueries extends QueryModule {
         |  FROM assigned a JOIN assigned b
         |    ON a.list_id = b.list_id AND a.vec_id < 10
         |      AND a.vec_id <> b.vec_id)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "ann6_ivf_multiprobe" ->
+      """WITH expl AS (
+        |  SELECT label, unnest(embedding) AS e,
+        |    unnest(range(0, len(embedding))) AS pos
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, pos,
+        |    CAST(sum(CAST(e AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c
+        |  FROM expl GROUP BY 1, 2),
+        |cvec AS (
+        |  SELECT label AS clabel, list(c ORDER BY pos) AS cv
+        |  FROM cent GROUP BY 1),
+        |assigned AS (
+        |  SELECT vec_id, embedding, clabel AS list_id FROM (
+        |    SELECT v.vec_id, v.embedding, c.clabel,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_dot_product(v.embedding::DOUBLE[], c.cv) /
+        |          (sqrt(list_dot_product(v.embedding::DOUBLE[],
+        |             v.embedding::DOUBLE[])) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.clabel) AS rk
+        |    FROM embeddings v CROSS JOIN cvec c)
+        |  WHERE rk = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, clabel AS list_id
+        |  FROM (
+        |    SELECT v.vec_id, v.embedding, c.clabel,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_dot_product(v.embedding::DOUBLE[], c.cv) /
+        |          (sqrt(list_dot_product(v.embedding::DOUBLE[],
+        |             v.embedding::DOUBLE[])) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.clabel) AS prk
+        |    FROM embeddings v CROSS JOIN cvec c WHERE v.vec_id < 10)
+        |  WHERE prk <= 2)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT p.query_id, b.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY p.query_id ORDER BY
+        |      list_dot_product(p.qv::DOUBLE[], b.embedding::DOUBLE[]) /
+        |        (sqrt(list_dot_product(p.qv::DOUBLE[], p.qv::DOUBLE[])) *
+        |         sqrt(list_dot_product(b.embedding::DOUBLE[],
+        |           b.embedding::DOUBLE[]))) DESC, b.vec_id) AS rank
+        |  FROM probes p JOIN assigned b ON p.list_id = b.list_id
+        |    AND p.query_id <> b.vec_id)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   )
 }
