@@ -18,10 +18,18 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Still ONE JSON line (the driver contract), but: per-query times at
+    // ms precision (full double repr doubles the line length), and the
+    // headline fields LAST — the driver keeps only the TAIL of the
+    // output, and in round 1 the leading {"metric":"total","value":...}
+    // was lost to truncation. JSON key order is irrelevant to parsers,
+    // so the trailing summary reads identically when the line survives
+    // whole and keeps the total visible when it doesn't.
+    def f3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"n_queries":${results.size},"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}""")
     spark.stop()
   }
 }
