@@ -25,7 +25,10 @@ object Bench {
     // was lost to truncation. JSON key order is irrelevant to parsers,
     // so the trailing summary reads identically when the line survives
     // whole and keeps the total visible when it doesn't.
-    def f3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the default locale, and a
+    // comma-decimal locale would corrupt the JSON
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

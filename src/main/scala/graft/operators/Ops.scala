@@ -58,9 +58,15 @@ object Ops {
         (max(col(valueCol)) - min(col(valueCol))) * 0.5).as(out))
     // percentile() keeps all-NULL groups (median NULL); preserve that —
     // dropping them would silently delete those groups' rows downstream
-    // of an inner join-back.
-    df.select(gcols: _*).distinct()
-      .join(medNonNull, groupCols, "left")
+    // of an inner join-back. Null-SAFE join: groupBy treats NULL as a
+    // real key, so the re-attach must too (Seq-based join uses = and
+    // would orphan a NULL group key).
+    val keys = df.select(gcols: _*).distinct().alias("k")
+    val m = medNonNull.alias("m")
+    val cond = groupCols.map(c => col(s"k.$c") <=> col(s"m.$c"))
+      .reduce(_ && _)
+    keys.join(m, cond, "left")
+      .select(groupCols.map(c => col(s"k.$c")) :+ col(s"m.$out"): _*)
   }
 
   /** Binarize a numeric column against its per-group EXACT median

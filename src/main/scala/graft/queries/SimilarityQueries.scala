@@ -176,19 +176,30 @@ object SimilarityQueries extends QueryModule {
     })
   )
 
+  private val centMemo = scala.collection.mutable
+    .Map.empty[(SparkSession, String), DataFrame]
+
   /** Per-label decimal-exact centroids → (clabel, cv). One definition for
-    * ann4/ann5 (and their oracle CTEs replay exactly this formulation).
+    * ann4/ann5/ann6 (their oracle CTEs replay exactly this formulation),
+    * memoized + persisted: the centroid frame is tiny but its build scans
+    * and explodes the whole embeddings table. (All memos here are scoped
+    * to the one-session Verify/Bench driver-run lifecycle, like
+    * DedupQueries' — they hold the session reference until JVM exit.)
     */
   private def centroids(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .select(col("label"), posexplode(col("embedding")))
-      .groupBy(col("label"), col("pos"))
-      .agg((sum(col("col").cast(org.apache.spark.sql.types
-        .DecimalType(27, 12))).cast("double") / count(lit(1))).as("c"))
-      .groupBy(col("label"))
-      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), " +
-        "x -> x.c)").as("cv"))
-      .select(col("label").as("clabel"), col("cv"))
+    centMemo.synchronized {
+      centMemo.getOrElseUpdate((s, d),
+        Tables.embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding")))
+          .groupBy(col("label"), col("pos"))
+          .agg((sum(col("col").cast(org.apache.spark.sql.types
+            .DecimalType(27, 12))).cast("double") / count(lit(1))).as("c"))
+          .groupBy(col("label"))
+          .agg(expr("transform(sort_array(collect_list(struct(pos, c))), " +
+            "x -> x.c)").as("cv"))
+          .select(col("label").as("clabel"), col("cv"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   private val assignMemo = scala.collection.mutable
     .Map.empty[(SparkSession, String), DataFrame]

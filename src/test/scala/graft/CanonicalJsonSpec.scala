@@ -89,5 +89,9 @@ class CanonicalJsonSpec extends AnyFunSuite {
     // reference's json.loads raises; an id from a prefix would be wrong)
     assert(canonicalize("""{"a":1} trailing""") == null)
     assert(canonicalize("""{"a":1}{"b":2}""") == null)
+    // empty / whitespace-only parses to MissingNode, not an exception —
+    // must still be null, not "" (md5("") would be a fabricated id)
+    assert(canonicalize("") == null)
+    assert(canonicalize("   ") == null)
   }
 }

@@ -128,4 +128,16 @@ class OpsSpec extends SparkSpec {
         (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
     assert(got == Map("a" -> Some(2.0), "b" -> None, "c" -> Some(5.0)))
   }
+
+  test("groupedMedianBySort keeps a NULL group KEY (groupBy semantics)") {
+    val df = Seq[(Option[String], Option[Double])](
+      (None, Some(1.0)), (None, Some(3.0)), (Some("a"), Some(4.0))
+    ).toDF("g", "v")
+    val got = Ops.groupedMedianBySort(df, Seq("g"), "v", "m")
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getString(0))) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // null is a real key for groupBy; the join-back must be null-safe
+    assert(got == Map(None -> Some(2.0), Some("a") -> Some(4.0)))
+  }
 }
