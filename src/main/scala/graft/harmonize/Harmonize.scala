@@ -98,4 +98,27 @@ object Harmonize {
 
     Brick(substances, properties, activities)
   }
+
+  /** Incremental harmonize: fold newly-staged sources into an existing
+    * brick. Because every id is a content hash (sid/pid =
+    * md5(canonical data), aid = md5(sid|pid|value)), merging is plain
+    * set union + distinct — no id reconciliation, no rewrite of
+    * existing rows — and the result is BIT-IDENTICAL to rebuilding from
+    * all sources at once (HarmonizeSpec proves it). This is the scale
+    * story for the reference's rerun-from-scratch DVC pipeline: adding
+    * source N+1 to a 43 GB brick touches only the new source's rows
+    * plus one distinct per table.
+    */
+  def merge(existing: Brick, incoming: Brick): Brick =
+    Brick(
+      existing.substances.unionByName(incoming.substances).distinct(),
+      existing.properties.unionByName(incoming.properties).distinct(),
+      existing.activities.unionByName(incoming.activities).distinct())
+
+  /** Convenience: stage+harmonize only `newAdapters` and merge into an
+    * existing brick (e.g. one read back from parquet).
+    */
+  def incremental(spark: SparkSession, sfDir: String, existing: Brick,
+      newAdapters: Seq[SourceAdapter]): Brick =
+    merge(existing, brick(spark, sfDir, newAdapters))
 }

@@ -94,4 +94,28 @@ class HarmonizeSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(sources == Set("events", "orders", "documents"))
   }
+
+  test("incremental merge is bit-identical to a from-scratch rebuild") {
+    import graft.harmonize.Harmonize
+    import graft.sources.DocumentsAdapter
+    val existing = Harmonize.brick(spark, sf(),
+      Seq(EventsAdapter, OrdersAdapter))
+    val merged = Harmonize.incremental(spark, sf(), existing,
+      Seq(DocumentsAdapter))
+    val full = Harmonize.brick(spark, sf(),
+      Seq(EventsAdapter, OrdersAdapter, DocumentsAdapter))
+    def same(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    }
+    same(merged.substances, full.substances)
+    same(merged.properties, full.properties)
+    same(merged.activities, full.activities)
+    // and merging the same source twice is a no-op (idempotence —
+    // content-addressed ids dedup on distinct)
+    val twice = Harmonize.incremental(spark, sf(), merged,
+      Seq(DocumentsAdapter))
+    assert(twice.activities.count() == merged.activities.count())
+    assert(twice.substances.count() == merged.substances.count())
+  }
 }
