@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   * HashAggregate over n primitive long slots — same shuffle bytes,
   * no per-row allocation (measured ~2x faster on the dd3/dd4 builds).
   */
+/** Input contract (both the builtin and UDAF paths): every array is
+  * non-null and exactly length n. Outside that contract the paths
+  * diverge — under ANSI mode `element_at` throws on a shorter array and
+  * a null array yields null slots, while the Aggregator clamps to the
+  * row's length and skips nulls — so callers (the signature builds,
+  * which construct fixed-width arrays) must guarantee it.
+  * ArrayAggSpec pins the short-array behavior.
+  */
 object ArrayAgg {
   /** Element-wise min over Array[Long] columns of length n. */
   def arrayMin(n: Int)(c: Column): Column =
@@ -50,8 +58,13 @@ private[functions] abstract class ArrayLongReduce(n: Int)
 
   override def zero: Array[Long] = Array.fill(n)(unit)
   override def reduce(buf: Array[Long], row: Array[Long]): Array[Long] = {
+    // Off-contract inputs degrade instead of failing: a null array is
+    // skipped, a short one clamps to its length (missing slots keep the
+    // unit). The builtin path throws/nulls instead — see object scaladoc.
+    if (row == null) return buf
     var i = 0
-    while (i < n) { buf(i) = combine(buf(i), row(i)); i += 1 }
+    val m = math.min(n, row.length)
+    while (i < m) { buf(i) = combine(buf(i), row(i)); i += 1 }
     buf
   }
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] =

@@ -22,13 +22,16 @@ object Dedup {
           "transform(sequence(1, size(ts)-2), " +
             "g -> concat_ws(' ', ts[g-1], ts[g], ts[g+1]))"))).as("sh"))
     // Prune via the HOT set, not the keep set: shingles with df > maxDf
-    // are by construction few (each costs > maxDf rows), so the filter is
-    // a broadcast ANTI join instead of a full shuffle join against the
-    // (huge) keep list — the formulation that survives a 100 TB corpus.
+    // are by construction few (each costs > maxDf rows), so the anti join
+    // is against a small side instead of the (huge) keep list. No
+    // broadcast hint: |hot| is bounded by total_shingles/maxDf, which at
+    // corpus scale can still exceed the driver/broadcast limit — AQE
+    // broadcasts when hot is actually small and degrades gracefully to a
+    // shuffled anti join when it isn't.
     val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select("sh")
-    sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    sh.join(hot, Seq("sh"), "left_anti")
   }
 
   /** Exact pairwise Jaccard within lang blocks → (lang, da, db, j).

@@ -335,18 +335,33 @@ object RelationalQueries extends QueryModule {
     // TPC-H Q5-shaped local-supplier volume: 6-way join through two
     // broadcast dims + three fact/mid tables with a co-location
     // predicate (customer and supplier in the same nation).
+    // Join order matters at scale: the selective r_name = 'ASIA' cut is
+    // applied to nation FIRST and broadcast into customer and supplier,
+    // so the big lineitem/orders joins see only the ~1/5 of rows that
+    // can contribute — instead of joining the full fact volume and
+    // cutting by region last (classic Q5 ordering).
     "q5_local_supplier" -> ((s, d) => {
-      Tables.lineitem(s, d)
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .join(Tables.supplier(s, d),
-          col("l_suppkey") === col("s_suppkey") &&
-            col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(Tables.nation(s, d)),
-          col("s_nationkey") === col("n_nationkey"))
+      val asiaNations = Tables.nation(s, d)
         .join(broadcast(Tables.region(s, d)),
           col("n_regionkey") === col("r_regionkey") &&
             col("r_name") === "ASIA")
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(asiaNations),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"))
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(asiaNations),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val ord = Tables.orders(s, d)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"))
+      Tables.lineitem(s, d)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(supp,
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
         .agg(dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount"))
           .as("revenue"))

@@ -53,4 +53,21 @@ class ArrayAggSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(udafPlan.contains("ObjectHashAggregate"), udafPlan)
   }
+
+  test("off-contract short arrays: builtin throws (ANSI), UDAF clamps") {
+    val short = Seq((1L, Array(5L)), (1L, Array(3L, 7L, 9L)))
+      .toDF("g", "arr")
+    // builtin element_at(arr, 2) on a length-1 array throws under Spark
+    // 4's default ANSI mode — the contract violation is loud
+    intercept[Exception] {
+      short.groupBy(col("g"))
+        .agg(ArrayAgg.arrayMin(3)(col("arr"))).collect()
+    }
+    // the Aggregator clamps to the row's length: missing slots keep the
+    // unit element from the other rows
+    val clamped = short.groupBy(col("g"))
+      .agg(ArrayAgg.arrayMinUdaf(3)(col("arr")).as("m"))
+      .collect().map(r => r.getSeq[Long](1)).head
+    assert(clamped == Seq(3L, 7L, 9L))
+  }
 }

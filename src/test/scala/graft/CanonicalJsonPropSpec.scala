@@ -29,7 +29,10 @@ class CanonicalJsonPropSpec extends AnyFunSuite {
 
   private val scalarGen: Gen[String] = Gen.oneOf(
     Gen.chooseNum(-1000000L, 1000000L).map(_.toString),
-    Gen.chooseNum(-1000.0, 1000.0).map(d => f"$d%.6f"),
+    // Locale.ROOT: the f-interpolator is locale-sensitive and a
+    // comma-decimal default locale would generate invalid JSON
+    Gen.chooseNum(-1000.0, 1000.0).map(d =>
+      String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))),
     Gen.alphaNumStr.map(s => "\"" + s.take(12) + "\""),
     Gen.const("null"),
     Gen.const("\"\""),

@@ -15,8 +15,15 @@ import org.apache.spark.sql.functions._
 class JdbcSourceSpec extends SparkSpec {
   import spark.implicits._
 
+  private var dbDir: java.nio.file.Path = _
+
   private lazy val url: String = {
-    val dir = Files.createTempDirectory("graft-derby").toString
+    dbDir = Files.createTempDirectory("graft-derby")
+    val dir = dbDir.toString
+    // Derby writes derby.log into user.dir (the repo root) unless told
+    // otherwise — point it at the temp dir so test runs leave no
+    // artifacts behind
+    System.setProperty("derby.stream.error.file", s"$dir/derby.log")
     val u = s"jdbc:derby:$dir/studydb;create=true"
     val conn = DriverManager.getConnection(u)
     val st = conn.createStatement()
@@ -73,5 +80,18 @@ class JdbcSourceSpec extends SparkSpec {
     val got = df.collect()
       .map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(got == Map("rat" -> 3, "mouse" -> 1, "rabbit" -> 1))
+  }
+
+  override def afterAll(): Unit = {
+    // shut the embedded engine down so the db files close, then remove
+    // the temp database directory
+    try DriverManager.getConnection("jdbc:derby:;shutdown=true")
+    catch { case _: java.sql.SQLException => () } // shutdown always throws
+    if (dbDir != null) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dbDir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => p.toFile.delete())
+    }
+    super.afterAll()
   }
 }
