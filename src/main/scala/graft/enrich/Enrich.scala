@@ -40,21 +40,45 @@ object Enrich {
       new com.fasterxml.jackson.databind.ObjectMapper()
 
     def label(propJson: String): Seq[(String, String, Double)] = {
-      val eventType: String =
-        try {
-          val n = mapper.readTree(propJson).get("event_type")
-          if (n == null) null else n.asText
-        } catch { case scala.util.control.NonFatal(_) => null }
-      val cats = eventType match {
-        case "click" | "view" => Seq(("engagement", "ui interaction signal"))
-        case "purchase" =>
-          Seq(("commerce", "monetary event"), ("engagement", "active use"))
-        case "signup" => Seq(("lifecycle", "account creation"))
-        case "error" => Seq(("reliability", "failure signal"))
-        case _ => Seq(("urgency", "order priority class"))
+      val tree =
+        try mapper.readTree(propJson)
+        catch { case scala.util.control.NonFatal(_) => null }
+      def field(k: String): String = {
+        if (tree == null) return null
+        val n = tree.get(k)
+        if (n == null) null else n.asText
       }
+      val cats =
+        if (field("s_nationkey") != null)
+          Seq(("logistics", "supplier nation cohort"))
+        else field("event_type") match {
+          case "click" | "view" => Seq(("engagement", "ui interaction signal"))
+          case "purchase" =>
+            Seq(("commerce", "monetary event"), ("engagement", "active use"))
+          case "signup" => Seq(("lifecycle", "account creation"))
+          case "error" => Seq(("reliability", "failure signal"))
+          case _ => Seq(("urgency", "order priority class"))
+        }
       cats.map { case (c, r) => (c, r, (1 + c.length % 10).toDouble) }
     }
+  }
+
+  /** The closed category vocabulary — the reference constrains LLM output
+    * to a fixed 38-entry list shipped as a resource file
+    * (src/resources/property_categories.txt:1-38); this engine ships its
+    * own list the same way and `cachedLabel` enforces membership.
+    */
+  lazy val vocabulary: Set[String] = {
+    val in = getClass.getResourceAsStream("/category_vocabulary.txt")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toSet
+    finally in.close()
+  }
+
+  /** The vocabulary as a one-column table, for set-membership joins. */
+  def vocabularyTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    vocabulary.toSeq.sorted.toDF("category")
   }
 
   /** Categories for the requested properties, computed through the cache
@@ -69,7 +93,8 @@ object Enrich {
     * dirty cache degrades to wasted bytes, never to double-counted rows.
     */
   def cachedLabel(spark: SparkSession, properties: DataFrame,
-      backend: Labeler, cacheDir: String): DataFrame = {
+      backend: Labeler, cacheDir: String,
+      vocab: Set[String] = vocabulary, maxAttempts: Int = 3): DataFrame = {
     import spark.implicits._
     val props = properties.select(col("pid"), col("data")).distinct()
     val cached: DataFrame =
@@ -87,7 +112,8 @@ object Enrich {
       if (misses.isEmpty) cached
       else {
         misses.as[(String, String)].flatMap { case (pid, data) =>
-          backend.label(data).map { case (c, r, st) => (pid, c, r, st) }
+          labelInVocab(backend, vocab, maxAttempts, pid, data)
+            .map { case (c, r, st) => (pid, c, r, st) }
         }.toDF("pid", "category", "reason", "strength")
           .write.mode("append").parquet(cacheDir)
         spark.read.parquet(cacheDir)
@@ -104,13 +130,37 @@ object Enrich {
       .join(props.select("pid"), Seq("pid"), "left_semi")
   }
 
+  /** Closed-vocabulary enforcement with the reference's retry protocol
+    * (src/helper/cache_helper.py:26-44: re-ask the backend up to N times,
+    * then raise): a backend emitting a category outside the vocabulary is
+    * re-invoked up to `maxAttempts` times — meaningful for a stochastic
+    * LLM backend; a deterministic one fails fast — and the job aborts if
+    * no attempt lands inside the vocabulary.
+    */
+  private def labelInVocab(backend: Labeler, vocab: Set[String],
+      maxAttempts: Int, pid: String, data: String)
+      : Seq[(String, String, Double)] = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val ls = backend.label(data)
+      if (ls.forall { case (c, _, _) => vocab.contains(c) }) return ls
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"labeler returned out-of-vocabulary category for pid=$pid " +
+        s"after $maxAttempts attempts")
+  }
+
   /** Globally-unique deterministic titles: base title from the property
-    * JSON, ' #n' suffix for same-base collisions in pid order.
+    * JSON, ' #n' suffix for same-base collisions in pid order;
+    * `prop_json_data` carries the property JSON alongside
+    * (ref: src/92_llm_property_titles.py:71).
     */
   def titles(properties: DataFrame): DataFrame = {
     val base = coalesce(
       get_json_object(col("data"), "$.event_type"),
       get_json_object(col("data"), "$.o_orderpriority"),
+      get_json_object(col("data"), "$.s_nationkey"),
       col("pid"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("base")).orderBy(col("pid"))
@@ -120,6 +170,6 @@ object Enrich {
       .withColumn("title",
         when(col("seq") === 1, col("base"))
           .otherwise(concat(col("base"), lit(" #"), col("seq"))))
-      .select(col("pid"), col("title"))
+      .select(col("pid"), col("title"), col("data").as("prop_json_data"))
   }
 }

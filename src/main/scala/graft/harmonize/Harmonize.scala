@@ -2,6 +2,7 @@ package graft.harmonize
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.chem.StructureConverter
 import graft.functions.CanonicalJson.canonicalizeJson
 import graft.sources.SourceAdapter
 
@@ -11,7 +12,9 @@ import graft.sources.SourceAdapter
   *
   *   union staging triplets (+source) → canonicalize data → re-key
   *   sid/pid as md5(canonical data) → re-key activities through the
-  *   (source, old-id) → new-id maps → aid = md5(sid|pid|value) → distinct.
+  *   (source, old-id) → new-id maps → smiles enrichment via distinct
+  *   inchi (py:72-73) → binary_value (py:68) →
+  *   aid = md5(sid|pid|inchi|value) (py:83) → distinct.
   *
   * Scale notes (100 TB posture):
   *   - The id maps are joined on (source, old-id) WITHOUT a broadcast
@@ -42,10 +45,13 @@ object Harmonize {
     scala.collection.mutable.Map.empty[(SparkSession, String, String), Brick]
 
   def cachedBrick(spark: SparkSession, sfDir: String,
-      adapters: Seq[SourceAdapter]): Brick = memo.synchronized {
-    val key = (spark, sfDir, adapters.map(_.name).mkString(","))
+      adapters: Seq[SourceAdapter],
+      converter: StructureConverter = StructureConverter.Stub): Brick =
+    memo.synchronized {
+    val key = (spark, sfDir,
+      adapters.map(_.name).mkString(",") + "/" + converter.getClass.getName)
     memo.getOrElseUpdate(key, {
-      val b = brick(spark, sfDir, adapters)
+      val b = brick(spark, sfDir, adapters, converter)
       import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       Brick(b.substances.persist(MEMORY_AND_DISK),
         b.properties.persist(MEMORY_AND_DISK),
@@ -54,7 +60,8 @@ object Harmonize {
   }
 
   def brick(spark: SparkSession, sfDir: String,
-      adapters: Seq[SourceAdapter]): Brick = {
+      adapters: Seq[SourceAdapter],
+      converter: StructureConverter = StructureConverter.Stub): Brick = {
     val staged = adapters.map(a => a.name -> a.staging(spark, sfDir))
 
     def unionWithSource(pick: graft.sources.StagingTriplet => DataFrame)
@@ -84,16 +91,34 @@ object Harmonize {
       .select(col("source"), col("pid").as("old_pid"), col("new_pid"))
       .distinct()
 
-    // activities: composite-key re-key joins + content-hash aid (py:63-86)
-    val activities = unionWithSource(_.activities)
+    // activities: composite-key re-key joins (py:76-78)
+    val rekeyed = unionWithSource(_.activities)
       .withColumnRenamed("sid", "old_sid")
       .withColumnRenamed("pid", "old_pid")
       .join(sidMap, Seq("source", "old_sid"))
       .join(pidMap, Seq("source", "old_pid"))
+
+    // D2 smiles enrichment, the reference's distinct-inchi → convert →
+    // join-back step (py:72-73): the converter (an expensive chemistry
+    // call in the real impl) runs once per DISTINCT structure, and the
+    // result joins back to the fact rows. No broadcast hint — the
+    // distinct-structure set is substance-sized (17 GB at reference
+    // scale), so AQE broadcasts only when it is actually small.
+    val inchiMap = rekeyed.select(col("inchi")).distinct()
+      .withColumn("smiles", converter.inchiToSmilesCol(col("inchi")))
+
+    // binary_value mapping (py:68) + content-hash aid over
+    // (sid, pid, inchi, value) (py:83) + final distinct (py:84)
+    val activities = rekeyed
+      .join(inchiMap, Seq("inchi"), "left")
+      .withColumn("binary_value",
+        when(col("value") === "positive", 1).otherwise(0))
       .withColumn("aid",
-        md5(concat_ws("|", col("new_sid"), col("new_pid"), col("value"))))
+        md5(concat_ws("|", col("new_sid"), col("new_pid"), col("inchi"),
+          col("value"))))
       .select(col("aid"), col("new_sid").as("sid"), col("new_pid").as("pid"),
-        col("source"), col("value"), col("numvalue"))
+        col("source"), col("inchi"), col("smiles"), col("value"),
+        col("binary_value"), col("numvalue"))
       .distinct()
 
     Brick(substances, properties, activities)

@@ -3,17 +3,19 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.enrich.Enrich
 import graft.harmonize.Harmonize
-import graft.sources.{EventsAdapter, OrdersAdapter}
+import graft.sources.{EventsAdapter, LineitemAdapter, OrdersAdapter}
 
 /** Enrichment over harmonized properties — the reference's LLM stages
   * with the deterministic rule backend (Enrich scaladoc). e1 runs the
   * actual Labeler flatMap (1→N, the UDTF shape); the oracle replays the
-  * rules as SQL. e2 is the distributed title-uniqueness pass.
+  * rules as SQL. e3 is the distributed title-uniqueness pass with the
+  * prop_json_data payload (ref: src/92_llm_property_titles.py:71).
   */
 object EnrichQueries extends QueryModule {
 
   private def properties(s: org.apache.spark.sql.SparkSession, d: String) =
-    Harmonize.cachedBrick(s, d, Seq(EventsAdapter, OrdersAdapter)).properties
+    Harmonize.cachedBrick(s, d,
+      Seq(EventsAdapter, OrdersAdapter, LineitemAdapter)).properties
 
   val queries: Map[String, Q] = Map(
     // D5: property → categories (1→N via typed flatMap of the Labeler).
@@ -41,23 +43,33 @@ object EnrichQueries extends QueryModule {
         .orderBy(col("category"))
     }),
 
-    // D6: globally-unique deterministic titles.
+    // D6: globally-unique deterministic titles + prop_json_data.
     "e3_property_titles" -> ((s, d) => {
       Enrich.titles(properties(s, d)).orderBy(col("pid"))
     })
   )
 
-  /** Distinct harmonized property (pid, data) pairs, as SQL. */
-  private val propsCte: String =
-    """WITH props AS (
+  /** Distinct harmonized property (pid, data) pairs as SQL CTEs, layered
+    * on the shared harmonize replay (the lineitem properties depend on
+    * the integrator's support filtering — see HarmonizeQueries.actsCte).
+    */
+  private val propsCte: String = HarmonizeQueries.actsCte +
+    """, props AS (
       |  SELECT DISTINCT md5(data) AS pid, data FROM (
       |    SELECT '{"event_type": "' || event_type || '"}' AS data
       |    FROM (SELECT DISTINCT event_type FROM events)
       |    UNION ALL
       |    SELECT '{"o_orderpriority": "' || o_orderpriority || '"}'
-      |    FROM (SELECT DISTINCT o_orderpriority FROM orders))),
+      |    FROM (SELECT DISTINCT o_orderpriority FROM orders)
+      |    UNION ALL
+      |    SELECT DISTINCT '{"s_nationkey": ' ||
+      |      CAST(s_nationkey AS VARCHAR) || '}'
+      |    FROM lsupp)),
       |labeled AS (
       |  SELECT pid, unnest(CASE
+      |    WHEN json_extract_string(data, '$.s_nationkey') IS NOT NULL
+      |      THEN [struct_pack(category := 'logistics',
+      |              reason := 'supplier nation cohort')]
       |    WHEN json_extract_string(data, '$.event_type') IN ('click','view')
       |      THEN [struct_pack(category := 'engagement',
       |              reason := 'ui interaction signal')]
@@ -87,27 +99,33 @@ object EnrichQueries extends QueryModule {
       """SELECT x.category AS category, count(DISTINCT pid) AS n_props
         |FROM labeled GROUP BY 1 ORDER BY category""".stripMargin),
 
-    "e3_property_titles" ->
-      """WITH props AS (
+    "e3_property_titles" -> (HarmonizeQueries.actsCte +
+      """, props AS (
         |  SELECT DISTINCT md5(data) AS pid, data FROM (
         |    SELECT '{"event_type": "' || event_type || '"}' AS data
         |    FROM (SELECT DISTINCT event_type FROM events)
         |    UNION ALL
         |    SELECT '{"o_orderpriority": "' || o_orderpriority || '"}'
-        |    FROM (SELECT DISTINCT o_orderpriority FROM orders))),
+        |    FROM (SELECT DISTINCT o_orderpriority FROM orders)
+        |    UNION ALL
+        |    SELECT DISTINCT '{"s_nationkey": ' ||
+        |      CAST(s_nationkey AS VARCHAR) || '}'
+        |    FROM lsupp)),
         |based AS (
-        |  SELECT pid,
+        |  SELECT pid, data,
         |    'Property ' || coalesce(
         |      json_extract_string(data, '$.event_type'),
         |      json_extract_string(data, '$.o_orderpriority'),
-        |      pid) AS base,
-        |    row_number() OVER (PARTITION BY 'Property ' || coalesce(
-        |      json_extract_string(data, '$.event_type'),
-        |      json_extract_string(data, '$.o_orderpriority'),
-        |      pid) ORDER BY pid) AS seq
-        |  FROM props)
+        |      json_extract_string(data, '$.s_nationkey'),
+        |      pid) AS base
+        |  FROM props),
+        |seqd AS (
+        |  SELECT pid, data, base,
+        |    row_number() OVER (PARTITION BY base ORDER BY pid) AS seq
+        |  FROM based)
         |SELECT pid,
-        |  CASE WHEN seq = 1 THEN base ELSE base || ' #' || seq END AS title
-        |FROM based ORDER BY pid""".stripMargin
+        |  CASE WHEN seq = 1 THEN base ELSE base || ' #' || seq END AS title,
+        |  data AS prop_json_data
+        |FROM seqd ORDER BY pid""".stripMargin)
   )
 }

@@ -2,21 +2,25 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.harmonize.Harmonize
-import graft.sources.{EventsAdapter, OrdersAdapter}
+import graft.sources.{EventsAdapter, LineitemAdapter, OrdersAdapter}
 
 /** The chemharmony domain pipeline end-to-end — SURVEY §3.1 (harmonize)
   * and §2.12 (the reference's embedded QC queries) over the TESTDATA
-  * tables, with the entire staging→canonicalize→re-key→aid chain replayed
-  * in DuckDB SQL as the oracle.
+  * tables, with the entire staging→canonicalize→re-key→smiles→aid chain
+  * replayed in DuckDB SQL as the oracle.
   *
-  * Two SourceAdapters (events, orders) stand in for the reference's 15
-  * integrators; the brick shape, id algebra (md5-of-canonical-JSON), and
-  * QC invariants are the reference's own.
+  * Three SourceAdapters (events, orders, and the composite chembl-shaped
+  * lineitem integrator) stand in for the reference's 15; the brick shape,
+  * id algebra (md5-of-canonical-JSON, aid over sid|pid|inchi|value,
+  * src/80_harmonize.py:83), structure enrichment (distinct inchi →
+  * convert → join back, py:72-73), and QC invariants are the
+  * reference's own.
   */
 object HarmonizeQueries extends QueryModule {
 
   private def brick(s: org.apache.spark.sql.SparkSession, d: String) =
-    Harmonize.cachedBrick(s, d, Seq(EventsAdapter, OrdersAdapter))
+    Harmonize.cachedBrick(s, d,
+      Seq(EventsAdapter, OrdersAdapter, LineitemAdapter))
 
   val queries: Map[String, Q] = Map(
     // Brick substances: union + canonicalize + md5 re-key
@@ -31,14 +35,17 @@ object HarmonizeQueries extends QueryModule {
       brick(s, d).properties.orderBy(col("pid"), col("source"))
     }),
 
-    // Brick activities QC profile: per-(source, value) counts, distinct
-    // aids, numvalue range (ref: src/80_harmonize.py:63-99 assembly +
-    // count assertions).
+    // Brick activities QC profile over the FULL reference schema:
+    // per-(source, value) counts, distinct aids, distinct joined-back
+    // smiles (the D2 enrichment), binary_value totals, numvalue range
+    // (ref: src/80_harmonize.py:63-99 assembly + count assertions).
     "h3_activities_qc" -> ((s, d) => {
       brick(s, d).activities
         .groupBy(col("source"), col("value"))
         .agg(count(lit(1)).as("n"),
           countDistinct(col("aid")).as("n_aids"),
+          countDistinct(col("smiles")).as("n_smiles"),
+          sum(col("binary_value")).as("n_pos"),
           min(col("numvalue")).as("min_num"),
           max(col("numvalue")).as("max_num"))
         .orderBy(col("source"), col("value"))
@@ -80,15 +87,23 @@ object HarmonizeQueries extends QueryModule {
       brick(s, d).activities
         .agg(count(lit(1)).as("n_raw"),
           countDistinct(col("aid")).as("n_aids"))
+    }),
+
+    // The composite integrator's staging output end-to-end: 3-way join →
+    // case_when decode → discordance filter → pair median → support
+    // filters → triplet (ref: src/02_integrate_chembl.R:24-86).
+    "h7_composite_integrator" -> ((s, d) => {
+      LineitemAdapter.staging(s, d).activities.orderBy(col("aid"))
     })
   )
 
   /** Shared oracle CTE chain replaying staging + harmonize in DuckDB.
     * The canonical `data` bytes are Python json.dumps style (': ' / ', '
     * separators — see CanonicalJson), built here by string concat since
-    * DuckDB's to_json is compact.
+    * DuckDB's to_json is compact. Shared with EnrichQueries (the
+    * enrichment stages read the same harmonized properties).
     */
-  private val actsCte: String =
+  private[queries] val actsCte: String =
     """WITH epair AS (
       |  SELECT user_id, event_type, quantile_cont(value, 0.5) AS numvalue
       |  FROM events GROUP BY 1, 2),
@@ -98,6 +113,7 @@ object HarmonizeQueries extends QueryModule {
       |eacts AS (
       |  SELECT md5('{"user_id": ' || CAST(user_id AS VARCHAR) || '}') AS sid,
       |    md5('{"event_type": "' || event_type || '"}') AS pid,
+      |    'InChI=1S/U' || CAST(user_id AS VARCHAR) AS inchi,
       |    CASE WHEN numvalue >= med THEN 'positive' ELSE 'negative' END AS value,
       |    numvalue, 'events' AS source
       |  FROM epair JOIN emed USING (event_type)),
@@ -112,19 +128,70 @@ object HarmonizeQueries extends QueryModule {
       |  SELECT md5('{"c_custkey": ' || CAST(c_custkey AS VARCHAR) ||
       |      ', "c_name": "' || c_name || '"}') AS sid,
       |    md5('{"o_orderpriority": "' || o_orderpriority || '"}') AS pid,
+      |    'InChI=1S/C' || CAST(o_custkey AS VARCHAR) AS inchi,
       |    CASE WHEN numvalue >= med THEN 'positive' ELSE 'negative' END AS value,
       |    numvalue, 'orders' AS source
       |  FROM opair
       |  JOIN omed USING (o_orderpriority)
       |  JOIN customer ON o_custkey = c_custkey),
+      |ldec AS (
+      |  SELECT md5('part:' || CAST(p_partkey AS VARCHAR)) AS sid,
+      |    md5('snation:' || CAST(s_nationkey AS VARCHAR)) AS pid,
+      |    s_nationkey, p_partkey, p_brand,
+      |    CASE WHEN l_returnflag = 'A' THEN 'positive'
+      |         WHEN l_returnflag = 'R' THEN 'negative'
+      |         WHEN l_returnflag = 'N' AND l_quantity >= 40 THEN 'positive'
+      |         WHEN l_returnflag = 'N' AND l_quantity <= 10 THEN 'negative'
+      |    END AS value,
+      |    l_extendedprice
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey),
+      |lconc AS (
+      |  SELECT * FROM (
+      |    SELECT sid, pid, s_nationkey, p_partkey, p_brand, value,
+      |      l_extendedprice,
+      |      min(value) OVER (PARTITION BY sid, pid)
+      |        = max(value) OVER (PARTITION BY sid, pid) AS single
+      |    FROM ldec WHERE value IS NOT NULL) WHERE single),
+      |lpairs AS (
+      |  SELECT sid, pid, s_nationkey, p_partkey, p_brand, value,
+      |    quantile_cont(l_extendedprice, 0.5) AS numvalue
+      |  FROM lconc GROUP BY 1, 2, 3, 4, 5, 6),
+      |lsupp AS (
+      |  SELECT * FROM (
+      |    SELECT *, count(*) OVER (PARTITION BY pid) AS nsid,
+      |      count(*) FILTER (WHERE value = 'positive')
+      |        OVER (PARTITION BY pid) AS npos,
+      |      count(*) FILTER (WHERE value = 'negative')
+      |        OVER (PARTITION BY pid) AS nneg
+      |    FROM lpairs)
+      |  WHERE nsid >= 20 AND npos >= 10 AND nneg >= 10),
+      |lacts AS (
+      |  -- staging ids (sid/pid above) are only the grouping keys; the
+      |  -- brick re-keys to md5(canonical data) — emit the FINAL ids here
+      |  -- like eacts/oacts do
+      |  SELECT
+      |    md5('{"p_brand": "' || p_brand || '", "p_partkey": ' ||
+      |      CAST(p_partkey AS VARCHAR) || '}') AS sid,
+      |    md5('{"s_nationkey": ' || CAST(s_nationkey AS VARCHAR) || '}')
+      |      AS pid,
+      |    'InChI=1S/P' || CAST(p_partkey AS VARCHAR) AS inchi,
+      |    value, numvalue, 'lineitem' AS source
+      |  FROM lsupp),
       |allacts AS (
-      |  SELECT md5(concat_ws('|', sid, pid, value)) AS aid,
-      |    sid, pid, source, value, numvalue
-      |  FROM (SELECT * FROM eacts UNION ALL SELECT * FROM oacts))
+      |  SELECT md5(concat_ws('|', sid, pid, inchi, value)) AS aid,
+      |    sid, pid, source, inchi,
+      |    'GS:' || substr(inchi, 10) AS smiles,
+      |    value,
+      |    CASE WHEN value = 'positive' THEN 1 ELSE 0 END AS binary_value,
+      |    numvalue
+      |  FROM (SELECT * FROM eacts UNION ALL SELECT * FROM oacts
+      |        UNION ALL SELECT * FROM lacts))
       |""".stripMargin
 
   val oracle: Map[String, String] = Map(
-    "h1_substances_brick" ->
+    "h1_substances_brick" -> (actsCte +
       """SELECT md5(data) AS sid, source, data FROM (
         |  SELECT 'events' AS source,
         |    '{"user_id": ' || CAST(user_id AS VARCHAR) || '}' AS data
@@ -133,10 +200,15 @@ object HarmonizeQueries extends QueryModule {
         |  SELECT 'orders',
         |    '{"c_custkey": ' || CAST(c_custkey AS VARCHAR) ||
         |      ', "c_name": "' || c_name || '"}'
-        |  FROM customer)
-        |ORDER BY sid, source""".stripMargin,
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT DISTINCT 'lineitem',
+        |    '{"p_brand": "' || p_brand || '", "p_partkey": ' ||
+        |      CAST(p_partkey AS VARCHAR) || '}'
+        |  FROM lsupp)
+        |ORDER BY sid, source""".stripMargin),
 
-    "h2_properties_brick" ->
+    "h2_properties_brick" -> (actsCte +
       """SELECT md5(data) AS pid, source, data FROM (
         |  SELECT 'events' AS source,
         |    '{"event_type": "' || event_type || '"}' AS data
@@ -144,11 +216,17 @@ object HarmonizeQueries extends QueryModule {
         |  UNION ALL
         |  SELECT 'orders',
         |    '{"o_orderpriority": "' || o_orderpriority || '"}' AS data
-        |  FROM (SELECT DISTINCT o_orderpriority FROM orders))
-        |ORDER BY pid, source""".stripMargin,
+        |  FROM (SELECT DISTINCT o_orderpriority FROM orders)
+        |  UNION ALL
+        |  SELECT DISTINCT 'lineitem',
+        |    '{"s_nationkey": ' || CAST(s_nationkey AS VARCHAR) || '}'
+        |  FROM lsupp)
+        |ORDER BY pid, source""".stripMargin),
 
     "h3_activities_qc" -> (actsCte +
       """SELECT source, value, count(*) AS n, count(DISTINCT aid) AS n_aids,
+        |  count(DISTINCT smiles) AS n_smiles,
+        |  CAST(SUM(binary_value) AS BIGINT) AS n_pos,
         |  min(numvalue) AS min_num, max(numvalue) AS max_num
         |FROM allacts GROUP BY 1, 2 ORDER BY source, value""".stripMargin),
 
@@ -166,7 +244,10 @@ object HarmonizeQueries extends QueryModule {
         |  FROM (SELECT DISTINCT event_type FROM events)
         |  UNION ALL
         |  SELECT 'orders', count(*)
-        |  FROM (SELECT DISTINCT o_orderpriority FROM orders)),
+        |  FROM (SELECT DISTINCT o_orderpriority FROM orders)
+        |  UNION ALL
+        |  SELECT 'lineitem', count(DISTINCT s_nationkey)
+        |  FROM lsupp),
         |apids AS (
         |  SELECT source, count(DISTINCT pid) AS n_apids
         |  FROM allacts GROUP BY 1)
@@ -178,6 +259,12 @@ object HarmonizeQueries extends QueryModule {
 
     "h6_dedup_idempotence" -> (actsCte +
       """SELECT count(*) AS n_raw, count(DISTINCT aid) AS n_aids
-        |FROM allacts""".stripMargin)
+        |FROM allacts""".stripMargin),
+
+    "h7_composite_integrator" -> (actsCte +
+      """SELECT 'lineitem-' || md5(sid || '|' || pid) AS aid,
+        |  sid, pid, 'InChI=1S/P' || CAST(p_partkey AS VARCHAR) AS inchi,
+        |  value, numvalue
+        |FROM lsupp ORDER BY aid""".stripMargin)
   )
 }

@@ -9,9 +9,17 @@ import graft.Tables
   *
   *   substances(sid, data)  — one row per entity, data = canonical JSON
   *   properties(pid, data)  — one row per endpoint
-  *   activities(aid, sid, pid, value, numvalue)
-  *       value ∈ {"positive","negative"}; numvalue carries the raw
-  *       magnitude the reference drops (README.md:24/37 gap, SURVEY §1.1).
+  *   activities(aid, sid, pid, inchi, value, numvalue)
+  *       inchi identifies the structure (the reference's staging
+  *       activities carry it for the harmonize-time smiles enrichment,
+  *       src/80_harmonize.py:72-73); value ∈ {"positive","negative"};
+  *       numvalue carries the raw magnitude the reference drops
+  *       (README.md:24/37 gap, SURVEY §1.1).
+  *
+  * The testdata tables have no chemical structures, so each adapter
+  * synthesizes a valid-format InChI from its natural substance key
+  * (`InChI=1S/<tag><key>`) — the structure ALGEBRA (distinct → convert →
+  * join back) is the thing under test, not chemistry.
   *
   * Staging ids are deterministic content hashes of the natural key
   * (SURVEY §4 decision 2) instead of the reference's per-group UUIDs —
@@ -64,9 +72,11 @@ object EventsAdapter extends SourceAdapter {
         when(col("numvalue") >= col("med"), "positive").otherwise("negative"))
       .withColumn("sid", sid)
       .withColumn("pid", pid)
+      .withColumn("inchi",
+        concat(lit("InChI=1S/U"), col("user_id").cast("string")))
       .withColumn("aid",
         concat(lit("events-"), md5(concat_ws("|", col("sid"), col("pid")))))
-      .select("aid", "sid", "pid", "value", "numvalue")
+      .select("aid", "sid", "pid", "inchi", "value", "numvalue")
 
     StagingTriplet(subs, props, acts)
   }
@@ -104,9 +114,11 @@ object DocumentsAdapter extends SourceAdapter {
         when(col("numvalue") >= col("med"), "positive").otherwise("negative"))
       .withColumn("sid", sid)
       .withColumn("pid", pid)
+      .withColumn("inchi",
+        concat(lit("InChI=1S/D"), col("doc_id").cast("string")))
       .withColumn("aid",
         concat(lit("documents-"), md5(concat_ws("|", col("sid"), col("pid")))))
-      .select("aid", "sid", "pid", "value", "numvalue")
+      .select("aid", "sid", "pid", "inchi", "value", "numvalue")
 
     StagingTriplet(subs, props, acts)
   }
@@ -147,9 +159,11 @@ object OrdersAdapter extends SourceAdapter {
         when(col("numvalue") >= col("med"), "positive").otherwise("negative"))
       .withColumn("sid", sidOf(col("o_custkey")))
       .withColumn("pid", pid)
+      .withColumn("inchi",
+        concat(lit("InChI=1S/C"), col("o_custkey").cast("string")))
       .withColumn("aid",
         concat(lit("orders-"), md5(concat_ws("|", col("sid"), col("pid")))))
-      .select("aid", "sid", "pid", "value", "numvalue")
+      .select("aid", "sid", "pid", "inchi", "value", "numvalue")
 
     StagingTriplet(subs, props, acts)
   }

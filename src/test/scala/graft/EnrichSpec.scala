@@ -35,6 +35,47 @@ class EnrichSpec extends SparkSpec {
     assert(calls.get() == callsAfterFirst, "second pass is all cache hits")
   }
 
+  test("out-of-vocabulary labels are rejected after the retry protocol") {
+    // the reference constrains categories to a closed resource list and
+    // raises after <=3 failed parses (src/helper/cache_helper.py:26-44)
+    val dir = Files.createTempDirectory("graft-vocab").toString + "/cache"
+    val rogue = new Enrich.Labeler {
+      def label(j: String): Seq[(String, String, Double)] =
+        Seq(("made-up-category", "not in vocabulary", 1.0))
+    }
+    val ex = intercept[Exception] {
+      Enrich.cachedLabel(spark, props, rogue, dir).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("out-of-vocabulary")), ex.toString)
+  }
+
+  test("RuleLabeler emits only closed-vocabulary categories") {
+    val cats = props.select("data").distinct().collect()
+      .flatMap(r => Enrich.RuleLabeler.label(r.getString(0)))
+      .map(_._1).toSet
+    assert(cats.subsetOf(Enrich.vocabulary), cats -- Enrich.vocabulary)
+    assert(Enrich.vocabularyTable(spark).count() == Enrich.vocabulary.size)
+  }
+
+  test("a stochastic labeler that recovers within maxAttempts succeeds") {
+    val dir = Files.createTempDirectory("graft-vocab2").toString + "/cache"
+    // first call per property drifts out of vocabulary, retry lands in it
+    val flaky = new Enrich.Labeler {
+      private val seen = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+      def label(j: String): Seq[(String, String, Double)] =
+        if (seen.putIfAbsent(j, true) == null)
+          Seq(("hallucinated", "first attempt", 0.0))
+        else Enrich.RuleLabeler.label(j)
+    }
+    val out = Enrich.cachedLabel(spark, props, flaky, dir)
+    assert(out.count() > 0)
+    val cats = out.select("category").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(cats.subsetOf(Enrich.vocabulary))
+  }
+
   test("titles are globally unique and deterministic") {
     val t1 = Enrich.titles(props)
     val t2 = Enrich.titles(props)

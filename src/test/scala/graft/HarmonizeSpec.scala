@@ -95,6 +95,23 @@ class HarmonizeSpec extends SparkSpec {
     assert(sources == Set("events", "orders", "documents"))
   }
 
+  test("composite lineitem integrator stages non-trivially and passes DataQuality") {
+    import graft.harmonize.DataQuality
+    import graft.sources.LineitemAdapter
+    val t = LineitemAdapter.staging(spark, sf())
+    assert(t.activities.count() > 0)
+    // support filters actually cut (the decode drops unmapped rows and
+    // discordance removes ambiguous pairs — the staging set must be a
+    // strict subset of the raw pairs)
+    assert(t.activities.count() <
+      Tables.lineitem(spark, sf()).select("l_partkey", "l_suppkey")
+        .distinct().count())
+    val b = Harmonize.brick(spark, sf(),
+      Seq(EventsAdapter, OrdersAdapter, LineitemAdapter))
+    val res = DataQuality.run(b, Set("events", "orders", "lineitem"))
+    assert(res.forall(_.passed), res.filterNot(_.passed).mkString("; "))
+  }
+
   test("incremental merge is bit-identical to a from-scratch rebuild") {
     import graft.harmonize.Harmonize
     import graft.sources.DocumentsAdapter
