@@ -26,6 +26,15 @@ import org.apache.spark.sql.graftbridge.Bridge
   *
   * At 100 TB this is the difference between sorting the corpus and
   * streaming it through fixed-size heaps.
+  *
+  * STATE BOUND (does not spill): the exec holds one k-heap per group
+  * per partition — memory is O(groups_per_partition × k × row_size),
+  * independent of total row count. That is fine for the normal case
+  * (group cardinality ≪ row count) but a pathological high-cardinality
+  * group key (every row its own group) degenerates to holding the
+  * partition in memory, where the window+sort formulation would spill.
+  * `TopK.topKPerGroupAuto` measures cardinality first and falls back to
+  * the window form when the heap state would exceed a caller-set bound.
   */
 case class TopKPerGroup(k: Int, groupCols: Seq[Attribute],
     order: SortOrder, child: LogicalPlan) extends UnaryNode {
@@ -104,5 +113,42 @@ object TopK {
       else org.apache.spark.sql.catalyst.expressions.Ascending)
     Bridge.ofRows(spark,
       TopKPerGroup(k, groupCols.map(attr), order, analyzed))
+  }
+
+  /** Spillable formulation of the same semantics: row_number over a
+    * (group, order) window + filter. Sorts every partition (O(n log n))
+    * but uses Spark's spill-capable sort — the safe path when group
+    * cardinality is high. Tie rows beyond k are dropped arbitrarily in
+    * both formulations.
+    */
+  def topKPerGroupBySort(df: DataFrame, groupCols: Seq[String],
+      orderCol: String, descending: Boolean, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ord = if (descending) col(orderCol).desc else col(orderCol).asc
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(ord)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Cardinality-guarded dispatch: estimate the distinct-group count
+    * with one cheap HLL aggregate (±2%), and use the native heap exec
+    * only while its worst-case retained state (groups × k rows) stays
+    * under `maxStateRows`; beyond that, take the spillable sort path.
+    * The extra scan is one map-side-combined aggregate over the group
+    * columns only — negligible next to either formulation.
+    */
+  def topKPerGroupAuto(df: DataFrame, groupCols: Seq[String],
+      orderCol: String, descending: Boolean, k: Int,
+      maxStateRows: Long = 4L << 20): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val nGroups = df.agg(
+      approx_count_distinct(struct(groupCols.map(col): _*)).as("n"))
+      .head().getLong(0)
+    if (nGroups * k <= maxStateRows)
+      topKPerGroup(df, groupCols, orderCol, descending, k)
+    else
+      topKPerGroupBySort(df, groupCols, orderCol, descending, k)
   }
 }

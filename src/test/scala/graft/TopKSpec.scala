@@ -40,4 +40,31 @@ class TopKSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getInt(1))).toSet
     assert(out == Set(("a", 1), ("a", 2), ("b", 9)))
   }
+
+  test("auto dispatch: high-cardinality groups take the spillable sort path") {
+    // every row its own group — the shape where the native exec's
+    // per-partition heap map degenerates to holding the whole partition
+    val wide = spark.range(0, 20000)
+      .selectExpr("id AS g", "cast(id % 977 AS double) AS v")
+    val auto = TopK.topKPerGroupAuto(wide, Seq("g"), "v",
+      descending = true, k = 2, maxStateRows = 1000)
+    val plan = auto.queryExecution.executedPlan.toString
+    assert(!plan.contains("TopKPerGroup"), plan)
+    assert(plan.contains("Window"), plan)
+    assert(auto.count() == 20000) // one row per singleton group
+
+    // bounded cardinality stays on the native heap exec
+    val narrow = spark.range(0, 20000)
+      .selectExpr("id % 7 AS g", "cast(id AS double) AS v")
+    val native = TopK.topKPerGroupAuto(narrow, Seq("g"), "v",
+      descending = true, k = 2, maxStateRows = 1000)
+    assert(native.queryExecution.executedPlan.toString
+      .contains("TopKPerGroup"))
+    assert(native.count() == 14)
+    // both paths agree on the retained (group, value) multiset
+    val bySort = TopK.topKPerGroupBySort(narrow, Seq("g"), "v",
+      descending = true, k = 2)
+    assert(native.exceptAll(bySort).count() == 0)
+    assert(bySort.exceptAll(native).count() == 0)
+  }
 }
