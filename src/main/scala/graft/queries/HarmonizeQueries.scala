@@ -94,6 +94,13 @@ object HarmonizeQueries extends QueryModule {
     // filters → triplet (ref: src/02_integrate_chembl.R:24-86).
     "h7_composite_integrator" -> ((s, d) => {
       LineitemAdapter.staging(s, d).activities.orderBy(col("aid"))
+    }),
+
+    // The ICE-shaped integrator end-to-end: cross-product negative
+    // synthesis + median binarization + deterministic per-endpoint
+    // class balancing (ref: src/06_integrate_ice.R:49-110).
+    "h8_ice_grid" -> ((s, d) => {
+      graft.sources.IceAdapter.staging(s, d).activities.orderBy(col("aid"))
     })
   )
 
@@ -265,6 +272,44 @@ object HarmonizeQueries extends QueryModule {
       """SELECT 'lineitem-' || md5(sid || '|' || pid) AS aid,
         |  sid, pid, 'InChI=1S/P' || CAST(p_partkey AS VARCHAR) AS inchi,
         |  value, numvalue
-        |FROM lsupp ORDER BY aid""".stripMargin)
+        |FROM lsupp ORDER BY aid""".stripMargin),
+
+    "h8_ice_grid" ->
+      """WITH obs AS (
+        |  SELECT o_custkey, o_orderpriority,
+        |    quantile_cont(o_totalprice, 0.5) AS numvalue
+        |  FROM orders GROUP BY 1, 2),
+        |med AS (
+        |  SELECT o_orderpriority, quantile_cont(numvalue, 0.5) AS med
+        |  FROM obs GROUP BY 1),
+        |grid AS (
+        |  SELECT u.o_custkey, t.o_orderpriority, o.numvalue,
+        |    CASE WHEN o.numvalue IS NULL THEN 'negative'
+        |         WHEN o.numvalue >= m.med THEN 'positive'
+        |         ELSE 'negative' END AS value
+        |  FROM (SELECT DISTINCT o_custkey FROM orders) u
+        |  CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) t
+        |  LEFT JOIN obs o ON o.o_custkey = u.o_custkey
+        |    AND o.o_orderpriority = t.o_orderpriority
+        |  JOIN med m ON m.o_orderpriority = t.o_orderpriority),
+        |cnts AS (
+        |  SELECT *,
+        |    count(*) OVER (PARTITION BY o_orderpriority, value) AS cnt
+        |  FROM grid),
+        |mins AS (
+        |  SELECT *, min(cnt) OVER (PARTITION BY o_orderpriority) AS minc,
+        |    row_number() OVER (PARTITION BY o_orderpriority, value
+        |      ORDER BY md5(CAST(o_custkey AS VARCHAR) || '|' ||
+        |        o_orderpriority)) AS rn
+        |  FROM cnts),
+        |bal AS (
+        |  SELECT md5('cust:' || CAST(o_custkey AS VARCHAR)) AS sid,
+        |    md5('prio:' || o_orderpriority) AS pid,
+        |    'InChI=1S/C' || CAST(o_custkey AS VARCHAR) AS inchi,
+        |    value, numvalue
+        |  FROM mins WHERE rn <= minc)
+        |SELECT 'icegrid-' || md5(sid || '|' || pid) AS aid,
+        |  sid, pid, inchi, value, numvalue
+        |FROM bal ORDER BY aid""".stripMargin
   )
 }

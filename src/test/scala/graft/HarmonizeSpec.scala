@@ -112,6 +112,32 @@ class HarmonizeSpec extends SparkSpec {
     assert(res.forall(_.passed), res.filterNot(_.passed).mkString("; "))
   }
 
+  test("ICE-shaped integrator balances classes and synthesizes negatives") {
+    import graft.harmonize.DataQuality
+    import graft.sources.IceAdapter
+    val acts = IceAdapter.staging(spark, sf()).activities
+    assert(acts.count() > 0)
+    // per-endpoint class balance: both classes down-sampled to the
+    // minority count (ref: src/06_integrate_ice.R:107-110)
+    val unbalanced = acts.groupBy("pid")
+      .agg(
+        sum(when(col("value") === "positive", 1).otherwise(0)).as("p"),
+        sum(when(col("value") === "negative", 1).otherwise(0)).as("n"))
+      .filter(col("p") =!= col("n"))
+    assert(unbalanced.count() == 0)
+    // synthesized negatives exist and carry NULL numvalue (the grid is
+    // larger than the observed pair set)
+    assert(acts.filter(col("numvalue").isNull &&
+      col("value") === "negative").count() > 0)
+    // five-source brick (all adapters incl. both composites) stays clean
+    val b5 = Harmonize.brick(spark, sf(), Seq(EventsAdapter, OrdersAdapter,
+      graft.sources.DocumentsAdapter, graft.sources.LineitemAdapter,
+      IceAdapter))
+    val res = DataQuality.run(b5,
+      Set("events", "orders", "documents", "lineitem", "icegrid"))
+    assert(res.forall(_.passed), res.filterNot(_.passed).mkString("; "))
+  }
+
   test("incremental merge is bit-identical to a from-scratch rebuild") {
     import graft.harmonize.Harmonize
     import graft.sources.DocumentsAdapter
