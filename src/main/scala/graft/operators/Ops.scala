@@ -164,6 +164,33 @@ object Ops {
       .drop("__is_left").drop(payload: _*)
   }
 
+  /** Sub-quadratic range join: (point, interval) pairs with equal `key`
+    * and `point.tsCol` ∈ [`startCol`, `endCol`] (inclusive, integer
+    * domain — callers encode open ends with ±1). Spark's built-in answer
+    * to a range predicate alongside an equi-key is a join on the key
+    * with the range as a post-filter — fine until one key is hot — or,
+    * with no key, a BroadcastNestedLoopJoin. This operator bins time:
+    * each point lands in exactly one `binWidth` bin, each interval
+    * explodes across the bins it spans, and the join becomes a pure
+    * equi-join on (key, bin) + exact range filter. A point's single bin
+    * matches each interval's bin list at most once, so no dedup pass is
+    * needed. Shuffle volume: |points| + Σ interval-spans — sub-quadratic
+    * and hash-partitioned, the shape that survives 100 TB. Pick
+    * `binWidth` ≈ the typical interval length (span factor ≈ 2).
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, key: String,
+      tsCol: String, startCol: String, endCol: String,
+      binWidth: Long): DataFrame = {
+    val p = points.withColumn("__bin",
+      floor(col(tsCol) / binWidth).cast("long"))
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(floor(col(startCol) / binWidth).cast("long"),
+        floor(col(endCol) / binWidth).cast("long"))))
+    p.join(iv, Seq(key, "__bin"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__bin")
+  }
+
   /** Skew-guard join: salt the big side's key with a deterministic hash
     * of `uniqueCol` into `saltFactor` sub-keys and explode the small side
     * across all salts, so one hot key spreads over `saltFactor`

@@ -179,6 +179,26 @@ object JoinQueries extends QueryModule {
         .agg(count(lit(1)).as("n_orders"),
           countDistinct(col("o_custkey")).as("n_custs"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // Range join (no Spark builtin for key + range without a post-filter
+    // nested loop — Ops.rangeJoin bins time into an equi-join): for each
+    // anchor order, the same customer's follow-up orders within 30 days
+    // after it. Bin width = 7 days; exclusive start via +1s (integer
+    // second domain).
+    "j13_range_join" -> ((s, d) => {
+      val day = 86400L
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        col("o_orderkey"), col("o_orderdate").cast("timestamp").cast("long").as("sec"))
+      val points = o.select(col("o_custkey"), col("o_orderkey"), col("sec"))
+      val anchors = o.select(col("o_custkey"),
+        col("o_orderkey").as("anchor_key"),
+        (col("sec") + 1).as("start"), (col("sec") + 30 * day).as("end"))
+      graft.operators.Ops.rangeJoin(points, anchors, "o_custkey",
+          "sec", "start", "end", binWidth = 7 * day)
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("anchor_key")).as("n_anchors_with_follower"),
+          countDistinct(col("o_orderkey")).as("n_followers"))
     })
   )
 
@@ -279,6 +299,19 @@ object JoinQueries extends QueryModule {
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  count(DISTINCT o_custkey) AS n_custs
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    // the oracle is the naive inequality join — the bin-join must be
+    // pair-identical to it
+    "j13_range_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(epoch(o_orderdate) AS BIGINT) AS sec
+        |  FROM orders)
+        |SELECT count(*) AS n_pairs,
+        |  count(DISTINCT a.o_orderkey) AS n_anchors_with_follower,
+        |  count(DISTINCT b.o_orderkey) AS n_followers
+        |FROM o a JOIN o b ON a.o_custkey = b.o_custkey
+        |  AND b.sec >= a.sec + 1 AND b.sec <= a.sec + 2592000""".stripMargin
   )
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Ops
+
+/** Ops.rangeJoin — the binned interval join. Result must be
+  * row-identical to the naive key-join + range-filter formulation, and
+  * the physical plan must be an equi-join on (key, bin), never a
+  * nested-loop.
+  */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val day = 86400L
+
+  private def framesFromOrders = {
+    val o = Tables.orders(spark, sf()).select(col("o_custkey"),
+      col("o_orderkey"), col("o_orderdate").cast("timestamp").cast("long").as("sec"))
+    val points = o.select(col("o_custkey"), col("o_orderkey"), col("sec"))
+    val anchors = o.select(col("o_custkey"),
+      col("o_orderkey").as("anchor_key"),
+      (col("sec") + 1).as("start"), (col("sec") + 30 * day).as("end"))
+    (points, anchors)
+  }
+
+  test("bin join is pair-identical to the naive range filter") {
+    val (points, anchors) = framesFromOrders
+    val binned = Ops.rangeJoin(points, anchors, "o_custkey",
+        "sec", "start", "end", binWidth = 7 * day)
+      .select("anchor_key", "o_orderkey")
+    val naive = points.join(anchors, Seq("o_custkey"))
+      .filter(col("sec") >= col("start") && col("sec") <= col("end"))
+      .select("anchor_key", "o_orderkey")
+    assert(binned.count() > 0)
+    assert(binned.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(binned).count() == 0)
+    // no duplicated pairs from the interval explosion
+    assert(binned.count() == binned.distinct().count())
+  }
+
+  test("plans as an equi-join on (key, bin), not a nested loop") {
+    val (points, anchors) = framesFromOrders
+    val plan = Ops.rangeJoin(points, anchors, "o_custkey",
+        "sec", "start", "end", binWidth = 7 * day)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("__bin"), plan)
+  }
+
+  test("intervals spanning many bins and empty results stay correct") {
+    val points = Seq((1L, 10L, 100L), (1L, 11L, 5000L), (2L, 12L, 100L))
+      .toDF("k", "id", "sec")
+    // one 50-bin-wide interval, one that matches nothing
+    val intervals = Seq((1L, 90L, 0L, 5000L), (2L, 91L, 900L, 950L))
+      .toDF("k", "ivid", "start", "end")
+    val out = Ops.rangeJoin(points, intervals, "k", "sec",
+        "start", "end", binWidth = 100L)
+      .select("ivid", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((90L, 10L), (90L, 11L)))
+  }
+}
