@@ -173,6 +173,27 @@ object SimilarityQueries extends QueryModule {
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF trainer: one full distributed Lloyd round (assign → recompute
+    // means → re-assign) of spherical k-means from a fixed init (the 8
+    // lowest vec_ids), reporting the final cluster census. The oracle
+    // replays the ENTIRE training round in SQL — possible only because
+    // assignment ties and the centroid means are deterministic
+    // (KMeans scaladoc).
+    "ann7_kmeans_train" -> ((s, d) => {
+      GraftFunctions.register(s)
+      import graft.operators.KMeans
+      val e = Tables.embeddings(s, d)
+      val init = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"),
+          expr("transform(embedding, x -> cast(x AS double))").as("cv"))
+      val trained = KMeans.lloyd(e, init, "vec_id", "embedding", iters = 1)
+      KMeans.assign(e, trained, "vec_id", "embedding")
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("label")).as("n_labels"))
+        .orderBy(col("cid"))
     })
   )
 
@@ -356,6 +377,40 @@ object SimilarityQueries extends QueryModule {
         |           b.embedding::DOUBLE[]))) DESC, b.vec_id) AS rank
         |  FROM probes p JOIN assigned b ON p.list_id = b.list_id
         |    AND p.query_id <> b.vec_id)
-        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // full Lloyd round replay: init -> assign -> decimal-exact means ->
+    // re-assign -> census
+    "ann7_kmeans_train" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, ev AS cv FROM v WHERE vec_id < 8),
+        |a1 AS (
+        |  SELECT vec_id, label, ev, cid FROM (
+        |    SELECT v.vec_id, v.label, v.ev, c.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_dot_product(v.ev, c.cv) /
+        |          (sqrt(list_dot_product(v.ev, v.ev)) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rk
+        |    FROM v CROSS JOIN c0 c) WHERE rk = 1),
+        |e1 AS (
+        |  SELECT cid, unnest(ev) AS e,
+        |    unnest(range(0, len(ev))) AS pos
+        |  FROM a1),
+        |m1 AS (
+        |  SELECT cid, pos,
+        |    CAST(sum(CAST(e AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c
+        |  FROM e1 GROUP BY 1, 2),
+        |c1 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM m1 GROUP BY 1),
+        |a2 AS (
+        |  SELECT vec_id, label, cid FROM (
+        |    SELECT v.vec_id, v.label, c.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_dot_product(v.ev, c.cv) /
+        |          (sqrt(list_dot_product(v.ev, v.ev)) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rk
+        |    FROM v CROSS JOIN c1 c) WHERE rk = 1)
+        |SELECT cid, count(*) AS n, count(DISTINCT label) AS n_labels
+        |FROM a2 GROUP BY 1 ORDER BY cid""".stripMargin
   )
 }
