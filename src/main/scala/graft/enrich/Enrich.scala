@@ -70,6 +70,9 @@ object Enrich {
     */
   lazy val vocabulary: Set[String] = {
     val in = getClass.getResourceAsStream("/category_vocabulary.txt")
+    if (in == null)
+      throw new IllegalStateException(
+        "category_vocabulary.txt missing from classpath (packaging error)")
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .map(_.trim).filter(_.nonEmpty).toSet
     finally in.close()

@@ -48,8 +48,12 @@ object Harmonize {
       adapters: Seq[SourceAdapter],
       converter: StructureConverter = StructureConverter.Stub): Brick =
     memo.synchronized {
+    // identity hash, not class name: two differently-configured
+    // instances of the same converter class must not share a brick
     val key = (spark, sfDir,
-      adapters.map(_.name).mkString(",") + "/" + converter.getClass.getName)
+      adapters.map(_.name).mkString(",") + "/" +
+        converter.getClass.getName + "@" +
+        System.identityHashCode(converter))
     memo.getOrElseUpdate(key, {
       val b = brick(spark, sfDir, adapters, converter)
       import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -101,10 +105,14 @@ object Harmonize {
     // D2 smiles enrichment, the reference's distinct-inchi → convert →
     // join-back step (py:72-73): the converter (an expensive chemistry
     // call in the real impl) runs once per DISTINCT structure, and the
-    // result joins back to the fact rows. No broadcast hint — the
+    // result joins back to the fact rows. The distinct scan reads the
+    // cheap PRE-join staging union (the reference's own shape, distinct
+    // over staging) — not the re-keyed frame, which would drag the
+    // sid/pid map joins under this branch too. No broadcast hint — the
     // distinct-structure set is substance-sized (17 GB at reference
     // scale), so AQE broadcasts only when it is actually small.
-    val inchiMap = rekeyed.select(col("inchi")).distinct()
+    val inchiMap = unionWithSource(_.activities).select(col("inchi"))
+      .distinct()
       .withColumn("smiles", converter.inchiToSmilesCol(col("inchi")))
 
     // binary_value mapping (py:68) + content-hash aid over
@@ -126,7 +134,7 @@ object Harmonize {
 
   /** Incremental harmonize: fold newly-staged sources into an existing
     * brick. Because every id is a content hash (sid/pid =
-    * md5(canonical data), aid = md5(sid|pid|value)), merging is plain
+    * md5(canonical data), aid = md5(sid|pid|inchi|value)), merging is plain
     * set union + distinct — no id reconciliation, no rewrite of
     * existing rows — and the result is BIT-IDENTICAL to rebuilding from
     * all sources at once (HarmonizeSpec proves it). This is the scale
