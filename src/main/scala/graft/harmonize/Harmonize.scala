@@ -65,8 +65,20 @@ object Harmonize {
 
   def brick(spark: SparkSession, sfDir: String,
       adapters: Seq[SourceAdapter],
+      converter: StructureConverter = StructureConverter.Stub): Brick =
+    brickFromStaged(adapters.map(a => a.name -> a.staging(spark, sfDir)),
+      converter)
+
+  /** The harmonize transformation over already-staged triplets — the
+    * adapter-independent core. Besides the batch path above, this is the
+    * micro-batch unit for STREAMING ingestion: a foreachBatch sink can
+    * harmonize each arriving staging slice and `merge` it into the
+    * accumulated brick; content-addressed ids make the result
+    * bit-identical to a one-shot batch build regardless of how rows
+    * were batched (HarmonizeStreamSpec proves it).
+    */
+  def brickFromStaged(staged: Seq[(String, graft.sources.StagingTriplet)],
       converter: StructureConverter = StructureConverter.Stub): Brick = {
-    val staged = adapters.map(a => a.name -> a.staging(spark, sfDir))
 
     def unionWithSource(pick: graft.sources.StagingTriplet => DataFrame)
         : DataFrame =

@@ -131,6 +131,34 @@ object DedupQueries extends QueryModule {
             .as("simhash_recall_ge_08"))
     }),
 
+    // LSH banding tradeoff — the (bands, rows-per-band) knob: 16 bands
+    // of 2 is the SENSITIVE operating point (catches a J=0.5 pair with
+    // p = 1-(1-0.5^2)^16 ≈ 0.99 vs ≈ 0.4 for the default 8×4) at the
+    // cost of a larger candidate set. The oracle pins the exact J>=0.5
+    // pair count; the flags assert the sensitive config reaches >=90%
+    // recall on that band AND pays for it with at least the default
+    // config's candidate volume.
+    "dd7_lsh_banding_tradeoff" -> ((s, d) => {
+      val sensitive = cachedCandidates(s, d, "minhash16x2") {
+        Dedup.minhashCandidates(cachedShingles(s, d),
+          numHashes = 32, rowsPerBand = 2)
+      }.select("da", "db")
+      val default = cachedCandidates(s, d, "minhash") {
+        Dedup.minhashCandidates(cachedShingles(s, d))
+      }.select("da", "db")
+      val truth = cachedJaccard(s, d).filter(col("j") >= 0.5)
+        .select("da", "db")
+      val missed = truth.join(sensitive, Seq("da", "db"), "left_anti")
+      truth.agg(count(lit(1)).as("n_true_ge05"))
+        .crossJoin(missed.agg(count(lit(1)).as("__miss")))
+        .crossJoin(sensitive.agg(count(lit(1)).as("__ns")))
+        .crossJoin(default.agg(count(lit(1)).as("__nd")))
+        .select(col("n_true_ge05"),
+          (col("__miss") * 10 <= col("n_true_ge05"))
+            .as("sensitive_recall_ge_09"),
+          (col("__ns") >= col("__nd")).as("sensitive_pays_in_candidates"))
+    }),
+
     // Dedup materialization: apply the greedy keep-lowest-id policy to
     // the J>=0.5 near-dup pairs and report the surviving corpus — what a
     // training pipeline actually emits.
@@ -227,6 +255,20 @@ object DedupQueries extends QueryModule {
         |SELECT count(CASE WHEN common * 1.0 / (sa.n_sh + sb.n_sh - common)
         |    >= 0.7 THEN 1 END) AS n_true_ge07,
         |  TRUE AS simhash_recall_ge_08
+        |FROM pairs JOIN sizes sa ON da = sa.doc_id
+        |JOIN sizes sb ON db = sb.doc_id""".stripMargin),
+
+    "dd7_lsh_banding_tradeoff" -> (shCte +
+      """, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+        |  FROM sh a JOIN sh b
+        |    ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT count(CASE WHEN common * 1.0 / (sa.n_sh + sb.n_sh - common)
+        |    >= 0.5 THEN 1 END) AS n_true_ge05,
+        |  TRUE AS sensitive_recall_ge_09,
+        |  TRUE AS sensitive_pays_in_candidates
         |FROM pairs JOIN sizes sa ON da = sa.doc_id
         |JOIN sizes sb ON db = sb.doc_id""".stripMargin),
 

@@ -47,6 +47,28 @@ class RangeJoinSpec extends SparkSpec {
     assert(plan.contains("__bin"), plan)
   }
 
+  test("seeded random points/intervals: binned equals naive") {
+    val rnd = new scala.util.Random(7)
+    val points = (0 until 500).map(i =>
+      (rnd.nextInt(20).toLong, i.toLong, rnd.nextInt(10000).toLong))
+      .toDF("k", "id", "sec")
+    val intervals = (0 until 200).map { i =>
+      val s = rnd.nextInt(10000).toLong
+      // widths from sub-bin to many-bin (bin width 300 below)
+      (rnd.nextInt(20).toLong, (1000 + i).toLong, s,
+        s + rnd.nextInt(2000).toLong)
+    }.toDF("k", "ivid", "start", "end")
+    val binned = Ops.rangeJoin(points, intervals, "k", "sec",
+        "start", "end", binWidth = 300L)
+      .select("ivid", "id")
+    val naive = points.join(intervals, Seq("k"))
+      .filter(col("sec") >= col("start") && col("sec") <= col("end"))
+      .select("ivid", "id")
+    assert(binned.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(binned).count() == 0)
+    assert(binned.count() == binned.distinct().count())
+  }
+
   test("intervals spanning many bins and empty results stay correct") {
     val points = Seq((1L, 10L, 100L), (1L, 11L, 5000L), (2L, 12L, 100L))
       .toDF("k", "id", "sec")
