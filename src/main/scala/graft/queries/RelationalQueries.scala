@@ -426,6 +426,36 @@ object RelationalQueries extends QueryModule {
               lit(1) - col("l_discount")) /
             dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount")))
             .as("promo_revenue_pct"))
+    }),
+
+    // TPC-H Q11-shaped important parts: per-group value filtered against
+    // a GLOBAL scalar fraction — the aggregate-vs-global-threshold shape
+    // (one extra scalar crossed into every group, no re-scan).
+    "q11_important_parts" -> ((s, d) => {
+      val perPart = Tables.lineitem(s, d).groupBy(col("l_partkey"))
+        .agg(dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount"))
+          .as("part_value"))
+      val total = perPart.agg(dsum(col("part_value")).as("total_value"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("part_value") > col("total_value") * 0.001)
+        .select(col("l_partkey"), col("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    }),
+
+    // TPC-H Q18-shaped large-volume customers: IN-over-grouped-HAVING —
+    // the aggregated-subquery semi-join shape (big orders found by a
+    // lineitem aggregate, then joined back through orders to customers).
+    "q18_large_volume" -> ((s, d) => {
+      val big = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
     })
   )
 
@@ -663,6 +693,36 @@ object RelationalQueries extends QueryModule {
         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
         |    CAST(1 - l_discount AS DECIMAL(18,4)) AS DECIMAL(28,4)))
         |    AS DOUBLE) AS promo_revenue_pct
-        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      CAST(1 - l_discount AS DECIMAL(18,4)) AS DECIMAL(28,4)))
+        |      AS DOUBLE) AS part_value
+        |  FROM lineitem GROUP BY 1),
+        |total AS (
+        |  SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_value
+        |  FROM per_part)
+        |SELECT l_partkey, part_value
+        |FROM per_part CROSS JOIN total
+        |WHERE part_value > total_value * 0.001
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+
+    "q18_large_volume" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING total_qty > 250)
+        |SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin
   )
 }
