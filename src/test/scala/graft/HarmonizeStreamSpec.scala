@@ -54,4 +54,44 @@ class HarmonizeStreamSpec extends SparkSpec {
     same(streamed.properties, oneShot.properties)
     same(streamed.activities, oneShot.activities)
   }
+
+  test("HarmonizeStreamJob drains a staging file stream into the batch brick") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-hstream").toString
+    val full = EventsAdapter.staging(spark, sf())
+    full.substances.write.parquet(s"$dir/staging/substances.parquet")
+    full.properties.write.parquet(s"$dir/staging/properties.parquet")
+    // activities arrive as two separate file drops
+    val acts = full.activities.cache()
+    val ids = acts.select("aid").as[String].collect().sorted
+    val cut = ids(ids.length / 2)
+    acts.filter(col("aid") <= cut).coalesce(1)
+      .write.mode("append").parquet(s"$dir/staging/activities")
+    acts.filter(col("aid") > cut).coalesce(1)
+      .write.mode("append").parquet(s"$dir/staging/activities")
+
+    val q = graft.streaming.HarmonizeStreamJob.run(spark, "events",
+      s"$dir/staging", s"$dir/out",
+      org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+
+    // highest epoch is the current brick
+    val epochs = new java.io.File(s"$dir/out").listFiles()
+      .map(_.getName).filter(_.startsWith("epoch="))
+      .map(_.stripPrefix("epoch=").toLong).sorted
+    assert(epochs.length >= 2, s"expected >=2 micro-batches, got $epochs")
+    val last = s"$dir/out/epoch=${epochs.max}"
+    val oneShot = Harmonize.brick(spark, sf(), Seq(EventsAdapter))
+    def same(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    }
+    same(spark.read.parquet(s"$last/substances.parquet"),
+      oneShot.substances)
+    same(spark.read.parquet(s"$last/properties.parquet"),
+      oneShot.properties)
+    same(spark.read.parquet(s"$last/activities.parquet"),
+      oneShot.activities)
+  }
 }
