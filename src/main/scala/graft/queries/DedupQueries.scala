@@ -173,6 +173,19 @@ object DedupQueries extends QueryModule {
         .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
     }),
 
+    // Dedup-group clustering: connected components over the J>=0.5
+    // near-dup graph (min-label propagation; the transitive closure the
+    // pairwise greedy policy of dd6 lacks), reported as a
+    // component-size census. Oracle: DuckDB recursive CTE reachability.
+    "dd8_components" -> ((s, d) => {
+      val pairs = cachedJaccard(s, d).filter(col("j") >= 0.5)
+        .select(col("da"), col("db"))
+      graft.operators.Graph.connectedComponents(pairs, "da", "db")
+        .groupBy(col("component")).agg(count(lit(1)).as("size"))
+        .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
+        .orderBy(col("size"))
+    }),
+
     // Embedding-cosine near-dup: brute-force pair scan (oracle-checked);
     // the bucketed scale path lives in SimilarityQueries.
     "dd5_embedding_cosine" -> ((s, d) => {
@@ -290,6 +303,32 @@ object DedupQueries extends QueryModule {
         |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
         |     WHERE doc_id NOT IN (SELECT doc_id FROM dropped)) AS kept_chars,
         |  (SELECT count(*) FROM dropped) AS n_dropped""".stripMargin),
+
+    "dd8_components" -> (shCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, shsizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |jpairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+        |  FROM sh a JOIN sh b
+        |    ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |e0 AS (
+        |  SELECT da, db FROM jpairs
+        |  JOIN shsizes sa ON da = sa.doc_id
+        |  JOIN shsizes sb ON db = sb.doc_id
+        |  WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.5),
+        |edges AS (
+        |  SELECT da AS a, db AS b FROM e0
+        |  UNION SELECT db, da FROM e0),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.b AS id, reach.r FROM reach JOIN edges e
+        |    ON reach.id = e.a),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1),
+        |csizes AS (SELECT component, count(*) AS size FROM comp GROUP BY 1)
+        |SELECT size, count(*) AS n_components
+        |FROM csizes GROUP BY 1 ORDER BY size""".stripMargin),
 
     "dd5_embedding_cosine" ->
       """SELECT count(*) AS n_pairs,

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Connected-components correctness on hand-built graphs where the
+  * component structure is known by construction, plus the transitivity
+  * property dd8 exists to provide (a~b, b~c groups {a,b,c} even when
+  * a~c is not an edge).
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("chain collapses to one component labeled by its min node") {
+    // 1-2-3-4-5 path: diameter 4, exercises multi-round propagation
+    val got = components(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("disjoint components keep separate min labels") {
+    val got = components(Seq((1L, 2L), (5L, 6L), (6L, 7L), (9L, 9L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 9L -> 9L))
+  }
+
+  test("transitive grouping: a~b, b~c puts a and c together without an a~c edge") {
+    val got = components(Seq((10L, 20L), (20L, 30L)))
+    assert(got(10L) == got(30L) && got(10L) == 10L)
+  }
+
+  test("edge direction does not matter") {
+    val fwd = components(Seq((1L, 2L), (2L, 3L)))
+    val rev = components(Seq((3L, 2L), (2L, 1L)))
+    assert(fwd == rev)
+  }
+
+  test("long chain converges within the round budget (diameter rounds)") {
+    // 15-node path needs 14 propagation rounds + 1 to confirm fixpoint,
+    // inside the default maxIters=20
+    val edges = (1L to 15L).sliding(2).map(w => (w(0), w(1))).toSeq
+    val out = Graph.connectedComponents(edges.toDF("a", "b"), "a", "b")
+    assert(out.as[(Long, Long)].collect().forall(_._2 == 1L))
+  }
+}
