@@ -66,7 +66,9 @@ object Harmonize {
   def brick(spark: SparkSession, sfDir: String,
       adapters: Seq[SourceAdapter],
       converter: StructureConverter = StructureConverter.Stub): Brick =
-    brickFromStaged(adapters.map(a => a.name -> a.staging(spark, sfDir)),
+    brickFromStaged(
+      adapters.map(a =>
+        a.name -> graft.sources.SourceAdapter.cachedStaging(a, spark, sfDir)),
       converter)
 
   /** The harmonize transformation over already-staged triplets — the

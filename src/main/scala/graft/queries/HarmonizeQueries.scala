@@ -93,14 +93,17 @@ object HarmonizeQueries extends QueryModule {
     // case_when decode → discordance filter → pair median → support
     // filters → triplet (ref: src/02_integrate_chembl.R:24-86).
     "h7_composite_integrator" -> ((s, d) => {
-      LineitemAdapter.staging(s, d).activities.orderBy(col("aid"))
+      graft.sources.SourceAdapter.cachedStaging(LineitemAdapter, s, d)
+        .activities.orderBy(col("aid"))
     }),
 
     // The ICE-shaped integrator end-to-end: cross-product negative
     // synthesis + median binarization + deterministic per-endpoint
     // class balancing (ref: src/06_integrate_ice.R:49-110).
     "h8_ice_grid" -> ((s, d) => {
-      graft.sources.IceAdapter.staging(s, d).activities.orderBy(col("aid"))
+      graft.sources.SourceAdapter
+        .cachedStaging(graft.sources.IceAdapter, s, d)
+        .activities.orderBy(col("aid"))
     })
   )
 

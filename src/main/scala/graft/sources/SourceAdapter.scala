@@ -33,6 +33,31 @@ trait SourceAdapter {
   def staging(spark: SparkSession, sfDir: String): StagingTriplet
 }
 
+object SourceAdapter {
+
+  /** Session-scoped memo of staged triplets, persisted MEMORY_AND_DISK —
+    * same policy as Harmonize.cachedBrick. The composite stagings
+    * (LineitemAdapter, IceAdapter) run full multi-window pipelines; the
+    * end-to-end queries (h7/h8) and the brick build each need the same
+    * deterministic output, so it is computed once per (session, sfDir,
+    * adapter) and shared. Keyed by adapter name — adapters are
+    * stateless objects, so name identifies the computation.
+    */
+  private val memo = scala.collection.mutable.Map
+    .empty[(SparkSession, String, String), StagingTriplet]
+
+  def cachedStaging(a: SourceAdapter, spark: SparkSession,
+      sfDir: String): StagingTriplet = memo.synchronized {
+    memo.getOrElseUpdate((spark, sfDir, a.name), {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val t = a.staging(spark, sfDir)
+      StagingTriplet(t.substances.persist(MEMORY_AND_DISK),
+        t.properties.persist(MEMORY_AND_DISK),
+        t.activities.persist(MEMORY_AND_DISK))
+    })
+  }
+}
+
 /** Events-as-assay adapter: user = substance, event_type = property, a
   * user's per-type median value binarized against the per-type median of
   * those medians — the toxvaldb integrator's exact shape
