@@ -43,6 +43,62 @@ case class TopKPerGroup(k: Int, groupCols: Seq[Attribute],
       : TopKPerGroup = copy(child = newChild)
 }
 
+/** The shared per-partition bounded-heap pass: retain the k best rows
+  * of each group seen in this partition. Used by both phases — the
+  * top-k reduction is idempotent and composable (local top-k never
+  * evicts a row that could be in the global top-k of its group), the
+  * same algebra that makes partial aggregation sound.
+  */
+private[plans] object TopKHeap {
+  def partitionTopK(iter: Iterator[InternalRow], kLocal: Int,
+      groupColsLocal: Seq[Attribute], orderLocal: SortOrder,
+      childOutput: Seq[Attribute]): Iterator[InternalRow] = {
+    val ordering = GenerateOrdering.generate(Seq(orderLocal), childOutput)
+    val groupProj = org.apache.spark.sql.catalyst.expressions
+      .UnsafeProjection.create(groupColsLocal, childOutput)
+    // per-group bounded heap: head = worst retained row
+    val heaps = new java.util.HashMap[InternalRow,
+      java.util.PriorityQueue[InternalRow]]()
+    iter.foreach { row =>
+      val key = groupProj(row)
+      var heap = heaps.get(key)
+      if (heap == null) {
+        heap = new java.util.PriorityQueue[InternalRow](
+          kLocal + 1, ordering.reverse)
+        heaps.put(key.copy(), heap)
+      }
+      if (heap.size < kLocal) heap.add(row.copy())
+      else if (ordering.compare(row, heap.peek()) < 0) {
+        heap.poll(); heap.add(row.copy())
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    heaps.values().asScala.iterator.flatMap(_.iterator().asScala)
+  }
+}
+
+/** Map-side phase: local top-k per input partition, on whatever
+  * partitioning the child already has (no required distribution). Caps
+  * the rows entering the exchange at maps × groups × k — the top-k
+  * analogue of a partial aggregate. Output partitioning is passed
+  * through so an already-clustered child (bucketed scan) still elides
+  * the exchange above.
+  */
+case class TopKPerGroupPartialExec(k: Int, groupCols: Seq[Attribute],
+    order: SortOrder, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (kL, gL, oL, out) = (k, groupCols, order, child.output)
+    child.execute().mapPartitions(
+      TopKHeap.partitionTopK(_, kL, gL, oL, out))
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan)
+      : TopKPerGroupPartialExec = copy(child = newChild)
+}
+
 case class TopKPerGroupExec(k: Int, groupCols: Seq[Attribute],
     order: SortOrder, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
@@ -52,33 +108,9 @@ case class TopKPerGroupExec(k: Int, groupCols: Seq[Attribute],
     Seq(ClusteredDistribution(groupCols))
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val kLocal = k
-    val groupColsLocal = groupCols
-    val orderLocal = order
-    val childOutput = child.output
-    child.execute().mapPartitions { iter =>
-      val ordering = GenerateOrdering.generate(Seq(orderLocal), childOutput)
-      val groupProj = org.apache.spark.sql.catalyst.expressions
-        .UnsafeProjection.create(groupColsLocal, childOutput)
-      // per-group bounded heap: head = worst retained row
-      val heaps = new java.util.HashMap[InternalRow,
-        java.util.PriorityQueue[InternalRow]]()
-      iter.foreach { row =>
-        val key = groupProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](
-            kLocal + 1, ordering.reverse)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < kLocal) heap.add(row.copy())
-        else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy())
-        }
-      }
-      import scala.jdk.CollectionConverters._
-      heaps.values().asScala.iterator.flatMap(_.iterator().asScala)
-    }
+    val (kL, gL, oL, out) = (k, groupCols, order, child.output)
+    child.execute().mapPartitions(
+      TopKHeap.partitionTopK(_, kL, gL, oL, out))
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan)
@@ -88,7 +120,9 @@ case class TopKPerGroupExec(k: Int, groupCols: Seq[Attribute],
 object TopKStrategy extends Strategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(k, groupCols, order, child) =>
-      TopKPerGroupExec(k, groupCols, order, planLater(child)) :: Nil
+      // two-phase: partial heaps before the exchange, final heaps after
+      TopKPerGroupExec(k, groupCols, order,
+        TopKPerGroupPartialExec(k, groupCols, order, planLater(child))) :: Nil
     case _ => Nil
   }
 }

@@ -48,13 +48,20 @@ object SortSampleQueries extends QueryModule {
     // O4: stratified exact-n sampling — n rows per stratum, selected by a
     // content-hash order so the sample is stable across runs and engines
     // (ref: src/06_integrate_ice.R:107-110, made deterministic).
+    // Deterministic sampling IS top-k on the content hash, so it runs on
+    // the native two-phase heap operator: the window form sorts each
+    // stratum in full (3 strata = 3 near-global sorts at scale), the
+    // heap form streams the table through fixed 50-heaps and shuffles
+    // only maps × strata × 50 rows. The hash key is unique per row, so
+    // the selected set is identical to the row_number formulation.
     "o4_stratified_sample" -> ((s, d) => {
       val hk = md5(concat_ws("|", col("l_orderkey"), col("l_linenumber")))
-      val w = Window.partitionBy(col("l_returnflag")).orderBy(hk)
-      Tables.lineitem(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 50)
-        .groupBy(col("l_returnflag"))
+      val sampled = graft.plans.TopK.topKPerGroup(
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+          .withColumn("hk", hk),
+        Seq("l_returnflag"), "hk", desc = false, k = 50)
+      sampled.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_sampled"),
           countDistinct(col("l_orderkey")).as("n_orders"))
         .orderBy(col("l_returnflag"))

@@ -34,6 +34,20 @@ class TopKSpec extends SparkSpec {
       "group clustering exchange expected")
   }
 
+  test("partial heaps run map-side, below the exchange") {
+    val ev = Tables.events(spark, sf()).select("event_type", "value")
+    val native = TopK.topKPerGroup(ev, Seq("event_type"), "value",
+      desc = true, k = 3)
+    val s = native.queryExecution.executedPlan.toString
+    val iPartial = s.indexOf("TopKPerGroupPartial")
+    val iExchange = s.indexOf("Exchange hashpartitioning")
+    assert(iPartial >= 0, s)
+    // tree prints final phase first, then the exchange, then the
+    // map-side partial — i.e. the partial caps what the shuffle carries
+    assert(iExchange >= 0 && iExchange < iPartial,
+      s"partial phase must sit below the exchange:\n$s")
+  }
+
   test("ascending mode and k larger than group size") {
     val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9)).toDF("g", "v")
     val out = TopK.topKPerGroup(df, Seq("g"), "v", desc = false, k = 2)
