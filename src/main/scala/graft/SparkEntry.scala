@@ -18,6 +18,7 @@ object SparkEntry {
     HarmonizeQueries,
     TextQueries,
     DedupQueries,
+    CurationQueries,
     SimilarityQueries,
     StreamingQueries,
     MultimodalQueries,

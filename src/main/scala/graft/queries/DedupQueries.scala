@@ -46,7 +46,7 @@ object DedupQueries extends QueryModule {
     .Map.empty[(SparkSession, String), DataFrame]
 
   /** Jaccard pair frame shared by dd2 (census) and dd6 (materialize). */
-  private def cachedJaccard(s: SparkSession, d: String): DataFrame =
+  private[queries] def cachedJaccard(s: SparkSession, d: String): DataFrame =
     jMemo.synchronized {
       jMemo.getOrElseUpdate((s, d),
         Dedup.jaccardPairs(cachedShingles(s, d))
@@ -207,7 +207,7 @@ object DedupQueries extends QueryModule {
     })
   )
 
-  private val shCte: String =
+  private[queries] val shCte: String =
     """WITH t AS (
       |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
       |  WHERE len(string_split(text, ' ')) >= 3),
