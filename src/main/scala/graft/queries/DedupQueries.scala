@@ -70,6 +70,23 @@ object DedupQueries extends QueryModule {
         build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
+  /** Connected components of the J>=0.5 near-dup graph, shared by the
+    * census (dd8) and the transitive materialization (dd9). The result
+    * comes back already checkpointed+cached by the operator, so it is
+    * stored as-is (no second persist).
+    */
+  private val compMemo = scala.collection.mutable
+    .Map.empty[(SparkSession, String), DataFrame]
+
+  private def cachedComponents(s: SparkSession, d: String): DataFrame =
+    compMemo.synchronized {
+      compMemo.getOrElseUpdate((s, d),
+        graft.operators.Graph.connectedComponents(
+          cachedJaccard(s, d).filter(col("j") >= 0.5)
+            .select(col("da"), col("db")),
+          "da", "db"))
+    }
+
   val queries: Map[String, Q] = Map(
     // Exact + normalized-exact dedup: hash-groupBy on content hash.
     "dd1_exact_dedup" -> ((s, d) => {
@@ -178,12 +195,26 @@ object DedupQueries extends QueryModule {
     // pairwise greedy policy of dd6 lacks), reported as a
     // component-size census. Oracle: DuckDB recursive CTE reachability.
     "dd8_components" -> ((s, d) => {
-      val pairs = cachedJaccard(s, d).filter(col("j") >= 0.5)
-        .select(col("da"), col("db"))
-      graft.operators.Graph.connectedComponents(pairs, "da", "db")
+      cachedComponents(s, d)
         .groupBy(col("component")).agg(count(lit(1)).as("size"))
         .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
         .orderBy(col("size"))
+    }),
+
+    // Component-based dedup materialization: keep each component's
+    // minimum doc_id (= its label), drop the rest — the TRANSITIVE
+    // keep policy dd6's pairwise greedy form approximates. Per-lang
+    // census of the surviving corpus.
+    "dd9_component_dedup" -> ((s, d) => {
+      val dropped = cachedComponents(s, d)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      Tables.documents(s, d)
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("kept_chars"))
+        .orderBy(col("lang"))
     }),
 
     // Embedding-cosine near-dup: brute-force pair scan (oracle-checked);
@@ -329,6 +360,35 @@ object DedupQueries extends QueryModule {
         |csizes AS (SELECT component, count(*) AS size FROM comp GROUP BY 1)
         |SELECT size, count(*) AS n_components
         |FROM csizes GROUP BY 1 ORDER BY size""".stripMargin),
+
+    "dd9_component_dedup" -> (shCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, shsizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |jpairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+        |  FROM sh a JOIN sh b
+        |    ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |e0 AS (
+        |  SELECT da, db FROM jpairs
+        |  JOIN shsizes sa ON da = sa.doc_id
+        |  JOIN shsizes sb ON db = sb.doc_id
+        |  WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.5),
+        |edges AS (
+        |  SELECT da AS a, db AS b FROM e0
+        |  UNION SELECT db, da FROM e0),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.b AS id, reach.r FROM reach JOIN edges e
+        |    ON reach.id = e.a),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1),
+        |dropped AS (SELECT id AS doc_id FROM comp WHERE id <> component)
+        |SELECT lang, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
+        |FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |GROUP BY 1 ORDER BY lang""".stripMargin),
 
     "dd5_embedding_cosine" ->
       """SELECT count(*) AS n_pairs,
