@@ -73,13 +73,26 @@ object Dedup {
     */
   def minhashCandidates(sh: DataFrame, numHashes: Int = 32,
       rowsPerBand: Int = 4): DataFrame = {
-    val nBands = numHashes / rowsPerBand
     val minh = minhashSignatures(sh, numHashes)
-    val bands = minh.select(col("doc_id"), posexplode(expr(
+    candidatesFrom(minh, bandsOf(minh, numHashes, rowsPerBand), numHashes)
+  }
+
+  /** Banding projection of a signature frame: (doc_id, band, band_key). */
+  private def bandsOf(minh: DataFrame, numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    minh.select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${nBands - 1}), b -> md5(concat_ws(',', " +
           s"transform(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), " +
           "v -> cast(v AS string)))))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+  }
+
+  /** Candidate pairs + estimated Jaccard from a (signatures, bands)
+    * index — freshly built or read back from parquet.
+    */
+  private def candidatesFrom(minh: DataFrame, bands: DataFrame,
+      numHashes: Int): DataFrame = {
     val bb = bands.select(col("doc_id").as("db"), col("band"), col("band_key"))
     val cand = bands.join(bb, Seq("band", "band_key"))
       .filter(col("doc_id") < col("db"))
@@ -92,6 +105,30 @@ object Dedup {
           s"(a, v) -> a + v) / cast($numHashes AS double)"))
       .select("da", "db", "est_j")
   }
+
+  /** Materialize the minhash index as a cross-session parquet artifact:
+    * `<path>/signatures` (doc_id, sig) and `<path>/bands`
+    * (doc_id, band_key, partitioned by band). At corpus scale the index
+    * is built once alongside the data and incrementally appended as
+    * documents arrive; band-partitioning means a candidate query scans
+    * band buckets independently (partition pruning per band).
+    */
+  def writeMinhashIndex(sh: DataFrame, path: String, numHashes: Int = 32,
+      rowsPerBand: Int = 4): Unit = {
+    val minh = minhashSignatures(sh, numHashes)
+    minh.write.mode("overwrite").parquet(s"$path/signatures")
+    bandsOf(minh, numHashes, rowsPerBand)
+      .write.partitionBy("band").mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** Candidate pairs from a written index — no re-shingling, no
+    * signature recompute; the expensive build is amortized across every
+    * dedup run that reads it.
+    */
+  def minhashCandidatesFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, numHashes: Int = 32): DataFrame =
+    candidatesFrom(spark.read.parquet(s"$path/signatures"),
+      spark.read.parquet(s"$path/bands"), numHashes)
 
   /** 64-bit SimHash per doc from term-frequency-weighted word hashes.
     * One codegen'd HashAggregate with 64 primitive sum slots — the j-th
