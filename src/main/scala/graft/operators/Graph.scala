@@ -77,4 +77,87 @@ object Graph {
     }
     labels
   }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond") — the LONG-CHAIN scale path: rounds are O(log² n)
+    * regardless of diameter, where plain min-label propagation needs
+    * diameter rounds (a million-hop chain = a million joins).
+    *
+    *   large-star(u): m = min(Γ(u) ∪ {u}); hang every LARGER neighbor
+    *     v > u off m.
+    *   small-star(u): m = min(Γ⁻(u) ∪ {u}) over the not-larger
+    *     neighbors Γ⁻(u) = {v ∈ Γ(u): v ≤ u}; hang Γ⁻(u) and u off m.
+    *
+    * Each step is one groupBy-min + one equi-join on the edge list —
+    * the same shuffle shape as a propagation round, there are just far
+    * fewer of them. At fixpoint the edge list IS the component map
+    * (every node points at its component's minimum), so convergence ==
+    * the edge multiset checksum (count + decimal endpoint sum) going
+    * stable, one cheap two-row aggregate per round; the checksum is a
+    * stand-in for set equality that GraphSpec backs with exact
+    * equivalence tests against plain propagation. Per-round frames are
+    * localCheckpointed for the same lineage reason as above. Returns
+    * (id, component) — identical contract to connectedComponents.
+    */
+  def connectedComponentsStar(edges: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 30): DataFrame = {
+    val raw = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    // nodes from the unfiltered input: a node seen only in self-pairs
+    // is its own singleton component, same as the propagation variant
+    val nodes = raw.select(col("a").as("id"))
+      .union(raw.select(col("b").as("id"))).distinct()
+      .localCheckpoint()
+    val init = raw.filter(col("a") =!= col("b")).distinct()
+
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("b").as("a"), col("a").as("b")))
+
+    // one star step over the symmetric adjacency: hang the selected
+    // neighbor set of every u off m(u)
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val adj = sym(e)
+      val mins = adj.groupBy(col("a"))
+        .agg(min(col("b")).as("__nb"))
+        .select(col("a"), least(col("a"), col("__nb")).as("m"))
+      val joined = adj.join(mins, "a")
+      val hung =
+        if (large)
+          joined.filter(col("b") > col("a"))
+            .select(col("b").as("a"), col("m").as("b"))
+        else
+          joined.filter(col("b") <= col("a"))
+            .select(col("b").as("a"), col("m").as("b"))
+            .union(mins.select(col("a"), col("m").as("b")))
+      hung.filter(col("a") =!= col("b")).distinct()
+    }
+
+    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)).as("n"),
+        sum(col("a").cast("decimal(38,0)") * 1000003L + col("b")).as("s"))
+        .head
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    var e = init.localCheckpoint()
+    var prev = checksum(e)
+    var converged = e.isEmpty
+    var i = 0
+    while (!converged && i < maxIters) {
+      val next = star(star(e, large = true), large = false).localCheckpoint()
+      val cs = checksum(next)
+      e.unpersist()
+      e = next
+      converged = cs._1 == prev._1 && cs._2.compareTo(prev._2) == 0
+      prev = cs
+      i += 1
+    }
+    // fixpoint edges are (child -> component-min); component minima
+    // themselves appear only on the right, and isolated self-pair
+    // inputs appear in neither — label both with themselves
+    nodes.join(e.select(col("a").as("id"), col("b").as("component")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
 }

@@ -45,4 +45,38 @@ class GraphSpec extends SparkSpec {
     val out = Graph.connectedComponents(edges.toDF("a", "b"), "a", "b")
     assert(out.as[(Long, Long)].collect().forall(_._2 == 1L))
   }
+
+  private def componentsStar(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponentsStar(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("star variant agrees with propagation on chains, forks and self-pairs") {
+    val cases = Seq(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)),
+      Seq((1L, 2L), (5L, 6L), (6L, 7L), (9L, 9L)),
+      Seq((10L, 20L), (20L, 30L)),
+      Seq((3L, 2L), (2L, 1L), (7L, 8L), (8L, 6L), (6L, 7L)))
+    cases.foreach { es =>
+      assert(componentsStar(es) == components(es), s"disagree on $es")
+    }
+  }
+
+  test("star variant collapses a chain far deeper than its round budget") {
+    // 200-hop path: propagation would need 199 rounds; large/small-star
+    // contracts it within the default 30 (O(log^2 n))
+    val edges = (1L to 200L).sliding(2).map(w => (w(0), w(1))).toSeq
+    val out = componentsStar(edges)
+    assert(out.size == 200 && out.values.forall(_ == 1L))
+  }
+
+  test("star variant on branching graphs with cycles matches propagation") {
+    // two shallow 7-ary trees (depth ~3, inside propagation's budget)
+    // plus extra in-tree cross links that create cycles — deterministic,
+    // no RNG
+    val treeA = (1L to 400L).map(i => (i, i / 7))
+    val treeB = (1L to 300L).map(i => (1000L + i, 1000L + i / 5))
+    val cycles = (50L to 400L by 50L).map(i => (i, i - 3))
+    val edges = (treeA ++ treeB ++ cycles).filter { case (a, b) => a != b }
+    assert(componentsStar(edges) == components(edges))
+  }
 }
