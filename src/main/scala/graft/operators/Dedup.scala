@@ -114,21 +114,45 @@ object Dedup {
     * band buckets independently (partition pruning per band).
     */
   def writeMinhashIndex(sh: DataFrame, path: String, numHashes: Int = 32,
-      rowsPerBand: Int = 4): Unit = {
+      rowsPerBand: Int = 4): Unit =
+    writeMinhashIndexMode(sh, path, numHashes, rowsPerBand, "overwrite")
+
+  /** Incremental build: append only the NEW documents' shingles as the
+    * corpus grows — no rebuild of the existing index. Signatures are a
+    * pure function of a document's shingles, so a document appended
+    * twice yields byte-identical rows and the read path's
+    * dedup-on-read collapses them (same single-writer-append +
+    * dedup-on-read policy as CachedLookupSource).
+    *
+    * Caveat: `shingles` df-pruning is relative to the frame it is
+    * given — prune within each increment (or pass pre-pruned shingles
+    * from a corpus-wide df table) if hot-shingle cutoffs must match a
+    * one-shot build at scale.
+    */
+  def appendMinhashIndex(sh: DataFrame, path: String, numHashes: Int = 32,
+      rowsPerBand: Int = 4): Unit =
+    writeMinhashIndexMode(sh, path, numHashes, rowsPerBand, "append")
+
+  private def writeMinhashIndexMode(sh: DataFrame, path: String,
+      numHashes: Int, rowsPerBand: Int, mode: String): Unit = {
     val minh = minhashSignatures(sh, numHashes)
-    minh.write.mode("overwrite").parquet(s"$path/signatures")
+    minh.write.mode(mode).parquet(s"$path/signatures")
     bandsOf(minh, numHashes, rowsPerBand)
-      .write.partitionBy("band").mode("overwrite").parquet(s"$path/bands")
+      .write.partitionBy("band").mode(mode).parquet(s"$path/bands")
   }
 
   /** Candidate pairs from a written index — no re-shingling, no
     * signature recompute; the expensive build is amortized across every
-    * dedup run that reads it.
+    * dedup run that reads it. dropDuplicates makes appended re-writes
+    * of the same document harmless (deterministic signatures ⇒ exact
+    * duplicate rows).
     */
   def minhashCandidatesFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, numHashes: Int = 32): DataFrame =
-    candidatesFrom(spark.read.parquet(s"$path/signatures"),
-      spark.read.parquet(s"$path/bands"), numHashes)
+    candidatesFrom(
+      spark.read.parquet(s"$path/signatures").dropDuplicates("doc_id"),
+      spark.read.parquet(s"$path/bands").dropDuplicates(),
+      numHashes)
 
   /** 64-bit SimHash per doc from term-frequency-weighted word hashes.
     * One codegen'd HashAggregate with 64 primitive sum slots — the j-th
@@ -160,8 +184,13 @@ object Dedup {
   /** SimHash candidates via 4×16-bit pigeonhole blocks (any pair with
     * hamming ≤ 3 shares an exact block) → (da, db, hamming).
     */
-  def simhashCandidates(docs: DataFrame): DataFrame = {
-    val sim = simhashSignatures(docs)
+  def simhashCandidates(docs: DataFrame): DataFrame =
+    simhashCandidatesFromSignatures(simhashSignatures(docs))
+
+  /** SimHash candidate generation from a signature frame — freshly
+    * built or read back from a written index.
+    */
+  private def simhashCandidatesFromSignatures(sim: DataFrame): DataFrame = {
     val blocks = sim.select(col("doc_id"), explode(expr(
         "transform(sequence(0, 3), b -> named_struct(" +
           "'blk', b, 'bval', shiftright(simhash, b * 16) & 65535))"))
@@ -176,4 +205,16 @@ object Dedup {
     cand.join(simA, Seq("da")).join(simB, Seq("db"))
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
   }
+
+  /** Persist the SimHash index: one (doc_id, simhash) parquet table —
+    * the signature is the whole artifact (blocks are derived on read,
+    * a cheap shift/mask projection). Same cross-session amortization
+    * story as the minhash index.
+    */
+  def writeSimhashIndex(docs: DataFrame, path: String): Unit =
+    simhashSignatures(docs).write.mode("overwrite").parquet(path)
+
+  def simhashCandidatesFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    simhashCandidatesFromSignatures(spark.read.parquet(path))
 }

@@ -24,6 +24,41 @@ class DedupIndexSpec extends SparkSpec {
     assert(fromDisk.count() > 0, "planted near-dups should yield candidates")
   }
 
+  test("incremental append grows the index; re-appends are collapsed on read") {
+    val docs = Tables.documents(spark, sf())
+    val first = docs.filter(col("doc_id") < 30)
+    val rest = docs.filter(col("doc_id") >= 30)
+    val path = Files.createTempDirectory("graft-mhinc").toString + "/idx"
+
+    Dedup.writeMinhashIndex(Dedup.shingles(first), path)
+    Dedup.appendMinhashIndex(Dedup.shingles(rest), path)
+    val incremental = Dedup.minhashCandidatesFromIndex(spark, path)
+      .select("da", "db", "est_j")
+    val oneShot = Dedup.minhashCandidates(Dedup.shingles(docs))
+      .select("da", "db", "est_j")
+    assert(incremental.exceptAll(oneShot).count() == 0)
+    assert(oneShot.exceptAll(incremental).count() == 0)
+
+    // appending the same slice again must not change the candidate set
+    Dedup.appendMinhashIndex(Dedup.shingles(rest), path)
+    val after = Dedup.minhashCandidatesFromIndex(spark, path)
+      .select("da", "db", "est_j")
+    assert(after.exceptAll(oneShot).count() == 0)
+    assert(oneShot.exceptAll(after).count() == 0)
+  }
+
+  test("written simhash index reproduces the in-memory candidate set exactly") {
+    val docs = Tables.documents(spark, sf())
+    val live = Dedup.simhashCandidates(docs).select("da", "db", "hamming")
+    val path = Files.createTempDirectory("graft-shidx").toString + "/idx"
+    Dedup.writeSimhashIndex(docs, path)
+    val fromDisk = Dedup.simhashCandidatesFromIndex(spark, path)
+      .select("da", "db", "hamming")
+    assert(live.exceptAll(fromDisk).count() == 0)
+    assert(fromDisk.exceptAll(live).count() == 0)
+    assert(fromDisk.count() > 0)
+  }
+
   test("bands land partitioned by band on disk (per-band pruning)") {
     val sh = Dedup.shingles(Tables.documents(spark, sf()))
     val path = Files.createTempDirectory("graft-mhidx2").toString + "/idx"
