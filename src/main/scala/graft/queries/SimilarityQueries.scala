@@ -194,6 +194,86 @@ object SimilarityQueries extends QueryModule {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("label")).as("n_labels"))
         .orderBy(col("cid"))
+    }),
+
+    // Int8 scalar quantization — the memory-side ANN lever: normalize,
+    // then floor each unit-vector dim into a 0..255 byte against
+    // per-dim corpus min/max (4× smaller corpus in executor memory at
+    // search time). The in-query recall columns compare against the
+    // exact cosine top-3 (the ann1 formulation). At 100 TB: the 64-row
+    // stats frame broadcasts, quantization is one map-side projection,
+    // and only the byte codes + 64-entry stats live in memory.
+    "ann8_scalar_quant" -> ((s, d) => {
+      GraftFunctions.register(s)
+      // L2-normalize FIRST: cosine is the dot of unit vectors, so the
+      // quantized dot tracks cosine ranking; quantizing raw vectors
+      // would rank by unnormalized dot (neighbor-norm skew).
+      //
+      // The whole quantize+decode chain runs as SCALAR ops on a
+      // posexploded (vec, pos, value) frame, then collects back into
+      // one array per vector — nesting the steps as array expressions
+      // (rv over qv over nv) would let project-collapse inline each
+      // layer 64× per element (the known quadratic-expression trap).
+      val e = Tables.embeddings(s, d)
+      val norms = e.select(col("vec_id"), col("embedding"), expr(
+        "sqrt(aggregate(zip_with(embedding, embedding, " +
+          "(x, y) -> cast(x AS double) * y), 0D, (a, b) -> a + b))")
+        .as("nrm"))
+      val nvd = norms
+        .select(col("vec_id"), col("nrm"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("nvv", expr(
+          "IF(nrm = 0D, 0D, cast(v AS double) / nrm)"))
+        .select("vec_id", "pos", "nvv")
+      val stats = nvd.groupBy(col("pos"))
+        .agg(min(col("nvv")).as("mn"), max(col("nvv")).as("mx"))
+      // search ranks by the dot of DECODED codes (midpoint
+      // reconstruction mn + (q+0.5)·step): decoding cancels the affine
+      // offset that would otherwise add a query-independent
+      // Σnb-popularity bias dominating the cosine signal. The decoded
+      // dot is a pure function of the byte codes + the 64-entry stats —
+      // identical IEEE arithmetic on both engines; ordering only,
+      // never emitted.
+      val rvec = nvd.join(broadcast(stats), Seq("pos"))
+        .withColumn("rval", expr(
+          "mn + ((CASE WHEN mx = mn THEN 0 " +
+            "ELSE least(cast(floor((nvv - mn) / (mx - mn) * 256) AS int), " +
+            "255) END) + 0.5D) / 256D * (mx - mn)"))
+        .groupBy(col("vec_id"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, rval))), " +
+          "s -> s.rval)").as("rv"))
+      val quant = rvec.join(e, Seq("vec_id"))
+
+      val q = quant.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("rv").as("qa"),
+          col("embedding").as("qe"))
+      val c = quant.select(col("vec_id").as("neighbor_id"),
+        col("rv").as("qb"), col("embedding").as("ne"))
+      val wq = Window.partitionBy(col("query_id"))
+        .orderBy(col("dot_q").desc, col("neighbor_id"))
+      val approx = q.join(c, col("query_id") =!= col("neighbor_id"))
+        .withColumn("dot_q", expr(
+          "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0D, (a, b) -> a + b)"))
+        .withColumn("rank", row_number().over(wq))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+
+      val wx = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val exact3 = q.select(col("query_id"), col("qe"))
+        .join(c.select(col("neighbor_id"), col("ne")),
+          col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", expr("cosine_sim(qe, ne)"))
+        .withColumn("rn", row_number().over(wx))
+        .filter(col("rn") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val overlap = approx.join(exact3, Seq("query_id", "neighbor_id"),
+          "left_semi")
+        .agg(count(lit(1)).as("sq_overlap_top3"))
+
+      approx.crossJoin(broadcast(overlap))
+        .withColumn("sq_recall_ge_08", col("sq_overlap_top3") >= 24)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -248,6 +328,54 @@ object SimilarityQueries extends QueryModule {
     }
 
   val oracle: Map[String, String] = Map(
+    "ann8_scalar_quant" ->
+      s"""WITH nvd AS (
+         |  SELECT vec_id, g AS pos,
+         |    CASE WHEN nrm = 0 THEN 0
+         |      ELSE embedding[g]::DOUBLE / nrm END AS nvv
+         |  FROM (SELECT vec_id, embedding,
+         |          sqrt(list_dot_product(embedding::DOUBLE[],
+         |            embedding::DOUBLE[])) AS nrm
+         |        FROM embeddings)
+         |  CROSS JOIN range(1, 65) AS r(g)),
+         |stats AS (
+         |  SELECT pos, min(nvv) AS mn, max(nvv) AS mx
+         |  FROM nvd GROUP BY 1),
+         |qd AS (
+         |  SELECT vec_id, pos,
+         |    CASE WHEN mx = mn THEN 0
+         |      ELSE least(CAST(floor((nvv - mn) /
+         |        (mx - mn) * 256) AS INT), 255) END AS qval
+         |  FROM nvd JOIN stats USING (pos)),
+         |rvec AS (
+         |  SELECT vec_id,
+         |    list(mn + (qval + 0.5) / 256 * (mx - mn) ORDER BY pos) AS rv
+         |  FROM qd JOIN stats USING (pos) GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    list_dot_product(a.rv::DOUBLE[], b.rv::DOUBLE[]) AS dot_q
+         |  FROM rvec a JOIN rvec b
+         |    ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+         |approx AS (
+         |  SELECT query_id, rank, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY dot_q DESC, neighbor_id) AS rank FROM pairs)
+         |  WHERE rank <= 3),
+         |exact3 AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY $duckCos DESC, b.vec_id) AS rn
+         |    FROM embeddings a JOIN embeddings b
+         |      ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+         |  WHERE rn <= 3),
+         |ov AS (
+         |  SELECT count(*) AS sq_overlap_top3 FROM approx
+         |  JOIN exact3 USING (query_id, neighbor_id))
+         |SELECT query_id, rank, neighbor_id, sq_overlap_top3,
+         |  sq_overlap_top3 >= 24 AS sq_recall_ge_08
+         |FROM approx CROSS JOIN ov ORDER BY query_id, rank""".stripMargin,
+
     "ann1_brute_topk" ->
       s"""SELECT query_id, rank, neighbor_id FROM (
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
