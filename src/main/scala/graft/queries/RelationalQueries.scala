@@ -456,6 +456,23 @@ object RelationalQueries extends QueryModule {
           col("o_totalprice"), col("total_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(20)
+    }),
+
+    // TPC-H Q13-shaped order-count distribution: left-outer join kept
+    // customers with zero orders, then a two-level aggregate — count per
+    // customer, histogram of those counts. The outer join is the one
+    // shuffle on custkey; both aggregates above it are tiny.
+    "q13_order_distribution" -> ((s, d) => {
+      val ords = Tables.orders(s, d)
+        .filter(!col("o_orderpriority").startsWith("1-"))
+        .select(col("o_custkey"), col("o_orderkey"))
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(ords, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
     })
   )
 
@@ -723,6 +740,16 @@ object RelationalQueries extends QueryModule {
         |JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN (
+        |    SELECT o_custkey, o_orderkey FROM orders
+        |    WHERE o_orderpriority NOT LIKE '1-%') o
+        |    ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
   )
 }

@@ -65,6 +65,29 @@ object SortSampleQueries extends QueryModule {
         .agg(count(lit(1)).as("n_sampled"),
           countDistinct(col("l_orderkey")).as("n_orders"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Domain-mixture sampling: draw a target language mixture (40/20/20/
+    // 10/10 over a 100-doc budget) from the corpus, deterministically by
+    // content-hash order. This is the training-data "mix to a recipe"
+    // operator: per-stratum quota join is a broadcast of the tiny recipe
+    // table, and the per-stratum selection is a bounded window (a k-heap
+    // per language at scale — same shape o4 runs natively).
+    "o6_weighted_sample" -> ((s, d) => {
+      import s.implicits._
+      val recipe = Seq(("en", 40), ("es", 20), ("de", 20), ("fr", 10),
+        ("zh", 10)).toDF("lang", "quota")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(concat_ws("|", col("doc_id"))))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .join(broadcast(recipe), Seq("lang"))
+        .filter(col("rn") <= col("quota"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -94,6 +117,22 @@ object SortSampleQueries extends QueryModule {
         |    row_number() OVER (PARTITION BY l_returnflag
         |      ORDER BY md5(concat_ws('|', l_orderkey, l_linenumber))) AS rn
         |  FROM lineitem)
-        |WHERE rn <= 50 GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+        |WHERE rn <= 50 GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "o6_weighted_sample" ->
+      """WITH recipe AS (
+        |  SELECT * FROM (VALUES ('en', 40), ('es', 20), ('de', 20),
+        |    ('fr', 10), ('zh', 10)) AS t(lang, quota)),
+        |ranked AS (
+        |  SELECT lang, n_chars, source,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(concat_ws('|', doc_id))) AS rn
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_sampled,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT source) AS n_sources
+        |FROM ranked JOIN recipe USING (lang)
+        |WHERE rn <= quota
+        |GROUP BY 1 ORDER BY lang""".stripMargin
   )
 }

@@ -179,6 +179,80 @@ object TextQueries extends QueryModule {
           count(lit(1)).as("n_fp_total"),
           countDistinct(col("m")).as("n_fp_unique"))
         .orderBy(col("lang"))
+    }),
+
+    // Benchmark decontamination: word-trigram overlap between the corpus
+    // and a held-out benchmark set (here a deterministic doc_id slice —
+    // in production the eval suites). Per-doc gram dedup happens INSIDE
+    // the row (array_distinct before explode), so no corpus-wide distinct
+    // shuffle; the benchmark gram set is small and broadcast, making the
+    // whole check one scan + broadcast-hash join at any corpus size.
+    "x8_decontamination" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .withColumn("ts", split(lower(col("text")), " "))
+        .filter(size(col("ts")) >= 3)
+        .select(col("doc_id"), col("lang"), explode(array_distinct(expr(
+          "transform(sequence(1, size(ts) - 2), " +
+            "g -> concat_ws(' ', ts[g-1], ts[g], ts[g+1]))"))).as("gm"))
+      val bench = grams.filter(col("doc_id") % 37 === 0)
+        .select(col("gm")).distinct()
+      grams.filter(col("doc_id") % 37 =!= 0)
+        .join(broadcast(bench), Seq("gm"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_contaminated"),
+          count(lit(1)).as("n_hits"))
+        .orderBy(col("lang"))
+    }),
+
+    // Gopher-style repetition quality rules: top-bigram fraction (most
+    // frequent bigram's share of the doc) and duplicate-token ratio, with
+    // threshold flags. Reuses the session bigram instance memo; both
+    // signals are per-doc aggregates, so the only shuffle is on doc_id.
+    "x9_repetition_filter" -> ((s, d) => {
+      val top = cachedBigrams(s, d)
+        .groupBy(col("doc_id"), col("lang"), col("bg"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg((max(col("c")) * lit(1.0) / sum(col("c"))).as("top_bg_frac"))
+      val dup = Tables.documents(s, d)
+        .withColumn("ts", split(lower(col("text")), " "))
+        .select(col("doc_id"), (lit(1.0) -
+          size(array_distinct(col("ts"))) * lit(1.0) / size(col("ts")))
+          .as("dup_ratio"))
+      top.join(dup, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("top_bg_frac") > 0.05 || col("dup_ratio") > 0.6, 1))
+            .as("n_flagged"),
+          min(col("top_bg_frac")).as("min_top_bg"),
+          max(col("top_bg_frac")).as("max_top_bg"),
+          max(col("dup_ratio")).as("max_dup_ratio"))
+        .orderBy(col("lang"))
+    }),
+
+    // TF-IDF top terms per language (rational idf — tf · n_docs / df —
+    // keeps the arithmetic exactly replayable). Token stats build with
+    // one map-side-combined aggregate; the per-language doc counts are a
+    // broadcast scalar table; top-5 is a bounded per-group window.
+    "x10_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs
+        .select(col("lang"), col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val stats = toks.groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      val nd = docs.groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("score").desc, col("token"))
+      stats.join(broadcast(nd), Seq("lang"))
+        .withColumn("score", col("tf") * lit(1.0) * col("n_docs") / col("df"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("rn"), col("token"), col("tf"), col("df"),
+          col("score"))
+        .orderBy(col("lang"), col("rn"))
     })
   )
 
@@ -268,6 +342,63 @@ object TextQueries extends QueryModule {
         |SELECT lang, count(DISTINCT doc_id) AS n_docs,
         |  count(*) AS n_fp_total, count(DISTINCT fp) AS n_fp_unique
         |FROM (SELECT doc_id, lang, unnest(fps) AS fp FROM wins)
-        |GROUP BY 1 ORDER BY lang""".stripMargin
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "x8_decontamination" ->
+      """WITH grams AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(
+        |    [ts[g] || ' ' || ts[g+1] || ' ' || ts[g+2]
+        |      FOR g IN range(1, len(ts) - 1)])) AS gm
+        |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS ts
+        |        FROM documents)
+        |  WHERE len(ts) >= 3),
+        |bench AS (SELECT DISTINCT gm FROM grams WHERE doc_id % 37 = 0)
+        |SELECT lang, count(DISTINCT doc_id) AS n_contaminated,
+        |  count(*) AS n_hits
+        |FROM (SELECT * FROM grams WHERE doc_id % 37 <> 0) c
+        |JOIN bench USING (gm)
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "x9_repetition_filter" ->
+      """WITH bi AS (
+        |  SELECT doc_id, lang, ts[g] || ' ' || ts[g+1] AS bg
+        |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS ts
+        |        FROM documents WHERE len(string_split(lower(text), ' ')) >= 2)
+        |  CROSS JOIN unnest(range(1, len(ts))) AS u(g)),
+        |per AS (SELECT doc_id, lang, bg, count(*) AS c FROM bi GROUP BY 1,2,3),
+        |top AS (SELECT doc_id, lang, max(c) * 1.0 / sum(c) AS top_bg_frac
+        |        FROM per GROUP BY 1, 2),
+        |dup AS (
+        |  SELECT doc_id,
+        |    1.0 - len(list_distinct(ts)) * 1.0 / len(ts) AS dup_ratio
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ts
+        |        FROM documents))
+        |SELECT lang, count(*) AS n_docs,
+        |  count(CASE WHEN top_bg_frac > 0.05 OR dup_ratio > 0.6 THEN 1 END)
+        |    AS n_flagged,
+        |  min(top_bg_frac) AS min_top_bg,
+        |  max(top_bg_frac) AS max_top_bg,
+        |  max(dup_ratio) AS max_dup_ratio
+        |FROM top JOIN dup USING (doc_id)
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "x10_tfidf" ->
+      """WITH toks AS (
+        |  SELECT lang, doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |stats AS (
+        |  SELECT lang, token, count(*) AS tf,
+        |    count(DISTINCT doc_id) AS df
+        |  FROM toks WHERE token <> '' GROUP BY 1, 2),
+        |nd AS (SELECT lang, count(DISTINCT doc_id) AS n_docs
+        |       FROM documents GROUP BY 1)
+        |SELECT lang, rn, token, tf, df, score FROM (
+        |  SELECT s.lang, token, tf, df,
+        |    tf * 1.0 * n_docs / df AS score,
+        |    row_number() OVER (PARTITION BY s.lang
+        |      ORDER BY tf * 1.0 * n_docs / df DESC, token) AS rn
+        |  FROM stats s JOIN nd ON s.lang = nd.lang)
+        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin
   )
 }

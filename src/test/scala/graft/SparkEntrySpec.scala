@@ -20,6 +20,7 @@ class SparkEntrySpec extends AnyFunSuite {
     "Harmonize" -> HarmonizeQueries,
     "Text" -> TextQueries,
     "Dedup" -> DedupQueries,
+    "Curation" -> CurationQueries,
     "Similarity" -> SimilarityQueries,
     "Streaming" -> StreamingQueries,
     "Multimodal" -> MultimodalQueries,

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-3 training-data additions: the Q13 histogram,
+  * benchmark decontamination, repetition quality rules, TF-IDF top
+  * terms, and domain-mixture sampling.
+  */
+class TrainingMixSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf())
+
+  test("q13 histogram accounts for every customer exactly once") {
+    val hist = run("q13_order_distribution")
+    val total = hist.agg(sum(col("custdist")).as("t")).head.getLong(0)
+    assert(total == Tables.customer(spark, sf()).count())
+    // the zero bucket holds exactly the customers the left join kept
+    // despite having no qualifying order
+    val orderless = Tables.customer(spark, sf())
+      .join(Tables.orders(spark, sf())
+        .filter(!col("o_orderpriority").startsWith("1-")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .count()
+    val zeroBucket = hist.filter(col("c_count") === 0)
+      .select(col("custdist")).collect().headOption.map(_.getLong(0))
+      .getOrElse(0L)
+    assert(zeroBucket == orderless)
+  }
+
+  test("x8 decontamination only flags non-benchmark docs, deterministically") {
+    val a = run("x8_decontamination").collect()
+    val b = run("x8_decontamination").collect()
+    assert(a.sameElements(b))
+    // every contaminated count is bounded by the lang's non-benchmark docs
+    val perLang = Tables.documents(spark, sf())
+      .filter(col("doc_id") % 37 =!= 0)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    a.foreach { r =>
+      assert(r.getLong(1) <= perLang(r.getString(0)),
+        s"lang ${r.getString(0)} contaminated > population")
+      assert(r.getLong(1) <= r.getLong(2)) // docs <= gram hits
+    }
+  }
+
+  test("x9 repetition flags are a subset of each language population") {
+    run("x9_repetition_filter").collect().foreach { r =>
+      val (n, flagged) = (r.getLong(1), r.getLong(2))
+      assert(flagged >= 0 && flagged <= n)
+      assert(r.getDouble(3) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("x10 yields exactly five ranked terms per language") {
+    val rows = run("x10_tfidf").collect()
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to 5), lang)
+      // score is non-increasing down the ranks
+      val scores = rs.sortBy(_.getInt(1)).map(_.getDouble(5))
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y }, lang)
+    }
+  }
+
+  test("o6 fills each language quota exactly when population allows") {
+    val quotas = Map("en" -> 40L, "es" -> 20L, "de" -> 20L,
+      "fr" -> 10L, "zh" -> 10L)
+    val rows = run("o6_weighted_sample").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) == quotas(r.getString(0)),
+        s"quota miss for ${r.getString(0)}")
+    }
+    // deterministic: re-running selects the identical sample
+    assert(run("o6_weighted_sample").collect().sameElements(rows))
+  }
+}
