@@ -79,6 +79,35 @@ object SetReshapeQueries extends QueryModule {
           countDistinct(col("tok")).as("n_tokens"))
     }),
 
+    // Upsert / merge with latest-wins semantics: apply an update batch
+    // (here a deterministic re-emission of every 10th event with a newer
+    // timestamp) over the base table; one row survives per key, chosen by
+    // (event time, change priority). This is the CDC-merge shape: union
+    // is a metadata concat, and the only shuffle is the per-key window —
+    // the same exchange a MERGE INTO would pay. A census over the merged
+    // view proves exactly the updated keys changed.
+    "u7_upsert_latest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("ts_ns"))
+      val base = ev.withColumn("src", lit(0))
+      val upd = ev.filter(col("event_id") % 10 === 0)
+        .withColumn("value", col("value") + 0.5)
+        .withColumn("ts_ns", col("ts_ns") + 1)
+        .withColumn("src", lit(1))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_id"))
+        .orderBy(col("ts_ns").desc, col("src").desc)
+      base.unionByName(upd)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Numeric.dsum(col("value")).as("sum_value"),
+          sum(col("src")).as("n_updated"))
+        .orderBy(col("event_type"))
+    }),
+
     // R4: nest-to-JSON struct pack — the staging `data` blob construction
     // (ref: src/09_integrate_pubchem.py:34, to_json(struct(...))).
     "r4_nest_json" -> ((s, d) => {
@@ -138,6 +167,25 @@ object SetReshapeQueries extends QueryModule {
       """SELECT n_nationkey,
         |  to_json(struct_pack(n_name := n_name, n_regionkey := n_regionkey))
         |    AS data
-        |FROM nation ORDER BY n_nationkey""".stripMargin
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "u7_upsert_latest" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, value, epoch_ns(ts) AS ts_ns
+        |  FROM events),
+        |u AS (
+        |  SELECT event_id, event_type, value, ts_ns, 0 AS src FROM ev
+        |  UNION ALL
+        |  SELECT event_id, event_type, value + 0.5, ts_ns + 1, 1 AS src
+        |  FROM ev WHERE event_id % 10 = 0),
+        |m AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_id
+        |    ORDER BY ts_ns DESC, src DESC) AS rn
+        |  FROM u)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  CAST(sum(src) AS BIGINT) AS n_updated
+        |FROM m WHERE rn = 1
+        |GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 }

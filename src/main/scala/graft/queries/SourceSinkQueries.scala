@@ -29,6 +29,31 @@ object SourceSinkQueries extends QueryModule {
         .agg(count(lit(1)).as("n_nations"),
           countDistinct(col("code")).as("n_regions"))
         .orderBy(col("continent_group"))
+    }),
+
+    // S6 variant: newline-delimited JSON scan — the sidecar-config
+    // pattern (per-event-type weights shipped as JSONL, applied to the
+    // fact aggregate). Schema is declared, not inferred: inference costs
+    // an extra full pass over the file and can drift types between runs.
+    // The weights table is tiny → broadcast left join; unmatched types
+    // keep weight 1.0.
+    "s12_jsonl_weights" -> ((s, d) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("weight",
+          org.apache.spark.sql.types.DoubleType)))
+      val weights = s.read.schema(schema)
+        .json("/root/repo/resources/event_weights.jsonl")
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .join(broadcast(weights), Seq("event_type"), "left_outer")
+        .withColumn("weight", coalesce(col("weight"), lit(1.0)))
+        .withColumn("weighted_n", col("n") * col("weight"))
+        .select(col("event_type"), col("n"), col("weight"),
+          col("weighted_n"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -42,6 +67,17 @@ object SourceSinkQueries extends QueryModule {
         |  ('MIDDLE EAST','ME','emea'))
         |  AS l(r_name, code, continent_group) USING (r_name)
         |JOIN nation ON r_regionkey = n_regionkey
-        |GROUP BY 1 ORDER BY continent_group""".stripMargin
+        |GROUP BY 1 ORDER BY continent_group""".stripMargin,
+
+    "s12_jsonl_weights" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(coalesce(w.weight, 1.0) AS DOUBLE) AS weight,
+        |  count(*) * CAST(coalesce(w.weight, 1.0) AS DOUBLE) AS weighted_n
+        |FROM events
+        |LEFT JOIN (VALUES ('click', 0.5), ('purchase', 2.0),
+        |  ('signup', 1.5), ('view', 0.25)) AS w(event_type, weight)
+        |  USING (event_type)
+        |GROUP BY event_type, w.weight
+        |ORDER BY event_type""".stripMargin
   )
 }

@@ -253,6 +253,34 @@ object TextQueries extends QueryModule {
         .select(col("lang"), col("rn"), col("token"), col("tf"), col("df"),
           col("score"))
         .orderBy(col("lang"), col("rn"))
+    }),
+
+    // PII redaction: regex scrub of email-shaped tokens. The corpus
+    // carries no PII, so the query injects a deterministic address (two
+    // for even doc_ids) and then redacts — proving detection count and
+    // masked-width accounting end-to-end. Narrow per-row regex work
+    // (codegen'd string kernels, no UDF), one tiny aggregate; at corpus
+    // scale this is a single scan with nothing shuffled but (lang, 3
+    // longs) partials.
+    "x11_pii_redact" -> ((s, d) => {
+      val pat = "[a-z0-9._]+@[a-z]+\\.[a-z]+"
+      Tables.documents(s, d)
+        .withColumn("pii_text", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" cc admin"), col("doc_id").cast("string"),
+              lit("@corp.net"))).otherwise(lit(""))))
+        .withColumn("n_emails",
+          size(regexp_extract_all(col("pii_text"), lit(pat), lit(0))))
+        .withColumn("redacted",
+          regexp_replace(col("pii_text"), pat, "<EMAIL>"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_emails")).as("n_redacted"),
+          sum(length(col("pii_text")) - length(col("redacted")))
+            .as("len_delta"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -399,6 +427,23 @@ object TextQueries extends QueryModule {
         |    row_number() OVER (PARTITION BY s.lang
         |      ORDER BY tf * 1.0 * n_docs / df DESC, token) AS rn
         |  FROM stats s JOIN nd ON s.lang = nd.lang)
-        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin
+        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+
+    "x11_pii_redact" ->
+      """WITH p AS (
+        |  SELECT lang,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com'
+        |      || CASE WHEN doc_id % 2 = 0
+        |           THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@corp.net'
+        |           ELSE '' END AS pii_text
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(pii_text,
+        |    '[a-z0-9._]+@[a-z]+\.[a-z]+'))) AS BIGINT) AS n_redacted,
+        |  CAST(sum(len(pii_text) - len(regexp_replace(pii_text,
+        |    '[a-z0-9._]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'))) AS BIGINT)
+        |    AS len_delta
+        |FROM p GROUP BY 1 ORDER BY lang""".stripMargin
   )
 }

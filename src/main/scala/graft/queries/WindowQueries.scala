@@ -158,6 +158,32 @@ object WindowQueries extends QueryModule {
         .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
           col("o_totalprice"))
         .orderBy(col("o_orderpriority"), col("rk"))
+    }),
+
+    // Extra: batch sessionization — the gap-threshold session assignment
+    // (lag → new-session flag → running sum), the batch twin of the
+    // streaming session window (st2). One shuffle on user_id serves both
+    // windows and the per-session aggregate; session spans stay in long
+    // microseconds so the arithmetic is exact on any engine.
+    "w11_sessionize" -> ((s, d) => {
+      val gapUs = 3600000000L // 1 hour
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("us", expr("ts_ns div 1000"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(wOrd))
+        .withColumn("is_new",
+          when(col("gap").isNull || col("gap") > gapUs, 1).otherwise(0))
+        .withColumn("sess", sum(col("is_new")).over(wRun))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("us")) - min(col("us"))).as("span_us"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"),
+          max(col("span_us")).as("max_span_us"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -249,6 +275,30 @@ object WindowQueries extends QueryModule {
         |    rank() OVER (PARTITION BY o_orderpriority
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders)
-        |WHERE rk <= 2 ORDER BY o_orderpriority, rk""".stripMargin
+        |WHERE rk <= 2 ORDER BY o_orderpriority, rk""".stripMargin,
+
+    "w11_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN us - lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 3600000000 THEN 1 ELSE 0 END
+        |      AS is_new
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sessed AS (
+        |  SELECT user_id, us,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM marked),
+        |per AS (
+        |  SELECT user_id, sess, count(*) AS n_events,
+        |    max(us) - min(us) AS span_us
+        |  FROM sessed GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  max(n_events) AS max_session_events,
+        |  CAST(max(span_us) AS BIGINT) AS max_span_us
+        |FROM per GROUP BY 1 ORDER BY user_id""".stripMargin
   )
 }

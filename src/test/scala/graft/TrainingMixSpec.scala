@@ -73,4 +73,52 @@ class TrainingMixSpec extends SparkSpec {
     // deterministic: re-running selects the identical sample
     assert(run("o6_weighted_sample").collect().sameElements(rows))
   }
+
+  test("w11 assigns every user at least one session bounded by event count") {
+    val rows = run("w11_sessionize").collect()
+    val perUser = Tables.events(spark, sf())
+      .groupBy(col("user_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == perUser.size)
+    rows.foreach { r =>
+      val (sessions, maxEv) = (r.getLong(1), r.getLong(2))
+      assert(sessions >= 1 && sessions <= perUser(r.getLong(0)))
+      assert(maxEv >= 1 && r.getLong(3) >= 0)
+    }
+  }
+
+  test("u7 merge changes exactly the re-emitted keys, keeps one row per key") {
+    val ev = Tables.events(spark, sf())
+    val rows = run("u7_upsert_latest").collect()
+    assert(rows.map(_.getLong(1)).sum == ev.count())
+    val updByType = ev.filter(col("event_id") % 10 === 0)
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(3) == updByType.getOrElse(r.getString(0), 0L))
+    }
+  }
+
+  test("x11 redacts one email per doc plus one more for even doc_ids") {
+    val expected = Tables.documents(spark, sf())
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("doc_id") % 2 === 0, 2).otherwise(1)).as("exp"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    run("x11_pii_redact").collect().foreach { r =>
+      val (n, exp) = expected(r.getString(0))
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == exp, s"redaction count for ${r.getString(0)}")
+      assert(r.getLong(3) > 0) // masking shrank the text
+    }
+  }
+
+  test("s12 applies jsonl weights with a 1.0 default for unmatched types") {
+    val rows = run("s12_jsonl_weights").collect()
+    val byType = rows.map(r => r.getString(0) -> r).toMap
+    assert(byType("error").getDouble(2) == 1.0)
+    rows.foreach { r =>
+      assert(r.getDouble(3) == r.getLong(1) * r.getDouble(2))
+    }
+  }
 }
