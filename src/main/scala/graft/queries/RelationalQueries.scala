@@ -251,6 +251,28 @@ object RelationalQueries extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Misra-Gries heavy hitters (custom typed Aggregator, the third
+    // sketch beside HLL/GK): tokens above the n/40 frequency floor,
+    // with the in-query check that the bounded-memory sketch contains
+    // every exact heavy hitter — the MG containment guarantee. The
+    // sketch aggregate ships ≤ 40 counters per map task; the exact side
+    // exists to validate it and stays oracle-replayable.
+    "a17_heavy_hitters" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      val sketch = toks.agg(
+        graft.functions.HeavyHitters.mgSketch(40)(col("token")).as("sk"))
+      counts.crossJoin(broadcast(total))
+        .filter(col("cnt") * 40 > col("n_total"))
+        .crossJoin(broadcast(sketch))
+        .withColumn("mg_contains", map_contains_key(col("sk"), col("token")))
+        .select(col("token"), col("cnt"), col("mg_contains"))
+        .orderBy(col("cnt").desc, col("token"))
+    }),
+
     // Multi-quantile profiling — exact quartiles per group (the
     // distribution census a pipeline runs before choosing thresholds).
     "a14_quantiles" -> ((s, d) => {
@@ -606,6 +628,18 @@ object RelationalQueries extends QueryModule {
         |  quantile_cont(l_extendedprice, 0.5) AS med_exact,
         |  TRUE AS approx_within_1pct
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "a17_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM t
+        |      WHERE token <> '' GROUP BY 1),
+        |n AS (SELECT count(*) AS n_total FROM t WHERE token <> '')
+        |SELECT token, cnt, TRUE AS mg_contains
+        |FROM c CROSS JOIN n
+        |WHERE cnt * 40 > n_total
+        |ORDER BY cnt DESC, token""".stripMargin,
 
     "a14_quantiles" ->
       """SELECT l_returnflag,
