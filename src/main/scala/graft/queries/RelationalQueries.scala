@@ -495,6 +495,26 @@ object RelationalQueries extends QueryModule {
         .groupBy(col("c_count"))
         .agg(count(lit(1)).as("custdist"))
         .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q19-shaped disjunctive predicates: OR-of-ANDs across both
+    // join sides. Catalyst extracts the common conjuncts (p_type IN ...,
+    // l_quantity range) and pushes them into BOTH scans, so the join
+    // only sees pre-filtered rows — the plan shape that matters when
+    // each branch alone is unselective but their union is.
+    "q19_disjunctive" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_type") === "PROMO" &&
+            col("l_quantity").between(1, 11) && col("p_size") <= 15) ||
+          (col("p_type") === "ECONOMY" &&
+            col("l_quantity").between(10, 20) && col("p_size") <= 25) ||
+          (col("p_type") === "STANDARD" &&
+            col("l_quantity").between(20, 30) && col("p_size") <= 50))
+        .agg(dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount"))
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
     })
   )
 
@@ -784,6 +804,20 @@ object RelationalQueries extends QueryModule {
         |    WHERE o_orderpriority NOT LIKE '1-%') o
         |    ON c_custkey = o_custkey
         |  GROUP BY 1)
-        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    CAST(1 - l_discount AS DECIMAL(18,4)) AS DECIMAL(28,4)))
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_type = 'PROMO' AND l_quantity BETWEEN 1 AND 11
+        |        AND p_size <= 15)
+        |   OR (p_type = 'ECONOMY' AND l_quantity BETWEEN 10 AND 20
+        |        AND p_size <= 25)
+        |   OR (p_type = 'STANDARD' AND l_quantity BETWEEN 20 AND 30
+        |        AND p_size <= 50)""".stripMargin
   )
 }

@@ -105,4 +105,53 @@ class SourceSinkSpec extends SparkSpec {
       .filter((col("o_custkey") % 8) % 2 === 0).count()
     assert(joined.count() == expected)
   }
+
+  test("dynamic partition overwrite replaces only the re-run source") {
+    // The re-run-one-integrator workflow: overwriting the brick with a
+    // fresh batch from ONE source must leave every other source's
+    // partition untouched — static overwrite would drop them all.
+    val dir = Files.createTempDirectory("graft-dpo").toString + "/acts"
+    val brick = Harmonize.brick(spark, sf(), Seq(EventsAdapter, OrdersAdapter))
+    brick.activities.write.mode("overwrite")
+      .partitionBy("source").parquet(dir)
+    val ordersRows = spark.read.parquet(dir)
+      .filter(col("source") === "orders").count()
+    val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // re-run the events integrator on a restricted slice and overwrite
+      val rerun = brick.activities.filter(col("source") === "events")
+        .limit(10)
+      rerun.write.mode("overwrite").partitionBy("source").parquet(dir)
+      val after = spark.read.parquet(dir)
+      assert(after.filter(col("source") === "events").count() == 10)
+      // the orders partition survived the overwrite
+      assert(after.filter(col("source") === "orders").count() == ordersRows)
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset(
+          "spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  test("mergeSchema reads evolving staging triplets as one union schema") {
+    // Integrators evolve independently: a later staging batch adds a
+    // column (the reference's numvalue appeared in one source first).
+    // mergeSchema must surface the union schema with nulls for old
+    // batches instead of failing or silently dropping the column.
+    val dir = Files.createTempDirectory("graft-evolve").toString + "/staging"
+    Seq(("a1", "s1", "positive")).toDF("aid", "sid", "value")
+      .write.parquet(s"$dir/batch=1")
+    Seq(("a2", "s2", "negative", 0.5)).toDF("aid", "sid", "value", "numvalue")
+      .write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet ==
+      Set("aid", "sid", "value", "numvalue", "batch"))
+    val old = merged.filter(col("aid") === "a1").head
+    assert(old.isNullAt(old.fieldIndex("numvalue")))
+    assert(merged.filter(col("numvalue").isNotNull).count() == 1)
+  }
 }
