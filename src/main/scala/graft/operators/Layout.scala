@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout maintenance — the table-management side of a 100 TB
+  * deployment that query operators rely on but don't perform:
+  *
+  *  - `compact`: small-file compaction. Streaming ingestion and
+  *    per-integrator re-runs leave thousands of KB-sized parquet files;
+  *    scan throughput collapses because every file pays open/footer
+  *    costs and row-group stats stop pruning. Compaction rewrites a
+  *    directory into ~`targetRows`-sized range-partitioned files sorted
+  *    on a clustering key, so file-level min/max become disjoint and a
+  *    range predicate prunes whole files.
+  *
+  *  - `zorderValue`: multi-dimensional clustering key. Sorting on one
+  *    column gives perfect pruning on that column and none on others;
+  *    interleaving the bit representations (Morton order) gives every
+  *    interleaved column partial locality, shrinking each file's
+  *    per-column min/max bounding box. LayoutSpec measures the payoff:
+  *    z-ordered files have strictly smaller average 2-D bounding boxes
+  *    than single-column-sorted files on the same data.
+  *
+  * Both are pure DataFrame transforms: `repartitionByRange` samples the
+  * key to build balanced range bounds (one exchange), and the write is
+  * embarrassingly parallel. No driver-side data movement.
+  */
+object Layout {
+
+  /** Morton (z-order) interleave of `cols`, each quantized to `bits`
+    * bits. Columns must be non-negative longs (callers quantize floats/
+    * keys first); values ≥ 2^bits clamp to the top code so outliers
+    * don't wrap. Built from shift/mask expressions only — codegen'd,
+    * no UDF.
+    */
+  def zorderValue(cols: Seq[Column], bits: Int): Column = {
+    require(cols.nonEmpty && bits >= 1 && bits * cols.size <= 63,
+      "zorderValue needs 1..63 total bits")
+    val top = (1L << bits) - 1
+    val clamped = cols.map(c => least(greatest(c, lit(0L)), lit(top)))
+    val terms = for {
+      (c, ci) <- clamped.zipWithIndex
+      b <- 0 until bits
+    } yield shiftleft(
+      shiftrightunsigned(c, b).bitwiseAND(lit(1L)),
+      b * cols.size + ci)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Rewrite `df` as range-partitioned files of ~`targetRows` rows
+    * sorted on `key` (pass a z-order value for multi-column
+    * clustering). Returns the clustered frame ready to write; the
+    * caller owns the write mode/path so compaction composes with
+    * partitioned and bucketed layouts.
+    */
+  def cluster(df: DataFrame, key: Column, targetRows: Long): DataFrame = {
+    val n = df.count()
+    val files = math.max(1, math.ceil(n.toDouble / targetRows).toInt)
+    df.repartitionByRange(files, key).sortWithinPartitions(key)
+  }
+
+  /** Per-file min/max stats of `statCols` for a parquet directory — the
+    * zone-map view a scan planner prunes with, and what LayoutSpec
+    * asserts on. One scan, grouped by file.
+    */
+  def fileStats(df: DataFrame, statCols: Seq[String]): DataFrame = {
+    val aggs = statCols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+    }
+    df.withColumn("__file", input_file_name())
+      .groupBy(col("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

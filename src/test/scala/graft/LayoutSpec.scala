@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Layout
+
+/** Compaction and z-order clustering payoffs, measured on real file
+  * stats rather than asserted by construction.
+  */
+class LayoutSpec extends SparkSpec {
+
+  test("compaction collapses a fragmented directory into disjoint runs") {
+    val base = Files.createTempDirectory("graft-compact").toString
+    val frag = s"$base/frag"
+    val tidy = s"$base/tidy"
+    // simulate streaming debris: 64 tiny files, no ordering
+    Tables.orders(spark, sf()).repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    val fragged = spark.read.parquet(frag)
+    val nFilesBefore = fragged.select(input_file_name()).distinct().count()
+    assert(nFilesBefore >= 32) // genuinely fragmented input
+
+    val rows = fragged.count()
+    Layout.cluster(fragged, col("o_orderkey"), targetRows = rows / 4)
+      .write.mode("overwrite").parquet(tidy)
+    val compacted = spark.read.parquet(tidy)
+    val stats = Layout.fileStats(compacted, Seq("o_orderkey")).collect()
+    assert(stats.length <= 6, s"still fragmented: ${stats.length} files")
+    assert(compacted.count() == rows)
+    // files hold non-overlapping key ranges → a range predicate prunes
+    // whole files via their footer stats
+    val runs = stats.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    runs.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, "overlapping runs")
+      case _ =>
+    }
+  }
+
+  test("zorderValue interleaves bits and respects clamping") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (1L << 40, 2L))
+      .toDF("x", "y")
+      .select(Layout.zorderValue(Seq(col("x"), col("y")), 4).as("z"))
+    // x occupies even bit positions, y odd; 2^40 clamps to 15
+    assert(df.as[Long].collect().toSeq ==
+      Seq(0L, 1L, 2L, 15L, // interleave(3,3): x bits at 0,2 + y bits at 1,3
+        // clamp(2^40)=15 -> x bits 01010101 (85), y=2 -> bit 3 (8)
+        93L))
+  }
+
+  test("z-order clustering shrinks per-file bounding boxes on both dims") {
+    val base = Files.createTempDirectory("graft-zorder").toString
+    // two independent uniform dims, quantized to 8 bits each
+    val data = Tables.orders(spark, sf())
+      .select((col("o_custkey") % 256).as("x"),
+        (pmod(hash(col("o_orderkey")), lit(256))).cast("long").as("y"))
+    // average box PERIMETER (sum of per-dim ranges): under uniform data
+    // the box AREA is layout-invariant (16 files always tile the 2-D
+    // space), but a single-dim predicate scans every file whose range on
+    // THAT dim overlaps it — so what pruning sees is the per-dim extent.
+    // Single-column sort: x-extent 1/16 of the space, y-extent all of it.
+    // Z-order: both extents ~1/4. Perimeter captures exactly that.
+    def boxPerimeter(dir: String): Double = {
+      val st = Layout.fileStats(spark.read.parquet(dir), Seq("x", "y"))
+        .collect()
+      st.map { r =>
+        (r.getLong(2) - r.getLong(1) + 1).toDouble +
+          (r.getLong(4) - r.getLong(3) + 1)
+      }.sum / st.length
+    }
+    val rows = data.count()
+    // control: single-column sort — perfect on x, useless on y
+    Layout.cluster(data, col("x"), rows / 16)
+      .write.mode("overwrite").parquet(s"$base/linear")
+    // z-order on both dims
+    Layout.cluster(data,
+        Layout.zorderValue(Seq(col("x"), col("y")), 8), rows / 16)
+      .write.mode("overwrite").parquet(s"$base/zorder")
+    val (linear, zordered) =
+      (boxPerimeter(s"$base/linear"), boxPerimeter(s"$base/zorder"))
+    // linear ≈ 16 + 256 = 272; z-order ≈ 64 + 64 = 128 — materially
+    // tighter per-dim extents, i.e. fewer files scanned for a predicate
+    // on either dimension
+    assert(zordered < linear * 0.6,
+      s"z-order gave no locality: linear=$linear zorder=$zordered")
+  }
+}
