@@ -310,11 +310,19 @@ object SimilarityQueries extends QueryModule {
         // localCheckpoint: the slice frame is read by every Lloyd round,
         // the encode pass and the query side — without it each pass
         // re-runs the normalize+explode pipeline from the scan
+        // coalesce before checkpointing: the slice is ~corpus-sized rows
+        // but every downstream stage (3 training passes + encode + ADC)
+        // inherits its partitioning — at bench scale 4 subspaces × 32
+        // partitions × ~6 stages is pure task-scheduling overhead on
+        // tiny frames (ann9 went 9.1s → 2.8s at local[32] on this). At
+        // cluster scale raise/remove the coalesce; correctness is
+        // partitioning-independent throughout.
         val sub = nvd
           .filter(col("pos") >= b * 16 && col("pos") < (b + 1) * 16)
           .groupBy(col("vec_id"))
           .agg(expr("transform(sort_array(collect_list(struct(pos, nvv))), " +
             "x -> x.nvv)").as("sv"))
+          .coalesce(4)
           .localCheckpoint()
         // codebooks train on a bounded deterministic sample (production
         // PQ trains on ~100k of billions); each round's centroid frame
@@ -325,7 +333,10 @@ object SimilarityQueries extends QueryModule {
         val init = tsub.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("sv").as("cv"))
         val trained = (1 to 2).foldLeft(init) { (cents, _) =>
-          KMeans.meanCentroids(assignL2(tsub, cents), "sv").localCheckpoint()
+          // 8 centroid rows — one partition, or the broadcast build pays
+          // a 32-task collect per round
+          KMeans.meanCentroids(assignL2(tsub, cents), "sv")
+            .coalesce(1).localCheckpoint()
         }
         val codes = assignL2(sub, trained)
         val q = codes.filter(col("vec_id") < 10)

@@ -154,4 +154,36 @@ class SourceSinkSpec extends SparkSpec {
     assert(old.isNullAt(old.fieldIndex("numvalue")))
     assert(merged.filter(col("numvalue").isNotNull).count() == 1)
   }
+
+  test("permissive JSON ingestion quarantines corrupt records") {
+    // Real feeds carry broken lines; ingestion must keep good rows,
+    // capture bad ones for triage, and never fail the job (PERMISSIVE —
+    // the default — vs FAILFAST, which a 100 TB backfill cannot afford).
+    val dir = Files.createTempDirectory("graft-corrupt").toString
+    val f = new java.io.File(s"$dir/feed.jsonl")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"event_type": "click", "weight": 1.5}""")
+    w.println("""{"event_type": "view", "weight": }""") // broken
+    w.println("""not json at all""")
+    w.println("""{"event_type": "signup", "weight": 2.0}""")
+    w.close()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("weight",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+    val read = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$dir/feed.jsonl")
+      .cache() // corrupt-record column requires a materialized referent
+    assert(read.count() == 4)
+    assert(read.filter(col("_corrupt_record").isNotNull).count() == 2)
+    assert(read.filter(col("_corrupt_record").isNull)
+      .select(col("event_type")).as[String].collect().sorted.toSeq ==
+      Seq("click", "signup"))
+    read.unpersist()
+  }
 }
