@@ -72,4 +72,21 @@ object Layout {
       .groupBy(col("__file"))
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Zone-map pruned read: given a persisted stats table (built once by
+    * `fileStats` after clustering, stored beside the data), open only
+    * the files whose [min,max] interval on `statCol` intersects
+    * [lo, hi]. Parquet footers already do this per row group, but at
+    * 100 TB the planner-side variant avoids even LISTING/opening the
+    * 99% of files a clustered layout excludes — the stats frame is tiny
+    * (one row per file), so the collect is a metadata read, not data.
+    */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession,
+      stats: DataFrame, statCol: String, lo: Long, hi: Long): DataFrame = {
+    val files = stats
+      .filter(col(s"max_$statCol") >= lo && col(s"min_$statCol") <= hi)
+      .select(col("__file")).collect().map(_.getString(0))
+    require(files.nonEmpty, "zone map excluded every file")
+    spark.read.parquet(files.toIndexedSeq: _*)
+  }
 }

@@ -273,6 +273,31 @@ object RelationalQueries extends QueryModule {
         .orderBy(col("cnt").desc, col("token"))
     }),
 
+    // Grouped MG sketch — one bounded summary PER GROUP (the per-domain/
+    // per-language frequent-terms column a corpus report needs). Same
+    // aggregator, keyed aggregate: state is groups × k counters, each
+    // map task ships one k-entry summary per group it saw. Floor n/30
+    // per language, k=40 > 30 keeps the containment guarantee per group.
+    "a18_grouped_heavy_hitters" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("lang"),
+          explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val counts = toks.groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+      val totals = toks.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_lang"))
+      val sketches = toks.groupBy(col("lang"))
+        .agg(graft.functions.HeavyHitters.mgSketch(40)(col("token"))
+          .as("sk"))
+      counts.join(broadcast(totals), Seq("lang"))
+        .filter(col("cnt") * 30 > col("n_lang"))
+        .join(broadcast(sketches), Seq("lang"))
+        .withColumn("mg_contains", map_contains_key(col("sk"), col("token")))
+        .select(col("lang"), col("token"), col("cnt"), col("mg_contains"))
+        .orderBy(col("lang"), col("cnt").desc, col("token"))
+    }),
+
     // Multi-quantile profiling — exact quartiles per group (the
     // distribution census a pipeline runs before choosing thresholds).
     "a14_quantiles" -> ((s, d) => {
@@ -660,6 +685,19 @@ object RelationalQueries extends QueryModule {
         |FROM c CROSS JOIN n
         |WHERE cnt * 40 > n_total
         |ORDER BY cnt DESC, token""".stripMargin,
+
+    "a18_grouped_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT lang, token, count(*) AS cnt FROM t
+        |      WHERE token <> '' GROUP BY 1, 2),
+        |n AS (SELECT lang, count(*) AS n_lang FROM t
+        |      WHERE token <> '' GROUP BY 1)
+        |SELECT c.lang AS lang, token, cnt, TRUE AS mg_contains
+        |FROM c JOIN n ON c.lang = n.lang
+        |WHERE cnt * 30 > n_lang
+        |ORDER BY c.lang, cnt DESC, token""".stripMargin,
 
     "a14_quantiles" ->
       """SELECT l_returnflag,

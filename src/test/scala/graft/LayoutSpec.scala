@@ -84,4 +84,28 @@ class LayoutSpec extends SparkSpec {
     assert(zordered < linear * 0.6,
       s"z-order gave no locality: linear=$linear zorder=$zordered")
   }
+
+  test("zone-map pruned read opens only intersecting files, same answer") {
+    val dir = Files.createTempDirectory("graft-zonemap").toString + "/t"
+    val data = Tables.orders(spark, sf())
+    val rows = data.count()
+    Layout.cluster(data, col("o_orderkey"), rows / 8)
+      .write.mode("overwrite").parquet(dir)
+    val full = spark.read.parquet(dir)
+    val stats = Layout.fileStats(full, Seq("o_orderkey"))
+      .cache() // the persisted stats table stand-in
+    val nFiles = stats.count()
+    val (lo, hi) = (10L, 150L)
+    val pruned = Layout.prunedRead(spark, stats, "o_orderkey", lo, hi)
+    // opened a strict subset of files (clustered layout → few intersect)
+    val opened = pruned.select(input_file_name()).distinct().count()
+    assert(opened < nFiles, s"no pruning: $opened of $nFiles")
+    // and the pruned scan + residual filter equals the full-scan answer
+    val a = pruned.filter(col("o_orderkey").between(lo, hi))
+      .agg(count(lit(1)), sum(col("o_totalprice"))).head
+    val b = full.filter(col("o_orderkey").between(lo, hi))
+      .agg(count(lit(1)), sum(col("o_totalprice"))).head
+    assert(a == b)
+    stats.unpersist()
+  }
 }
