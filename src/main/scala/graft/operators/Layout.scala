@@ -55,6 +55,9 @@ object Layout {
     * partitioned and bucketed layouts.
     */
   def cluster(df: DataFrame, key: Column, targetRows: Long): DataFrame = {
+    // guard the integer-division foot-gun: rows/N with rows < N yields 0,
+    // and 0 here would explode into Int.MaxValue range partitions
+    require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
     val n = df.count()
     val files = math.max(1, math.ceil(n.toDouble / targetRows).toInt)
     df.repartitionByRange(files, key).sortWithinPartitions(key)
@@ -81,12 +84,15 @@ object Layout {
     * 99% of files a clustered layout excludes — the stats frame is tiny
     * (one row per file), so the collect is a metadata read, not data.
     */
-  def prunedRead(spark: org.apache.spark.sql.SparkSession,
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, dir: String,
       stats: DataFrame, statCol: String, lo: Long, hi: Long): DataFrame = {
     val files = stats
       .filter(col(s"max_$statCol") >= lo && col(s"min_$statCol") <= hi)
       .select(col("__file")).collect().map(_.getString(0))
-    require(files.nonEmpty, "zone map excluded every file")
-    spark.read.parquet(files.toIndexedSeq: _*)
+    if (files.isEmpty)
+      // everything pruned is the zone map's best case, not an error:
+      // return an empty frame with the table's schema (metadata-only)
+      spark.read.parquet(dir).where(lit(false))
+    else spark.read.parquet(files.toIndexedSeq: _*)
   }
 }

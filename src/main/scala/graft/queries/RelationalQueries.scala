@@ -262,7 +262,8 @@ object RelationalQueries extends QueryModule {
         .select(explode(split(lower(col("text")), " ")).as("token"))
         .filter(col("token") =!= "")
       val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      val total = toks.agg(count(lit(1)).as("n_total"))
+      // total derives from the tiny counts frame — no second corpus scan
+      val total = counts.agg(sum(col("cnt")).as("n_total"))
       val sketch = toks.agg(
         graft.functions.HeavyHitters.mgSketch(40)(col("token")).as("sk"))
       counts.crossJoin(broadcast(total))
@@ -285,8 +286,9 @@ object RelationalQueries extends QueryModule {
         .filter(col("token") =!= "")
       val counts = toks.groupBy(col("lang"), col("token"))
         .agg(count(lit(1)).as("cnt"))
-      val totals = toks.groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_lang"))
+      // per-lang totals from the aggregated frame — no extra corpus scan
+      val totals = counts.groupBy(col("lang"))
+        .agg(sum(col("cnt")).as("n_lang"))
       val sketches = toks.groupBy(col("lang"))
         .agg(graft.functions.HeavyHitters.mgSketch(40)(col("token"))
           .as("sk"))

@@ -243,7 +243,7 @@ object TextQueries extends QueryModule {
       val stats = toks.groupBy(col("lang"), col("token"))
         .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
       val nd = docs.groupBy(col("lang"))
-        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .agg(count(lit(1)).as("n_docs")) // doc_id is the table key
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang")).orderBy(col("score").desc, col("token"))
       stats.join(broadcast(nd), Seq("lang"))
@@ -419,7 +419,7 @@ object TextQueries extends QueryModule {
         |  SELECT lang, token, count(*) AS tf,
         |    count(DISTINCT doc_id) AS df
         |  FROM toks WHERE token <> '' GROUP BY 1, 2),
-        |nd AS (SELECT lang, count(DISTINCT doc_id) AS n_docs
+        |nd AS (SELECT lang, count(*) AS n_docs
         |       FROM documents GROUP BY 1)
         |SELECT lang, rn, token, tf, df, score FROM (
         |  SELECT s.lang, token, tf, df,

@@ -96,16 +96,22 @@ class LayoutSpec extends SparkSpec {
       .cache() // the persisted stats table stand-in
     val nFiles = stats.count()
     val (lo, hi) = (10L, 150L)
-    val pruned = Layout.prunedRead(spark, stats, "o_orderkey", lo, hi)
+    val pruned = Layout.prunedRead(spark, dir, stats, "o_orderkey", lo, hi)
     // opened a strict subset of files (clustered layout → few intersect)
     val opened = pruned.select(input_file_name()).distinct().count()
     assert(opened < nFiles, s"no pruning: $opened of $nFiles")
     // and the pruned scan + residual filter equals the full-scan answer
-    val a = pruned.filter(col("o_orderkey").between(lo, hi))
-      .agg(count(lit(1)), sum(col("o_totalprice"))).head
-    val b = full.filter(col("o_orderkey").between(lo, hi))
-      .agg(count(lit(1)), sum(col("o_totalprice"))).head
-    assert(a == b)
+    // (decimal sum: double addition order differs between the two reads)
+    def summary(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("o_orderkey").between(lo, hi))
+        .agg(count(lit(1)),
+          graft.functions.Numeric.dsum(col("o_totalprice"))).head
+    assert(summary(pruned) == summary(full))
+    // a fully-out-of-range window prunes everything and yields empty,
+    // schema intact
+    val none = Layout.prunedRead(spark, dir, stats, "o_orderkey",
+      10000000L, 20000000L)
+    assert(none.count() == 0 && none.columns.sameElements(full.columns))
     stats.unpersist()
   }
 }

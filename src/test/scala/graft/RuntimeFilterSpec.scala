@@ -18,15 +18,15 @@ class RuntimeFilterSpec extends SparkSpec {
     "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
     // test tables are tiny; drop the size gates so the rule applies
     "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
-    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    // disable broadcast so the join actually shuffles both sides —
+    // broadcast joins don't need (or get) a runtime filter
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
 
   test("a selective dim filter injects a bloom filter on the fact side") {
     val saved = knobs.map { case (key, _) => key -> spark.conf.getOption(key) }
     knobs.foreach { case (key, v) => spark.conf.set(key, v) }
     try {
-      // disable broadcast so the join actually shuffles both sides —
-      // broadcast joins don't need (or get) a runtime filter
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val dim = Tables.orders(spark, sf())
         .filter(col("o_orderpriority") === "1-URGENT")
       val fact = Tables.lineitem(spark, sf())
@@ -42,7 +42,6 @@ class RuntimeFilterSpec extends SparkSpec {
         .collect().toSet
       assert(joined.collect().toSet == expected)
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
       saved.foreach {
         case (key, Some(v)) => spark.conf.set(key, v)
         case (key, None)    => spark.conf.unset(key)
