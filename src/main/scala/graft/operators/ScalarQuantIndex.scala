@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted int8 scalar-quantization index — the artifact form of the
+  * ann8 query (same write/read policy as the minhash/simhash indexes in
+  * `Dedup`): quantize once, search many. The artifact is the genuinely
+  * compressed representation —
+  *
+  *   codes: (vec_id, qcode: array<int 0..255>)  — 1 byte/dim of signal
+  *   stats: (pos, mn, mx)                        — dims rows, broadcast
+  *
+  * — so a 100 TB float corpus becomes a ~25 TB code table plus a
+  * 64-row frame; search decodes midpoints on the fly (the decoded dot
+  * cancels the affine bias, see ann8) and never touches the original
+  * vectors. Quantization error is bounded per dim by half a bucket:
+  * |decoded − normalized| ≤ (mx − mn)/512, which AnnIndexSpec asserts.
+  */
+object ScalarQuantIndex {
+
+  /** (vec_id, pos, nvv): L2-normalized scalar view of an embeddings
+    * table. Sequential array fold for the norm — deterministic on any
+    * partitioning.
+    */
+  def normalizedScalar(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"), expr(
+        "sqrt(aggregate(zip_with(embedding, embedding, " +
+          "(x, y) -> cast(x AS double) * y), 0D, (a, b) -> a + b))")
+        .as("nrm"))
+      .select(col("vec_id"), col("nrm"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("nvv", expr(
+        "IF(nrm = 0D, 0D, cast(v AS double) / nrm)"))
+      .select("vec_id", "pos", "nvv")
+
+  /** Quantize: per-dim corpus min/max stats + one int code per dim. */
+  def build(e: DataFrame): (DataFrame, DataFrame) = {
+    val nvd = normalizedScalar(e)
+    val stats = nvd.groupBy(col("pos"))
+      .agg(min(col("nvv")).as("mn"), max(col("nvv")).as("mx"))
+    val codes = nvd.join(broadcast(stats), Seq("pos"))
+      .withColumn("q", expr(
+        "CASE WHEN mx = mn THEN 0 ELSE " +
+          "least(cast(floor((nvv - mn) / (mx - mn) * 256) AS int), 255) END"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, q))), " +
+        "s -> s.q)").as("qcode"))
+    (stats, codes)
+  }
+
+  def write(e: DataFrame, path: String): Unit = {
+    val (stats, codes) = build(e)
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Midpoint-decoded vectors (vec_id, rv: array<double>) from a codes
+    * + stats pair — the only form search ever needs.
+    */
+  def reconstruct(codes: DataFrame, stats: DataFrame): DataFrame =
+    codes.select(col("vec_id"), posexplode(col("qcode")).as(Seq("pos", "q")))
+      .join(broadcast(stats), Seq("pos"))
+      .withColumn("rval",
+        expr("mn + (q + 0.5D) / 256D * (mx - mn)"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, rval))), " +
+        "s -> s.rval)").as("rv"))
+
+  def reconstructFromIndex(spark: SparkSession, path: String): DataFrame =
+    reconstruct(spark.read.parquet(s"$path/codes"),
+      spark.read.parquet(s"$path/stats"))
+
+  /** Top-k by decoded dot for the query rows selected by `isQuery`,
+    * ranked with a deterministic tiebreak. Runs entirely off the
+    * artifact.
+    */
+  def search(decoded: DataFrame, isQuery: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    val q = decoded.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("rv").as("qa"))
+    val c = decoded.select(col("vec_id").as("neighbor_id"),
+      col("rv").as("qb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_q").desc, col("neighbor_id"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot_q", expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0D, (a, b) -> a + b)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.ScalarQuantIndex
+
+/** The persisted scalar-quantization index: write/read identity, the
+  * per-dim quantization error bound, and artifact-only search parity.
+  */
+class AnnIndexSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf())
+
+  test("index round-trips: decoded vectors identical from memory and disk") {
+    val dir = Files.createTempDirectory("graft-sqidx").toString + "/idx"
+    ScalarQuantIndex.write(emb, dir)
+    val (stats, codes) = ScalarQuantIndex.build(emb)
+    val mem = ScalarQuantIndex.reconstruct(codes, stats)
+    val disk = ScalarQuantIndex.reconstructFromIndex(spark, dir)
+    // codes are ints and stats round-trip exactly through parquet, so
+    // the decode arithmetic is identical — exact frame equality
+    assert(mem.exceptAll(disk).count() == 0)
+    assert(disk.exceptAll(mem).count() == 0)
+    assert(disk.count() == emb.count())
+  }
+
+  test("midpoint decode stays within half a bucket of the true value") {
+    val (stats, codes) = ScalarQuantIndex.build(emb)
+    val truth = ScalarQuantIndex.normalizedScalar(emb)
+    val decoded = ScalarQuantIndex.reconstruct(codes, stats)
+      .select(col("vec_id"), posexplode(col("rv")).as(Seq("pos", "rval")))
+    val bound = decoded.join(truth, Seq("vec_id", "pos"))
+      .join(stats, Seq("pos"))
+      // half a bucket (mx-mn)/512, plus float slack
+      .filter(abs(col("rval") - col("nvv")) >
+        (col("mx") - col("mn")) / 512 + 1e-12)
+    assert(bound.count() == 0)
+  }
+
+  test("artifact-only search matches the in-memory quantized search") {
+    val dir = Files.createTempDirectory("graft-sqidx2").toString + "/idx"
+    ScalarQuantIndex.write(emb, dir)
+    val (stats, codes) = ScalarQuantIndex.build(emb)
+    val fromMem = ScalarQuantIndex.search(
+      ScalarQuantIndex.reconstruct(codes, stats), col("vec_id") < 10, 3)
+    val fromDisk = ScalarQuantIndex.search(
+      ScalarQuantIndex.reconstructFromIndex(spark, dir),
+      col("vec_id") < 10, 3)
+    assert(fromMem.collect().toSet == fromDisk.collect().toSet)
+    assert(fromDisk.count() == 30) // 10 queries × top-3
+  }
+}
