@@ -199,6 +199,31 @@ object JoinQueries extends QueryModule {
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("anchor_key")).as("n_anchors_with_follower"),
           countDistinct(col("o_orderkey")).as("n_followers"))
+    }),
+
+    // Fuzzy (edit-distance) join with multi-pass token blocking — the
+    // entity-resolution shape: candidates come from TWO equi-join
+    // passes (block on first token, block on last token — a single-token
+    // typo always survives one of them), distinct-ed, then the exact
+    // levenshtein threshold filters. Never a cross join: at scale both
+    // blocking passes are hash joins on a token key, and candidates ≪
+    // |A|×|B|. One probe ("purple elephant") has no block-mate by
+    // construction and must vanish.
+    "j14_fuzzy_join" -> ((s, d) => {
+      import s.implicits._
+      val probes = Seq("smal ring", "red widgit", "blu bolt", "hot gearr",
+        "purple elephant").toDF("probe")
+        .withColumn("ptoks", split(col("probe"), " "))
+      val names = Tables.part(s, d).select(col("p_name")).distinct()
+        .withColumn("ntoks", split(col("p_name"), " "))
+      val byFirst = probes.join(names, expr("ptoks[0] = ntoks[0]"))
+      val byLast = probes.join(names,
+        expr("element_at(ptoks, -1) = element_at(ntoks, -1)"))
+      byFirst.unionByName(byLast)
+        .select(col("probe"), col("p_name")).distinct()
+        .withColumn("dist", levenshtein(col("probe"), col("p_name")))
+        .filter(col("dist") <= 2)
+        .orderBy(col("probe"), col("dist"), col("p_name"))
     })
   )
 
@@ -312,6 +337,22 @@ object JoinQueries extends QueryModule {
         |  count(DISTINCT a.o_orderkey) AS n_anchors_with_follower,
         |  count(DISTINCT b.o_orderkey) AS n_followers
         |FROM o a JOIN o b ON a.o_custkey = b.o_custkey
-        |  AND b.sec >= a.sec + 1 AND b.sec <= a.sec + 2592000""".stripMargin
+        |  AND b.sec >= a.sec + 1 AND b.sec <= a.sec + 2592000""".stripMargin,
+
+    "j14_fuzzy_join" ->
+      """WITH probes AS (
+        |  SELECT * FROM (VALUES ('smal ring'), ('red widgit'),
+        |    ('blu bolt'), ('hot gearr'), ('purple elephant')) p(probe)),
+        |names AS (SELECT DISTINCT p_name FROM part),
+        |cand AS (
+        |  SELECT probe, p_name FROM probes JOIN names
+        |    ON string_split(probe, ' ')[1] = string_split(p_name, ' ')[1]
+        |  UNION
+        |  SELECT probe, p_name FROM probes JOIN names
+        |    ON string_split(probe, ' ')[-1] = string_split(p_name, ' ')[-1])
+        |SELECT probe, p_name, levenshtein(probe, p_name) AS dist
+        |FROM cand
+        |WHERE levenshtein(probe, p_name) <= 2
+        |ORDER BY probe, dist, p_name""".stripMargin
   )
 }

@@ -116,6 +116,27 @@ object ScalarFuncQueries extends QueryModule {
         .orderBy(col("lang"))
     }),
 
+    // Quantile feature binning — the quantile-discretizer step of a
+    // feature pipeline: exact quartile edges (one aggregate, tiny),
+    // broadcast back, per-row case_when bin assignment, census per bin.
+    // NOT ntile: a global ntile window is a global sort; edges +
+    // broadcast is one pass + map-side binning at any scale.
+    "f15_quantile_bins" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val edges = li.agg(expr(
+        "percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("e"))
+      li.crossJoin(broadcast(edges))
+        .withColumn("bin",
+          when(col("l_extendedprice") < expr("e[0]"), 0)
+            .when(col("l_extendedprice") < expr("e[1]"), 1)
+            .when(col("l_extendedprice") < expr("e[2]"), 2)
+            .otherwise(3))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("bin"))
+    }),
+
     // F10: string distance — levenshtein for label similarity
     // (ref: src/helper/magentic_label.py:11-12).
     "f10_levenshtein" -> ((s, d) => {
@@ -239,6 +260,24 @@ object ScalarFuncQueries extends QueryModule {
     "f10_levenshtein" ->
       """SELECT n_name, levenshtein(n_name, 'UNITED STATES') AS dist
         |FROM nation ORDER BY dist, n_name""".stripMargin,
+
+    "f15_quantile_bins" ->
+      """WITH e AS (
+        |  SELECT quantile_cont(l_extendedprice, 0.25) AS e0,
+        |    quantile_cont(l_extendedprice, 0.5) AS e1,
+        |    quantile_cont(l_extendedprice, 0.75) AS e2
+        |  FROM lineitem)
+        |SELECT bin, count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM (
+        |  SELECT l_extendedprice,
+        |    CASE WHEN l_extendedprice < e0 THEN 0
+        |         WHEN l_extendedprice < e1 THEN 1
+        |         WHEN l_extendedprice < e2 THEN 2
+        |         ELSE 3 END AS bin
+        |  FROM lineitem CROSS JOIN e)
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "f13_json_map_view" ->
       """SELECT key, count(*) AS n FROM (
