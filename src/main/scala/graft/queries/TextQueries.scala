@@ -281,6 +281,35 @@ object TextQueries extends QueryModule {
           sum(length(col("pii_text")) - length(col("redacted")))
             .as("len_delta"))
         .orderBy(col("lang"))
+    }),
+
+    // Sequence packing — the concat-and-chop step that turns documents
+    // into fixed-budget training sequences (2048 "tokens" here): a
+    // deterministic order per language, a running token cumsum, and each
+    // doc assigned to the sequence its first token lands in. Per-stream
+    // sort is inherent to packing (you must pick an order); it stays a
+    // PER-LANGUAGE window — at corpus scale the stream key would be
+    // (lang, shard) so no partition exceeds executor memory.
+    "x12_sequence_packing" -> ((s, d) => {
+      val budget = 2048L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      Tables.documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("seq_id",
+          floor((col("cum") - col("n_tok")) / budget))
+        .groupBy(col("lang"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("fill"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sequences"),
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("fill")).as("total_tokens"),
+          max(col("n_docs")).as("max_docs_per_seq"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -444,6 +473,27 @@ object TextQueries extends QueryModule {
         |  CAST(sum(len(pii_text) - len(regexp_replace(pii_text,
         |    '[a-z0-9._]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'))) AS BIGINT)
         |    AS len_delta
-        |FROM p GROUP BY 1 ORDER BY lang""".stripMargin
+        |FROM p GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "x12_sequence_packing" ->
+      """WITH toks AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |packed AS (
+        |  SELECT lang, n_tok,
+        |    CAST(floor((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+        |      / 2048) AS BIGINT) AS seq_id
+        |  FROM toks),
+        |per AS (
+        |  SELECT lang, seq_id, count(*) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS fill
+        |  FROM packed GROUP BY 1, 2)
+        |SELECT lang, count(*) AS n_sequences,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(fill) AS BIGINT) AS total_tokens,
+        |  max(n_docs) AS max_docs_per_seq
+        |FROM per GROUP BY 1 ORDER BY lang""".stripMargin
   )
 }
