@@ -88,6 +88,27 @@ object SortSampleQueries extends QueryModule {
           sum(col("n_chars")).as("sum_chars"),
           countDistinct(col("source")).as("n_sources"))
         .orderBy(col("lang"))
+    }),
+
+    // Deterministic train/val/test split by content hash — the dataset-
+    // split step: the last hex digit of md5(doc_id) buckets every doc
+    // into 16 cells, carved 12/2/2 (75/12.5/12.5). Hash-keyed splits are
+    // stable under re-partitioning, re-runs, and corpus growth (a doc
+    // never migrates between splits), unlike rand()-seeded sampling.
+    // Pure map-side projection + tiny census.
+    "o7_hash_split" -> ((s, d) => {
+      val h = substring(md5(concat_ws("|", col("doc_id"))), 32, 1)
+      Tables.documents(s, d)
+        .withColumn("split",
+          // hex alphabet: '0'..'b' is exactly {0-9, a, b} = 12/16
+          when(h.between("0", "b"), "train")
+            .when(h.isin("c", "d"), "val")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("split"))
     })
   )
 
@@ -133,6 +154,20 @@ object SortSampleQueries extends QueryModule {
         |  count(DISTINCT source) AS n_sources
         |FROM ranked JOIN recipe USING (lang)
         |WHERE rn <= quota
-        |GROUP BY 1 ORDER BY lang""".stripMargin
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "o7_hash_split" ->
+      """SELECT split, count(*) AS n_docs,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM (
+        |  SELECT lang, n_chars,
+        |    CASE WHEN substr(md5(concat_ws('|', doc_id)), 32, 1)
+        |           BETWEEN '0' AND 'b' THEN 'train'
+        |         WHEN substr(md5(concat_ws('|', doc_id)), 32, 1)
+        |           IN ('c', 'd') THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY split""".stripMargin
   )
 }

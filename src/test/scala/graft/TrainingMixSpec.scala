@@ -113,6 +113,33 @@ class TrainingMixSpec extends SparkSpec {
     }
   }
 
+  test("o7 hash split is disjoint, complete, and stable under growth") {
+    val rows = run("o7_hash_split").collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("test", "train", "val"))
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.documents(spark, sf()).count())
+    // growth stability: restricting the corpus never moves a doc's
+    // split — the half-corpus split census equals the full census
+    // filtered to the same docs
+    val half = Tables.documents(spark, sf())
+      .filter(col("doc_id") % 2 === 0)
+    val h = substring(md5(concat_ws("|", col("doc_id"))), 32, 1)
+    val sub = half.withColumn("split",
+        when(h.between("0", "b"), "train")
+          .when(h.isin("c", "d"), "val").otherwise("test"))
+      .groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fullSub = Tables.documents(spark, sf())
+      .withColumn("split",
+        when(h.between("0", "b"), "train")
+          .when(h.isin("c", "d"), "val").otherwise("test"))
+      .filter(col("doc_id") % 2 === 0)
+      .groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sub == fullSub)
+  }
+
   test("s12 applies jsonl weights with a 1.0 default for unmatched types") {
     val rows = run("s12_jsonl_weights").collect()
     val byType = rows.map(r => r.getString(0) -> r).toMap
