@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted product-quantization index — the artifact form of the ann9
+  * query, completing the index family (minhash/simhash bands,
+  * ScalarQuantIndex):
+  *
+  *   codebooks: (b, cid, cv: array<double>)   — subspaces × k rows, broadcast
+  *   codes:     (vec_id, code: array<int>)    — one byte-sized id per subspace
+  *
+  * A 64-dim float corpus becomes 4 ints per vector (64× compression) plus
+  * 32 centroid rows. ADC search keeps the QUERY exact (its normalized
+  * slices) and decodes each NEIGHBOR as its per-subspace centroids — so
+  * search needs the artifact plus only the query rows' originals, never
+  * the corpus vectors. Training follows ann9: per-subspace L2 k-means on
+  * a bounded deterministic sample, decimal-exact means, deterministic
+  * tiebreaks throughout — same build in, same artifact out, on any
+  * partitioning.
+  */
+object ProductQuantIndex {
+
+  val Subspaces = 4
+  val SubDim = 16
+  val K = 8
+  val Rounds = 2
+  val TrainIds = 256L
+
+  // (‖s‖² − 2 s·c) + ‖c‖², each dot a sequential fold — deterministic
+  private val l2 = "(aggregate(zip_with(sv, sv, (x, y) -> x * y), 0D, " +
+    "(a, b) -> a + b) - 2D * aggregate(zip_with(sv, cv, " +
+    "(x, y) -> x * y), 0D, (a, b) -> a + b)) + " +
+    "aggregate(zip_with(cv, cv, (x, y) -> x * y), 0D, (a, b) -> a + b)"
+
+  private def assignL2(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__d2").asc, col("cid"))
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("__d2", expr(l2))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__d2", "__rk", "cv")
+  }
+
+  /** Train codebooks and encode the corpus: (codebooks, codes). */
+  def build(e: DataFrame): (DataFrame, DataFrame) = {
+    val nvd = ScalarQuantIndex.normalizedScalar(e)
+    val perSub = (0 until Subspaces).map { b =>
+      val sub = nvd
+        .filter(col("pos") >= b * SubDim && col("pos") < (b + 1) * SubDim)
+        .groupBy(col("vec_id"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, nvv))), " +
+          "x -> x.nvv)").as("sv"))
+        .coalesce(4)
+        .localCheckpoint()
+      val tsub = sub.filter(col("vec_id") < TrainIds)
+      val init = tsub.filter(col("vec_id") < K)
+        .select(col("vec_id").cast("long").as("cid"), col("sv").as("cv"))
+      val trained = (1 to Rounds).foldLeft(init) { (cents, _) =>
+        KMeans.meanCentroids(assignL2(tsub, cents), "sv")
+          .coalesce(1).localCheckpoint()
+      }
+      val codes = assignL2(sub, trained)
+        .select(col("vec_id"), lit(b).as("b"), col("cid"))
+      (trained.withColumn("b", lit(b)), codes)
+    }
+    val codebooks = perSub.map(_._1).reduce(_ unionByName _)
+      .select(col("b"), col("cid"), col("cv"))
+    val codes = perSub.map(_._2).reduce(_ unionByName _)
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(b, cid))), " +
+        "s -> cast(s.cid AS int))").as("code"))
+    (codebooks, codes)
+  }
+
+  def write(e: DataFrame, path: String): Unit = {
+    val (codebooks, codes) = build(e)
+    codebooks.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** ADC top-k from the artifact: exact query slices vs decoded
+    * neighbors, fixed-order sum across subspaces (b0+b1+b2+b3 — a
+    * groupBy-sum would add in nondeterministic order).
+    */
+  def search(spark: SparkSession, path: String, e: DataFrame,
+      isQuery: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val codebooks = spark.read.parquet(s"$path/codebooks")
+    val codes = spark.read.parquet(s"$path/codes")
+    val nvd = ScalarQuantIndex.normalizedScalar(e.filter(isQuery))
+    val subDots = (0 until Subspaces).map { b =>
+      val q = nvd
+        .filter(col("pos") >= b * SubDim && col("pos") < (b + 1) * SubDim)
+        .groupBy(col("vec_id"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, nvv))), " +
+          "x -> x.nvv)").as("qs"))
+        .select(col("vec_id").as("query_id"), col("qs"))
+      val n = codes
+        .select(col("vec_id").as("neighbor_id"),
+          expr(s"code[$b]").cast("long").as("cid"))
+        .join(broadcast(codebooks.filter(col("b") === b)), Seq("cid"))
+        .select(col("neighbor_id"), col("cv"))
+      q.join(n, col("query_id") =!= col("neighbor_id"))
+        .withColumn(s"dp$b", expr(
+          "aggregate(zip_with(qs, cv, (x, y) -> x * y), 0D, " +
+            "(a, b) -> a + b)"))
+        .select(col("query_id"), col("neighbor_id"), col(s"dp$b"))
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    subDots.reduce((l, r) => l.join(r, Seq("query_id", "neighbor_id")))
+      .withColumn("adc",
+        col("dp0") + col("dp1") + col("dp2") + col("dp3"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+}

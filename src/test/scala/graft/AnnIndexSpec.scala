@@ -49,4 +49,35 @@ class AnnIndexSpec extends SparkSpec {
     assert(fromMem.collect().toSet == fromDisk.collect().toSet)
     assert(fromDisk.count() == 30) // 10 queries × top-3
   }
+
+  test("PQ artifact: 4-byte codes, valid codebook ids, deterministic rebuild") {
+    import graft.operators.ProductQuantIndex
+    val dir = Files.createTempDirectory("graft-pqidx").toString + "/idx"
+    ProductQuantIndex.write(emb, dir)
+    val codes = spark.read.parquet(s"$dir/codes")
+    val books = spark.read.parquet(s"$dir/codebooks")
+    assert(codes.count() == emb.count())
+    // every vector encodes as exactly 4 sub-codes, each a real centroid
+    assert(codes.filter(size(col("code")) =!= 4).count() == 0)
+    val badIds = codes
+      .select(posexplode(col("code")).as(Seq("b", "cid")))
+      .join(books.select(col("b"), col("cid").cast("int").as("cid")),
+        Seq("b", "cid"), "left_anti")
+    assert(badIds.count() == 0, "code referencing a missing centroid")
+    // rebuild determinism: training again yields the identical artifact
+    val (books2, codes2) = ProductQuantIndex.build(emb)
+    assert(codes2.exceptAll(codes.select(col("vec_id"), col("code")))
+      .count() == 0)
+    assert(books2.exceptAll(books).count() == 0)
+  }
+
+  test("PQ ADC search runs entirely off the artifact, deterministically") {
+    import graft.operators.ProductQuantIndex
+    val dir = Files.createTempDirectory("graft-pqidx2").toString + "/idx"
+    ProductQuantIndex.write(emb, dir)
+    val a = ProductQuantIndex.search(spark, dir, emb, col("vec_id") < 10, 3)
+    val b = ProductQuantIndex.search(spark, dir, emb, col("vec_id") < 10, 3)
+    assert(a.count() == 30)
+    assert(a.collect().toSet == b.collect().toSet)
+  }
 }
