@@ -86,9 +86,15 @@ object ProductQuantIndex {
     * groupBy-sum would add in nondeterministic order).
     */
   def search(spark: SparkSession, path: String, e: DataFrame,
+      isQuery: org.apache.spark.sql.Column, k: Int): DataFrame =
+    searchFrames(spark.read.parquet(s"$path/codebooks"),
+      spark.read.parquet(s"$path/codes"), e, isQuery, k)
+
+  /** Same ADC search against in-memory (codebooks, codes) frames — the
+    * form ann9 validates end-to-end against its DuckDB replay.
+    */
+  def searchFrames(codebooks: DataFrame, codes: DataFrame, e: DataFrame,
       isQuery: org.apache.spark.sql.Column, k: Int): DataFrame = {
-    val codebooks = spark.read.parquet(s"$path/codebooks")
-    val codes = spark.read.parquet(s"$path/codes")
     val nvd = ScalarQuantIndex.normalizedScalar(e.filter(isQuery))
     val subDots = (0 until Subspaces).map { b =>
       val q = nvd

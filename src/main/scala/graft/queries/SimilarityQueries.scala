@@ -286,80 +286,18 @@ object SimilarityQueries extends QueryModule {
     // same knobs as real PQ.
     "ann9_product_quant" -> ((s, d) => {
       GraftFunctions.register(s)
-      import graft.operators.KMeans
-      val nvd = normalizedScalar(s, d)
-      // PQ is a EUCLIDEAN quantizer: codes are assigned by L2 distance
-      // (cosine assignment ignores slice magnitude, which ADC's dot
-      // needs — measured 3× worse recall). d² is computed as
-      // (‖s‖² − 2·s·c) + ‖c‖², each dot a sequential fold — the same
-      // parse tree on both engines, so the doubles are identical.
-      val l2 = "(aggregate(zip_with(sv, sv, (x, y) -> x * y), 0D, " +
-        "(a, b) -> a + b) - 2D * aggregate(zip_with(sv, cv, " +
-        "(x, y) -> x * y), 0D, (a, b) -> a + b)) + " +
-        "aggregate(zip_with(cv, cv, (x, y) -> x * y), 0D, (a, b) -> a + b)"
-      def assignL2(vecs: DataFrame, cents: DataFrame): DataFrame = {
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("__d2").asc, col("cid"))
-        vecs.crossJoin(broadcast(cents))
-          .withColumn("__d2", expr(l2))
-          .withColumn("__rk", row_number().over(w))
-          .filter(col("__rk") === 1)
-          .drop("__d2", "__rk", "cv")
-      }
-      val subPairs = (0 until 4).map { b =>
-        // localCheckpoint: the slice frame is read by every Lloyd round,
-        // the encode pass and the query side — without it each pass
-        // re-runs the normalize+explode pipeline from the scan
-        // coalesce before checkpointing: the slice is ~corpus-sized rows
-        // but every downstream stage (3 training passes + encode + ADC)
-        // inherits its partitioning — at bench scale 4 subspaces × 32
-        // partitions × ~6 stages is pure task-scheduling overhead on
-        // tiny frames (ann9 went 9.1s → 2.8s at local[32] on this). At
-        // cluster scale raise/remove the coalesce; correctness is
-        // partitioning-independent throughout.
-        val sub = nvd
-          .filter(col("pos") >= b * 16 && col("pos") < (b + 1) * 16)
-          .groupBy(col("vec_id"))
-          .agg(expr("transform(sort_array(collect_list(struct(pos, nvv))), " +
-            "x -> x.nvv)").as("sv"))
-          .coalesce(4)
-          .localCheckpoint()
-        // codebooks train on a bounded deterministic sample (production
-        // PQ trains on ~100k of billions); each round's centroid frame
-        // is checkpointed so the next round's broadcast side does not
-        // re-run the whole previous round. Only the single encode pass
-        // touches the full corpus.
-        val tsub = sub.filter(col("vec_id") < 256)
-        val init = tsub.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cid"), col("sv").as("cv"))
-        val trained = (1 to 2).foldLeft(init) { (cents, _) =>
-          // 8 centroid rows — one partition, or the broadcast build pays
-          // a 32-task collect per round
-          KMeans.meanCentroids(assignL2(tsub, cents), "sv")
-            .coalesce(1).localCheckpoint()
-        }
-        val codes = assignL2(sub, trained)
-        val q = codes.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("sv").as("qs"))
-        val n = codes.join(trained, "cid")
-          .select(col("vec_id").as("neighbor_id"), col("cv"))
-        q.join(n, col("query_id") =!= col("neighbor_id"))
-          .withColumn(s"dp$b", expr(
-            "aggregate(zip_with(qs, cv, (x, y) -> x * y), 0D, " +
-              "(a, b) -> a + b)"))
-          .select(col("query_id"), col("neighbor_id"), col(s"dp$b"))
-      }
-      // fixed-order sum (dp0+dp1+dp2+dp3) — a groupBy-sum over the four
-      // contributions would add in nondeterministic order
-      val wq = Window.partitionBy(col("query_id"))
-        .orderBy(col("adc").desc, col("neighbor_id"))
-      val approx = subPairs
-        .reduce((l, r) => l.join(r, Seq("query_id", "neighbor_id")))
-        .withColumn("adc",
-          col("dp0") + col("dp1") + col("dp2") + col("dp3"))
-        .withColumn("rank", row_number().over(wq))
-        .filter(col("rank") <= 3)
-        .select(col("query_id"), col("rank"), col("neighbor_id"))
+      // Training, encoding and ADC all live in operators/ProductQuantIndex
+      // (the persisted-artifact operator — single source of truth; this
+      // query validates that exact formulation end-to-end against the
+      // DuckDB replay and the measured beats-chance flag). PQ details:
+      // EUCLIDEAN assignment (cosine ignores slice magnitude, measured
+      // 3x worse recall), d2 as sequential folds so both engines produce
+      // identical doubles, decimal-exact centroid means, fixed-order ADC
+      // sum across the 4 subspaces.
+      val pqE = Tables.embeddings(s, d)
+      val (pqBooks, pqCodes) = graft.operators.ProductQuantIndex.build(pqE)
+      val approx = graft.operators.ProductQuantIndex.searchFrames(
+        pqBooks, pqCodes, pqE, col("vec_id") < 10, 3)
 
       val e = Tables.embeddings(s, d)
       val wx = Window.partitionBy(col("query_id"))
