@@ -524,6 +524,21 @@ object RelationalQueries extends QueryModule {
         .orderBy(col("custdist").desc, col("c_count").desc)
     }),
 
+    // TPC-H Q17-shaped small-quantity revenue: the correlated-aggregate
+    // threshold (l_quantity < 0.2 × that part's average) decorrelated
+    // into a per-part aggregate + equi-join — one lineitem scan feeds
+    // both the aggregate and the probe via exchange reuse.
+    "q17_small_quantity" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val avgQ = li.groupBy(col("l_partkey"))
+        .agg((dsum(col("l_quantity")) / count(col("l_quantity")))
+          .as("avg_qty"))
+      li.join(avgQ, Seq("l_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // TPC-H Q19-shaped disjunctive predicates: OR-of-ANDs across both
     // join sides. Catalyst extracts the common conjuncts (p_type IN ...,
     // l_quantity range) and pushes them into BOTH scans, so the join
@@ -845,6 +860,19 @@ object RelationalQueries extends QueryModule {
         |    ON c_custkey = o_custkey
         |  GROUP BY 1)
         |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q17_small_quantity" ->
+      """WITH a AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(l_quantity) AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    / 7.0 AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN a USING (l_partkey)
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
 
     "q19_disjunctive" ->
       """SELECT
