@@ -68,10 +68,14 @@ object ProductQuantIndex {
     }
     val codebooks = perSub.map(_._1).reduce(_ unionByName _)
       .select(col("b"), col("cid"), col("cv"))
+    // checkpoint the code table: ADC reads it once per subspace (4×),
+    // and without this each leg would re-run every assignment pass
     val codes = perSub.map(_._2).reduce(_ unionByName _)
       .groupBy(col("vec_id"))
       .agg(expr("transform(sort_array(collect_list(struct(b, cid))), " +
         "s -> cast(s.cid AS int))").as("code"))
+      .coalesce(4)
+      .localCheckpoint()
     (codebooks, codes)
   }
 
@@ -95,7 +99,9 @@ object ProductQuantIndex {
     */
   def searchFrames(codebooks: DataFrame, codes: DataFrame, e: DataFrame,
       isQuery: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    // one tiny frame (queries × dims), read by all four ADC legs
     val nvd = ScalarQuantIndex.normalizedScalar(e.filter(isQuery))
+      .coalesce(1).localCheckpoint()
     val subDots = (0 until Subspaces).map { b =>
       val q = nvd
         .filter(col("pos") >= b * SubDim && col("pos") < (b + 1) * SubDim)
