@@ -531,8 +531,7 @@ object RelationalQueries extends QueryModule {
     "q17_small_quantity" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val avgQ = li.groupBy(col("l_partkey"))
-        .agg((dsum(col("l_quantity")) / count(col("l_quantity")))
-          .as("avg_qty"))
+        .agg(davg(col("l_quantity")).as("avg_qty"))
       li.join(avgQ, Seq("l_partkey"))
         .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
         .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),

@@ -205,34 +205,18 @@ object SimilarityQueries extends QueryModule {
     // and only the byte codes + 64-entry stats live in memory.
     "ann8_scalar_quant" -> ((s, d) => {
       GraftFunctions.register(s)
-      // L2-normalize FIRST: cosine is the dot of unit vectors, so the
-      // quantized dot tracks cosine ranking; quantizing raw vectors
-      // would rank by unnormalized dot (neighbor-norm skew).
-      //
-      // The whole quantize+decode chain runs as SCALAR ops on a
-      // posexploded (vec, pos, value) frame, then collects back into
-      // one array per vector — nesting the steps as array expressions
-      // (rv over qv over nv) would let project-collapse inline each
-      // layer 64× per element (the known quadratic-expression trap).
+      // Quantize/decode live in operators/ScalarQuantIndex (the
+      // persisted-artifact operator — single source of truth; this
+      // query validates that formulation end-to-end against the DuckDB
+      // replay). Key decisions documented there: L2-normalize first so
+      // the quantized dot tracks cosine; scalar posexploded pipeline
+      // (nesting the steps as array expressions would let
+      // project-collapse inline each layer 64× per element); search
+      // ranks by the dot of DECODED midpoints, which cancels the
+      // affine Σnb-popularity bias.
       val e = Tables.embeddings(s, d)
-      val nvd = normalizedScalar(s, d)
-      val stats = nvd.groupBy(col("pos"))
-        .agg(min(col("nvv")).as("mn"), max(col("nvv")).as("mx"))
-      // search ranks by the dot of DECODED codes (midpoint
-      // reconstruction mn + (q+0.5)·step): decoding cancels the affine
-      // offset that would otherwise add a query-independent
-      // Σnb-popularity bias dominating the cosine signal. The decoded
-      // dot is a pure function of the byte codes + the 64-entry stats —
-      // identical IEEE arithmetic on both engines; ordering only,
-      // never emitted.
-      val rvec = nvd.join(broadcast(stats), Seq("pos"))
-        .withColumn("rval", expr(
-          "mn + ((CASE WHEN mx = mn THEN 0 " +
-            "ELSE least(cast(floor((nvv - mn) / (mx - mn) * 256) AS int), " +
-            "255) END) + 0.5D) / 256D * (mx - mn)"))
-        .groupBy(col("vec_id"))
-        .agg(expr("transform(sort_array(collect_list(struct(pos, rval))), " +
-          "s -> s.rval)").as("rv"))
+      val (sqStats, sqCodes) = graft.operators.ScalarQuantIndex.build(e)
+      val rvec = graft.operators.ScalarQuantIndex.reconstruct(sqCodes, sqStats)
       val quant = rvec.join(e, Seq("vec_id"))
 
       val q = quant.filter(col("vec_id") < 10)
@@ -327,18 +311,6 @@ object SimilarityQueries extends QueryModule {
     * project-collapse inlining trap); vectors are re-assembled with
     * sort_array(collect_list(struct)) only at consumption points.
     */
-  private def normalizedScalar(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), expr(
-        "sqrt(aggregate(zip_with(embedding, embedding, " +
-          "(x, y) -> cast(x AS double) * y), 0D, (a, b) -> a + b))")
-        .as("nrm"))
-      .select(col("vec_id"), col("nrm"),
-        posexplode(col("embedding")).as(Seq("pos", "v")))
-      .withColumn("nvv", expr(
-        "IF(nrm = 0D, 0D, cast(v AS double) / nrm)"))
-      .select("vec_id", "pos", "nvv")
-
   private val centMemo = scala.collection.mutable
     .Map.empty[(SparkSession, String), DataFrame]
 

@@ -65,10 +65,14 @@ class AnnIndexSpec extends SparkSpec {
         Seq("b", "cid"), "left_anti")
     assert(badIds.count() == 0, "code referencing a missing centroid")
     // rebuild determinism: training again yields the identical artifact
+    // (both directions + counts, so dropped rows can't slip through)
     val (books2, codes2) = ProductQuantIndex.build(emb)
-    assert(codes2.exceptAll(codes.select(col("vec_id"), col("code")))
-      .count() == 0)
+    val codes1 = codes.select(col("vec_id"), col("code"))
+    assert(codes2.exceptAll(codes1).count() == 0)
+    assert(codes1.exceptAll(codes2).count() == 0)
     assert(books2.exceptAll(books).count() == 0)
+    assert(books.exceptAll(books2).count() == 0)
+    assert(books2.count() == books.count())
   }
 
   test("PQ ADC search runs entirely off the artifact, deterministically") {

@@ -113,31 +113,28 @@ class TrainingMixSpec extends SparkSpec {
     }
   }
 
-  test("o7 hash split is disjoint, complete, and stable under growth") {
+  test("o7 hash split is disjoint, complete, and carves 12/2/2 buckets") {
     val rows = run("o7_hash_split").collect()
     assert(rows.map(_.getString(0)).sorted.toSeq ==
       Seq("test", "train", "val"))
     assert(rows.map(_.getLong(1)).sum ==
       Tables.documents(spark, sf()).count())
-    // growth stability: restricting the corpus never moves a doc's
-    // split — the half-corpus split census equals the full census
-    // filtered to the same docs
-    val half = Tables.documents(spark, sf())
-      .filter(col("doc_id") % 2 === 0)
+    // independent formulation of the SAME contract (explicit hex-char
+    // sets, not the query's range predicates) — a change to the query's
+    // bucket boundaries fails here
     val h = substring(md5(concat_ws("|", col("doc_id"))), 32, 1)
-    val sub = half.withColumn("split",
-        when(h.between("0", "b"), "train")
-          .when(h.isin("c", "d"), "val").otherwise("test"))
-      .groupBy(col("split")).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val fullSub = Tables.documents(spark, sf())
+    val expected = Tables.documents(spark, sf())
       .withColumn("split",
-        when(h.between("0", "b"), "train")
-          .when(h.isin("c", "d"), "val").otherwise("test"))
-      .filter(col("doc_id") % 2 === 0)
+        when(h.isin("0123456789ab".split("").toIndexedSeq: _*), "train")
+          .when(h.isin("c", "d"), "val")
+          .when(h.isin("e", "f"), "test"))
       .groupBy(col("split")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(sub == fullSub)
+    assert(expected.keySet == Set("train", "val", "test"),
+      "hex digit fell outside the three carve sets")
+    rows.foreach { r =>
+      assert(r.getLong(1) == expected(r.getString(0)), r.getString(0))
+    }
   }
 
   test("s12 applies jsonl weights with a 1.0 default for unmatched types") {
