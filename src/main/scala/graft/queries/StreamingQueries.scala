@@ -59,6 +59,28 @@ object StreamingQueries extends QueryModule {
         }
         .toDF("user_id", "n_sessions", "n_events")
         .orderBy(col("user_id"))
+    }),
+
+    // Batch face of the stream-stream interval join (runtime behavior —
+    // watermarks, state eviction — proven in StreamingSpec): click →
+    // purchase attribution, each purchase matched to the same user's
+    // clicks in the preceding hour. Runs on the binned range-join
+    // operator, so the pairing is an equi-join on (user, time-bin) + an
+    // exact range filter — never key-join-then-filter on a hot user,
+    // never a nested loop.
+    "st5_attribution_join" -> ((s, d) => {
+      val hourUs = 3600000000L
+      val ev = Tables.events(s, d).withColumn("us", expr("ts_ns div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("us"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("buy_id"),
+          (col("us") - hourUs).as("start"), col("us").as("end"))
+      graft.operators.Ops.rangeJoin(clicks, buys, "user_id",
+          "us", "start", "end", binWidth = hourUs / 2)
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("buy_id")).as("n_attributed_buys"),
+          countDistinct(col("click_id")).as("n_clicks_used"))
     })
   )
 
@@ -104,6 +126,21 @@ object StreamingQueries extends QueryModule {
         |    time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
         |    AS win_start, event_type
         |  FROM events)
-        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    "st5_attribution_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us
+        |  FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, us FROM ev
+        |      WHERE event_type = 'click'),
+        |b AS (SELECT user_id, event_id AS buy_id, us AS bus FROM ev
+        |      WHERE event_type = 'purchase')
+        |SELECT count(*) AS n_pairs,
+        |  count(DISTINCT buy_id) AS n_attributed_buys,
+        |  count(DISTINCT click_id) AS n_clicks_used
+        |FROM c JOIN b ON c.user_id = b.user_id
+        |  AND c.us >= bus - 3600000000 AND c.us <= bus""".stripMargin
   )
 }
