@@ -24,45 +24,74 @@ object CurationQueries extends QueryModule {
   private val stopWords = Seq("the", "a", "and", "of", "to", "el", "la",
     "de", "que", "y", "der", "die", "das", "und", "ist", "le", "et", "les")
 
+  /** The c1 surviving corpus: exact dedup (lowest doc_id per content
+    * fingerprint), near-dup drop (dd6 policy over the session-shared
+    * J>=0.5 frame), x3 quality score + length floor. Shared by the c1
+    * census and the c2 manifest.
+    */
+  private def survivors(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("ts", split(lower(col("text")), " "))
+      .withColumn("n_tok", size(col("ts")))
+
+    // exact dedup: lowest doc_id survives per full-content fingerprint
+    val keepExact = docs
+      .groupBy(md5(lower(col("text"))).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+
+    // near-dup dedup: dd6's greedy keep-lowest-id policy over the
+    // session-shared J>=0.5 pair frame
+    val dropped = DedupQueries.cachedJaccard(s, d)
+      .filter(col("j") >= 0.5)
+      .select(col("db").as("doc_id")).distinct()
+
+    // x3's quality score: type-token ratio + stopword ratio + length
+    // prior (identical arithmetic, so the 0.5 threshold is exact
+    // cross-engine)
+    val inList = stopWords.map(w => s"'$w'").mkString(",")
+    docs
+      .withColumn("ttr", size(array_distinct(col("ts"))) / col("n_tok"))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(ts, x -> x IN ($inList)))") / col("n_tok"))
+      .withColumn("len_prior", least(col("n_tok") / lit(100.0), lit(1.0)))
+      .withColumn("score",
+        col("ttr") * 0.3 + col("stop_ratio") * 0.3 + col("len_prior") * 0.4)
+      .join(keepExact, Seq("doc_id"), "left_semi")
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .filter(col("score") >= 0.5 && col("n_tok") >= 3)
+  }
+
   val queries: Map[String, Q] = Map(
     "c1_curation_pipeline" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .withColumn("ts", split(lower(col("text")), " "))
-        .withColumn("n_tok", size(col("ts")))
-
-      // exact dedup: lowest doc_id survives per full-content fingerprint
-      val keepExact = docs
-        .groupBy(md5(lower(col("text"))).as("fp"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
-
-      // near-dup dedup: dd6's greedy keep-lowest-id policy over the
-      // session-shared J>=0.5 pair frame
-      val dropped = DedupQueries.cachedJaccard(s, d)
-        .filter(col("j") >= 0.5)
-        .select(col("db").as("doc_id")).distinct()
-
-      // x3's quality score: type-token ratio + stopword ratio + length
-      // prior (identical arithmetic, so the 0.5 threshold is exact
-      // cross-engine)
-      val inList = stopWords.map(w => s"'$w'").mkString(",")
-      val scored = docs
-        .withColumn("ttr", size(array_distinct(col("ts"))) / col("n_tok"))
-        .withColumn("stop_ratio",
-          expr(s"size(filter(ts, x -> x IN ($inList)))") / col("n_tok"))
-        .withColumn("len_prior", least(col("n_tok") / lit(100.0), lit(1.0)))
-        .withColumn("score",
-          col("ttr") * 0.3 + col("stop_ratio") * 0.3 + col("len_prior") * 0.4)
-
-      scored
-        .join(keepExact, Seq("doc_id"), "left_semi")
-        .join(dropped, Seq("doc_id"), "left_anti")
-        .filter(col("score") >= 0.5 && col("n_tok") >= 3)
+      survivors(s, d)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("n_tokens"),
           sum(col("n_chars")).as("total_chars"))
         .orderBy(col("lang"))
+    }),
+
+    // The end-to-end manifest: curated corpus -> stable hash split ->
+    // per-(split, language) token totals and sequence counts at a 2048
+    // budget — the numbers a training run is actually provisioned from.
+    // Composes c1's survivors with o7's split and x12's packing
+    // arithmetic; everything after the survivor joins is map-side +
+    // one small aggregate.
+    "c2_training_manifest" -> ((s, d) => {
+      val h = substring(md5(concat_ws("|", col("doc_id"))), 32, 1)
+      survivors(s, d)
+        .withColumn("split",
+          when(h.between("0", "b"), "train")
+            .when(h.isin("c", "d"), "val")
+            .otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          ceil(sum(col("n_tok")) / lit(2048.0)).cast("long")
+            .as("n_sequences"))
+        .orderBy(col("split"), col("lang"))
     })
   )
 
@@ -98,6 +127,45 @@ object CurationQueries extends QueryModule {
         |WHERE doc_id IN (SELECT doc_id FROM keepx)
         |  AND doc_id NOT IN (SELECT doc_id FROM dropped)
         |  AND score >= 0.5 AND n_tok >= 3
-        |GROUP BY 1 ORDER BY lang""".stripMargin)
+        |GROUP BY 1 ORDER BY lang""".stripMargin),
+
+    "c2_training_manifest" -> (DedupQueries.shCte +
+      """, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+        |  FROM sh a JOIN sh b
+        |    ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dropped AS (
+        |  SELECT DISTINCT db AS doc_id
+        |  FROM pairs JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id
+        |  WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.5),
+        |keepx AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(lower(text))),
+        |scored AS (
+        |  SELECT doc_id, lang, len(ts) AS n_tok,
+        |    len(list_distinct(ts)) * 1.0 / len(ts) * 0.3 +
+        |    len(list_filter(ts, x -> x IN ('the','a','and','of','to','el',
+        |      'la','de','que','y','der','die','das','und','ist','le','et',
+        |      'les'))) * 1.0 / len(ts) * 0.3 +
+        |    least(len(ts) / 100.0, 1.0) * 0.4 AS score
+        |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS ts
+        |        FROM documents))
+        |SELECT
+        |  CASE WHEN substr(md5(concat_ws('|', doc_id)), 32, 1)
+        |         BETWEEN '0' AND 'b' THEN 'train'
+        |       WHEN substr(md5(concat_ws('|', doc_id)), 32, 1)
+        |         IN ('c', 'd') THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  lang, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(ceil(sum(n_tok) / 2048.0) AS BIGINT) AS n_sequences
+        |FROM scored
+        |WHERE doc_id IN (SELECT doc_id FROM keepx)
+        |  AND doc_id NOT IN (SELECT doc_id FROM dropped)
+        |  AND score >= 0.5 AND n_tok >= 3
+        |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin)
   )
 }

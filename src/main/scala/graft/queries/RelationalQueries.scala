@@ -524,6 +524,29 @@ object RelationalQueries extends QueryModule {
         .orderBy(col("custdist").desc, col("c_count").desc)
     }),
 
+    // TPC-H Q16-shaped supplier variety: distinct-supplier counts per
+    // part attribute bucket, with exclusion predicates on the part side
+    // and an anti-join against flagged suppliers. The distinct on
+    // (part, supplier) pairs happens BEFORE the part join — dedup the
+    // fact once, then join the slim pair set. Lineitem stands in for
+    // partsupp; negative-balance suppliers stand in for the complaints
+    // filter.
+    "q16_supplier_variety" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val excl = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      ps.join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .filter(col("p_brand") =!= "Brand#1" &&
+          !col("p_type").startsWith("MEDIUM"))
+        .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+        .limit(20)
+    }),
+
     // TPC-H Q17-shaped small-quantity revenue: the correlated-aggregate
     // threshold (l_quantity < 0.2 × that part's average) decorrelated
     // into a per-part aggregate + equi-join — one lineitem scan feeds
@@ -859,6 +882,18 @@ object RelationalQueries extends QueryModule {
         |    ON c_custkey = o_custkey
         |  GROUP BY 1)
         |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'MEDIUM%'
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 20""".stripMargin,
 
     "q17_small_quantity" ->
       """WITH a AS (
