@@ -21,6 +21,22 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
     val coldTotal = (System.nanoTime() - coldT0) / 1e9
+    // Optional plan dump (SPARK_GRAFT_PLANS=<dir>): one formatted
+    // physical plan per query, captured AFTER the warm pass so AQE
+    // re-plans and memoized frames are what actually ran. Feeds the
+    // PLANS.md audit without a separate Explain pass.
+    sys.env.get("SPARK_GRAFT_PLANS").foreach { dir =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      ordered.foreach { case (name, fn) =>
+        try {
+          val plan = fn(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"$name.txt"),
+            plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        } catch { case _: Throwable => () }
+      }
+    }
     val results = ordered.map {
       case (name, fn) =>
         val t0 = System.nanoTime()

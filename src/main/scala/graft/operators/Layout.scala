@@ -59,7 +59,15 @@ object Layout {
     // and 0 here would explode into Int.MaxValue range partitions
     require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
     val n = df.count()
-    val files = math.max(1, math.ceil(n.toDouble / targetRows).toInt)
+    clusterInto(df, key, math.max(1, math.ceil(n.toDouble / targetRows).toInt))
+  }
+
+  /** `cluster` with a known file count — skips the sizing `count()` pass
+    * when the caller already knows the target layout (e.g. compacting to
+    * a fixed shard count, or sizing from table stats).
+    */
+  def clusterInto(df: DataFrame, key: Column, files: Int): DataFrame = {
+    require(files >= 1, s"files must be >= 1, got $files")
     df.repartitionByRange(files, key).sortWithinPartitions(key)
   }
 
