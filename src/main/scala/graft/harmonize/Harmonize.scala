@@ -36,10 +36,20 @@ object Harmonize {
 
   /** Session-scoped memo of the brick per (session, sfDir, adapters):
     * Verify/Bench run every query in one session and six queries read the
-    * brick — persisting the three tables once (MEMORY_AND_DISK, the
+    * brick — materializing the three tables once (the
     * explicit-materialization stance of the reference's staging cache,
     * SURVEY §4 "Materialization") removes five rebuilds. Results are
-    * unchanged: persist only caches the deterministic plan output.
+    * unchanged: the checkpoint only stores the deterministic plan output.
+    *
+    * localCheckpoint, not persist: the eight-source union's analyzed
+    * lineage is ~900 plan nodes, and a persisted DataFrame KEEPS that
+    * lineage — every downstream action then pays cache-lookup
+    * canonicalization and re-optimization over the whole tree (measured:
+    * h5's two-aggregate join ran 9-19 s on fully-hot caches at sf0.1,
+    * pure planning overhead). Checkpointing truncates the lineage to a
+    * scanned leaf, which is also the 100 TB posture: a brick this
+    * expensive is written to storage once and every consumer reads the
+    * artifact, not the recipe.
     */
   private val memo =
     scala.collection.mutable.Map.empty[(SparkSession, String, String), Brick]
@@ -56,10 +66,9 @@ object Harmonize {
         System.identityHashCode(converter))
     memo.getOrElseUpdate(key, {
       val b = brick(spark, sfDir, adapters, converter)
-      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      Brick(b.substances.persist(MEMORY_AND_DISK),
-        b.properties.persist(MEMORY_AND_DISK),
-        b.activities.persist(MEMORY_AND_DISK))
+      Brick(b.substances.localCheckpoint(),
+        b.properties.localCheckpoint(),
+        b.activities.localCheckpoint())
     })
   }
 
@@ -130,7 +139,16 @@ object Harmonize {
       .withColumn("smiles", converter.inchiToSmilesCol(col("inchi")))
 
     // binary_value mapping (py:68) + content-hash aid over
-    // (sid, pid, inchi, value) (py:83) + final distinct (py:84)
+    // (sid, pid, inchi, value) (py:83) + final dedup (py:84). The
+    // reference's `.distinct()` runs on a frame WITHOUT numvalue (py:67
+    // drops it), so repeated measurements of one (sid, pid, inchi, value)
+    // — e.g. a bindingdb-shaped source reporting the same assay many
+    // times — collapse to ONE row per aid. Because this engine retains
+    // numvalue (README.md:24/37 gap), the faithful generalization is a
+    // deterministic collapse: group by every reference column and keep
+    // min(numvalue). Same shuffle shape as distinct (hash on the same
+    // keys), identical output where staging already has one row per
+    // (sid, pid, value), and aid stays unique (DataQuality.aid_unique).
     val activities = rekeyed
       .join(inchiMap, Seq("inchi"), "left")
       .withColumn("binary_value",
@@ -141,7 +159,9 @@ object Harmonize {
       .select(col("aid"), col("new_sid").as("sid"), col("new_pid").as("pid"),
         col("source"), col("inchi"), col("smiles"), col("value"),
         col("binary_value"), col("numvalue"))
-      .distinct()
+      .groupBy("aid", "sid", "pid", "source", "inchi", "smiles", "value",
+        "binary_value")
+      .agg(min(col("numvalue")).as("numvalue"))
 
     Brick(substances, properties, activities)
   }

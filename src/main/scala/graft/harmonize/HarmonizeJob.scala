@@ -1,8 +1,6 @@
 package graft.harmonize
 
 import org.apache.spark.sql.SparkSession
-import graft.sources.{DocumentsAdapter, EventsAdapter, IceAdapter,
-  LineitemAdapter, OrdersAdapter}
 
 /** The reference's harmonize entry point as a standalone job
   * (ref: dvc.yaml harmonize stage + src/80_harmonize.py):
@@ -26,8 +24,7 @@ object HarmonizeJob {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.PushDistinctThroughUnion
 
-    val adapters = Seq(EventsAdapter, OrdersAdapter, DocumentsAdapter,
-      LineitemAdapter, IceAdapter)
+    val adapters = graft.sources.SourceAdapter.all
     val brick = Harmonize.cachedBrick(spark, sfDir, adapters)
     brick.substances.write.mode("overwrite").parquet(s"$outDir/substances.parquet")
     brick.properties.write.mode("overwrite").parquet(s"$outDir/properties.parquet")

@@ -2,25 +2,33 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.harmonize.Harmonize
-import graft.sources.{EventsAdapter, LineitemAdapter, OrdersAdapter}
+import graft.sources._
 
 /** The chemharmony domain pipeline end-to-end — SURVEY §3.1 (harmonize)
   * and §2.12 (the reference's embedded QC queries) over the TESTDATA
   * tables, with the entire staging→canonicalize→re-key→smiles→aid chain
   * replayed in DuckDB SQL as the oracle.
   *
-  * Three SourceAdapters (events, orders, and the composite chembl-shaped
-  * lineitem integrator) stand in for the reference's 15; the brick shape,
-  * id algebra (md5-of-canonical-JSON, aid over sid|pid|inchi|value,
-  * src/80_harmonize.py:83), structure enrichment (distinct inchi →
-  * convert → join back, py:72-73), and QC invariants are the
-  * reference's own.
+  * EIGHT SourceAdapters feed the brick union — the simple event/order/
+  * document shapes plus every composite integrator pattern the reference
+  * runs: the chembl-shaped `LineitemAdapter`, the ICE-shaped grid
+  * synthesis, the bindingdb-shaped wide-assay unpivot, the ctdbase-shaped
+  * REST-enriched flip synthesis, and the toxrefdb-shaped multi-table JDBC
+  * source (the reference unions ~15, src/80_harmonize.py:33). The brick
+  * shape, id algebra (md5-of-canonical-JSON, aid over sid|pid|inchi|value,
+  * py:83), structure enrichment (distinct inchi → convert → join back,
+  * py:72-73), and QC invariants are the reference's own.
   */
 object HarmonizeQueries extends QueryModule {
 
+  /** The full harmonize union (SourceAdapter.all). EnrichQueries
+    * deliberately stays on the three-source brick: the enrichment
+    * contract is independent of the union's width, and its oracle replay
+    * stays focused on the LLM-stage semantics rather than re-deriving
+    * every integrator.
+    */
   private def brick(s: org.apache.spark.sql.SparkSession, d: String) =
-    Harmonize.cachedBrick(s, d,
-      Seq(EventsAdapter, OrdersAdapter, LineitemAdapter))
+    Harmonize.cachedBrick(s, d, SourceAdapter.all)
 
   val queries: Map[String, Q] = Map(
     // Brick substances: union + canonicalize + md5 re-key
@@ -93,7 +101,7 @@ object HarmonizeQueries extends QueryModule {
     // case_when decode → discordance filter → pair median → support
     // filters → triplet (ref: src/02_integrate_chembl.R:24-86).
     "h7_composite_integrator" -> ((s, d) => {
-      graft.sources.SourceAdapter.cachedStaging(LineitemAdapter, s, d)
+      SourceAdapter.cachedStaging(LineitemAdapter, s, d)
         .activities.orderBy(col("aid"))
     }),
 
@@ -101,17 +109,41 @@ object HarmonizeQueries extends QueryModule {
     // synthesis + median binarization + deterministic per-endpoint
     // class balancing (ref: src/06_integrate_ice.R:49-110).
     "h8_ice_grid" -> ((s, d) => {
-      graft.sources.SourceAdapter
-        .cachedStaging(graft.sources.IceAdapter, s, d)
+      SourceAdapter.cachedStaging(IceAdapter, s, d)
+        .activities.orderBy(col("aid"))
+    }),
+
+    // The bindingdb-shaped integrator end-to-end: 6-measure unpivot →
+    // censored-value parse → per-metric thresholds → per-group ids
+    // (ref: src/10_integrate_bindingdb.R:44-88).
+    "h9_bindingdb_staging" -> ((s, d) => {
+      SourceAdapter.cachedStaging(BindingdbAdapter, s, d)
+        .activities.orderBy(col("aid"))
+    }),
+
+    // The ctdbase-shaped integrator end-to-end: cached REST lookup →
+    // structure join → direction-flip negative synthesis
+    // (ref: src/07_integrate_ctdbase.R:13-96).
+    "h10_ctdbase_staging" -> ((s, d) => {
+      SourceAdapter.cachedStaging(CtdbaseAdapter, s, d)
+        .activities.orderBy(col("aid"))
+    }),
+
+    // The toxrefdb-shaped integrator end-to-end: multi-table JDBC with
+    // pushdown → structure join → NOAEL-vs-max-dose binarization
+    // (ref: src/11_integrate_toxrefdb.R:31-59).
+    "h11_toxrefdb_staging" -> ((s, d) => {
+      SourceAdapter.cachedStaging(ToxrefdbAdapter, s, d)
         .activities.orderBy(col("aid"))
     })
   )
 
-  /** Shared oracle CTE chain replaying staging + harmonize in DuckDB.
-    * The canonical `data` bytes are Python json.dumps style (': ' / ', '
-    * separators — see CanonicalJson), built here by string concat since
-    * DuckDB's to_json is compact. Shared with EnrichQueries (the
-    * enrichment stages read the same harmonized properties).
+  /** Shared oracle CTE chain replaying all eight stagings + harmonize in
+    * DuckDB. The canonical `data` bytes are Python json.dumps style
+    * (': ' / ', ' separators, sorted keys — see CanonicalJson), built
+    * here by string concat since DuckDB's to_json is compact. Shared
+    * with EnrichQueries (the enrichment stages read the same harmonized
+    * properties).
     */
   private[queries] val actsCte: String =
     """WITH epair AS (
@@ -189,15 +221,175 @@ object HarmonizeQueries extends QueryModule {
       |    'InChI=1S/P' || CAST(p_partkey AS VARCHAR) AS inchi,
       |    value, numvalue, 'lineitem' AS source
       |  FROM lsupp),
+      |dmed AS (
+      |  SELECT lang, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+      |  FROM documents GROUP BY 1),
+      |dacts AS (
+      |  SELECT md5('{"doc_id": ' || CAST(doc_id AS VARCHAR) || '}') AS sid,
+      |    md5('{"lang": "' || lang || '"}') AS pid,
+      |    'InChI=1S/D' || CAST(doc_id AS VARCHAR) AS inchi,
+      |    CASE WHEN CAST(n_chars AS DOUBLE) >= med
+      |      THEN 'positive' ELSE 'negative' END AS value,
+      |    CAST(n_chars AS DOUBLE) AS numvalue, 'documents' AS source
+      |  FROM documents JOIN dmed USING (lang)),
+      |igrid AS (
+      |  SELECT u.o_custkey, t.o_orderpriority, o.numvalue,
+      |    CASE WHEN o.numvalue IS NULL THEN 'negative'
+      |         WHEN o.numvalue >= m.med THEN 'positive'
+      |         ELSE 'negative' END AS value
+      |  FROM (SELECT DISTINCT o_custkey FROM orders) u
+      |  CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) t
+      |  LEFT JOIN opair o ON o.o_custkey = u.o_custkey
+      |    AND o.o_orderpriority = t.o_orderpriority
+      |  JOIN omed m ON m.o_orderpriority = t.o_orderpriority),
+      |icnts AS (
+      |  SELECT *,
+      |    count(*) OVER (PARTITION BY o_orderpriority, value) AS cnt
+      |  FROM igrid),
+      |imins AS (
+      |  SELECT *, min(cnt) OVER (PARTITION BY o_orderpriority) AS minc,
+      |    row_number() OVER (PARTITION BY o_orderpriority, value
+      |      ORDER BY md5(CAST(o_custkey AS VARCHAR) || '|' ||
+      |        o_orderpriority)) AS rn
+      |  FROM icnts),
+      |ibal AS (
+      |  SELECT o_custkey, o_orderpriority, numvalue, value
+      |  FROM imins WHERE rn <= minc),
+      |iacts AS (
+      |  SELECT md5('{"o_custkey": ' || CAST(o_custkey AS VARCHAR) || '}')
+      |      AS sid,
+      |    md5('{"o_orderpriority": "' || o_orderpriority || '"}') AS pid,
+      |    'InChI=1S/C' || CAST(o_custkey AS VARCHAR) AS inchi,
+      |    value, numvalue, 'icegrid' AS source
+      |  FROM ibal),
+      |bunp AS (
+      |  SELECT l_orderkey, l_linenumber, l_partkey, l_linestatus, metric,
+      |    mval FROM (
+      |    SELECT l_orderkey, l_linenumber, l_partkey, l_linestatus,
+      |      CAST(l_quantity AS DOUBLE) AS m_qty,
+      |      CAST(l_extendedprice AS DOUBLE) AS m_price,
+      |      CAST(l_discount AS DOUBLE) AS m_disc,
+      |      CAST(l_tax AS DOUBLE) AS m_tax,
+      |      CAST(l_linenumber AS DOUBLE) AS m_line,
+      |      CAST(l_suppkey AS DOUBLE) AS m_supp
+      |    FROM lineitem)
+      |  UNPIVOT (mval FOR metric IN
+      |    (m_qty, m_price, m_disc, m_tax, m_line, m_supp))),
+      |bparse AS (
+      |  SELECT l_orderkey, l_linenumber, l_partkey, l_linestatus, metric,
+      |    TRY_CAST(regexp_replace(
+      |      CASE (l_orderkey + l_linenumber + length(metric)) % 11
+      |        WHEN 3 THEN '>' || CAST(mval AS VARCHAR)
+      |        WHEN 5 THEN '<' || CAST(mval AS VARCHAR)
+      |        WHEN 7 THEN 'n/d'
+      |        ELSE CAST(mval AS VARCHAR) END, '[<>]', '', 'g') AS DOUBLE)
+      |      AS numvalue
+      |  FROM bunp
+      |  WHERE metric IN ('m_qty', 'm_price', 'm_disc', 'm_tax')),
+      |bkept AS (
+      |  SELECT *,
+      |    CASE WHEN metric = 'm_qty'   AND numvalue < 25    THEN 'positive'
+      |         WHEN metric = 'm_price' AND numvalue < 30000 THEN 'positive'
+      |         WHEN metric = 'm_disc'  AND numvalue < 0.05  THEN 'positive'
+      |         WHEN metric = 'm_tax'   AND numvalue < 0.04  THEN 'positive'
+      |         ELSE 'negative' END AS value,
+      |    row_number() OVER (
+      |      PARTITION BY l_orderkey, l_linenumber, l_partkey, metric
+      |      ORDER BY numvalue, l_linestatus) AS mrn
+      |  FROM bparse WHERE numvalue IS NOT NULL),
+      |bacts AS (
+      |  SELECT md5('{"l_partkey": ' || CAST(l_partkey AS VARCHAR) || '}')
+      |      AS sid,
+      |    md5('{"l_linestatus": "' || l_linestatus || '", "metric": "' ||
+      |      metric || '"}') AS pid,
+      |    'InChI=1S/P' || CAST(l_partkey AS VARCHAR) AS inchi,
+      |    value, numvalue, 'bindingdb' AS source
+      |  FROM bkept),
+      |ctdchem AS (
+      |  SELECT c_custkey, c_name, md5('cid:' || c_name) AS pubchem_cid,
+      |    'InChI=1S/C' || CAST(c_custkey AS VARCHAR) AS inchi
+      |  FROM customer
+      |  WHERE substr(md5(c_name), 1, 1) <> '0'
+      |    AND c_custkey % 20 <> 0),
+      |ctdobs AS (
+      |  SELECT DISTINCT user_id, event_type FROM events
+      |  WHERE event_type IN ('click', 'view', 'purchase', 'signup')),
+      |ctdixn AS (
+      |  SELECT user_id, event_type, 'positive' AS value FROM ctdobs
+      |  UNION ALL
+      |  SELECT user_id,
+      |    CASE event_type WHEN 'click' THEN 'view' WHEN 'view' THEN 'click'
+      |      WHEN 'purchase' THEN 'signup' ELSE 'purchase' END,
+      |    'negative'
+      |  FROM ctdobs),
+      |ctdjoin AS (
+      |  SELECT DISTINCT c_custkey, c_name, pubchem_cid, inchi, event_type,
+      |    value
+      |  FROM ctdixn JOIN ctdchem ON user_id = c_custkey),
+      |cacts AS (
+      |  SELECT DISTINCT md5('{"cas": "' || c_name || '", "chemical_id": ' ||
+      |      CAST(c_custkey AS VARCHAR) || ', "inchi": "' || inchi ||
+      |      '", "pubchem_cid": "' || pubchem_cid || '"}') AS sid,
+      |    md5('{"interaction": "' || event_type || '"}') AS pid,
+      |    inchi, value, CAST(NULL AS DOUBLE) AS numvalue,
+      |    'ctdbase' AS source
+      |  FROM ctdjoin),
+      |toxchem AS (
+      |  SELECT p_partkey AS chemical_id, p_name AS casrn,
+      |    p_brand AS preferred_name,
+      |    'DTXSID' || CAST(p_partkey AS VARCHAR) AS dsstox,
+      |    'InChI=1S/P' || CAST(p_partkey AS VARCHAR) AS inchi
+      |  FROM part WHERE p_partkey % 10 <> 7),
+      |toxprop AS (
+      |  SELECT o_orderkey AS study_id,
+      |    substr(o_orderpriority, 1, 1) AS guideline_number,
+      |    o_orderpriority AS guideline_name
+      |  FROM orders
+      |  WHERE o_orderkey % 10 = 0 AND o_orderpriority <> '5-LOW'),
+      |toxpod AS (
+      |  SELECT l_partkey AS chemical_id, l_orderkey AS study_id,
+      |    l_quantity AS dose_level,
+      |    CASE WHEN l_returnflag = 'N' THEN 'noael' ELSE 'loael' END
+      |      AS pod_type,
+      |    max(l_quantity) OVER (PARTITION BY l_orderkey) AS max_dose_level
+      |  FROM lineitem WHERE l_orderkey % 10 = 0 AND l_linenumber <= 2),
+      |toxcore AS (
+      |  SELECT chemical_id, casrn, preferred_name, dsstox, inchi,
+      |    guideline_number, guideline_name,
+      |    CASE WHEN dose_level < max_dose_level
+      |      THEN 'positive' ELSE 'negative' END AS value,
+      |    dose_level
+      |  FROM toxpod JOIN toxchem USING (chemical_id)
+      |  JOIN toxprop USING (study_id)
+      |  WHERE pod_type = 'noael'),
+      |tacts AS (
+      |  SELECT sid, pid, inchi, value, min(dose_level) AS numvalue,
+      |    'toxrefdb' AS source FROM (
+      |    SELECT md5('{"casrn": "' || casrn || '", "chemical_id": ' ||
+      |        CAST(chemical_id AS VARCHAR) || ', "dsstox_substance_id": "' ||
+      |        dsstox || '", "inchi": "' || inchi ||
+      |        '", "preferred_name": "' || preferred_name || '"}') AS sid,
+      |      md5('{"guideline_name": "' || guideline_name ||
+      |        '", "guideline_number": "' || guideline_number || '"}') AS pid,
+      |      inchi, value, dose_level
+      |    FROM toxcore)
+      |  GROUP BY 1, 2, 3, 4, 6),
       |allacts AS (
-      |  SELECT md5(concat_ws('|', sid, pid, inchi, value)) AS aid,
-      |    sid, pid, source, inchi,
-      |    'GS:' || substr(inchi, 10) AS smiles,
-      |    value,
-      |    CASE WHEN value = 'positive' THEN 1 ELSE 0 END AS binary_value,
-      |    numvalue
-      |  FROM (SELECT * FROM eacts UNION ALL SELECT * FROM oacts
-      |        UNION ALL SELECT * FROM lacts))
+      |  -- the brick's final collapse: reference distinct (py:84) over the
+      |  -- numvalue-free columns, generalized to min(numvalue)
+      |  SELECT aid, sid, pid, source, inchi, smiles, value, binary_value,
+      |    min(numvalue) AS numvalue
+      |  FROM (
+      |    SELECT md5(concat_ws('|', sid, pid, inchi, value)) AS aid,
+      |      sid, pid, source, inchi,
+      |      'GS:' || substr(inchi, 10) AS smiles, value,
+      |      CASE WHEN value = 'positive' THEN 1 ELSE 0 END AS binary_value,
+      |      numvalue
+      |    FROM (SELECT * FROM eacts UNION ALL SELECT * FROM oacts
+      |      UNION ALL SELECT * FROM lacts UNION ALL SELECT * FROM dacts
+      |      UNION ALL SELECT * FROM iacts UNION ALL SELECT * FROM bacts
+      |      UNION ALL SELECT * FROM cacts UNION ALL SELECT * FROM tacts))
+      |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8)
       |""".stripMargin
 
   val oracle: Map[String, String] = Map(
@@ -215,7 +407,32 @@ object HarmonizeQueries extends QueryModule {
         |  SELECT DISTINCT 'lineitem',
         |    '{"p_brand": "' || p_brand || '", "p_partkey": ' ||
         |      CAST(p_partkey AS VARCHAR) || '}'
-        |  FROM lsupp)
+        |  FROM lsupp
+        |  UNION ALL
+        |  SELECT 'documents',
+        |    '{"doc_id": ' || CAST(doc_id AS VARCHAR) || '}'
+        |  FROM (SELECT DISTINCT doc_id FROM documents)
+        |  UNION ALL
+        |  SELECT DISTINCT 'icegrid',
+        |    '{"o_custkey": ' || CAST(o_custkey AS VARCHAR) || '}'
+        |  FROM ibal
+        |  UNION ALL
+        |  SELECT DISTINCT 'bindingdb',
+        |    '{"l_partkey": ' || CAST(l_partkey AS VARCHAR) || '}'
+        |  FROM bkept
+        |  UNION ALL
+        |  SELECT DISTINCT 'ctdbase',
+        |    '{"cas": "' || c_name || '", "chemical_id": ' ||
+        |      CAST(c_custkey AS VARCHAR) || ', "inchi": "' || inchi ||
+        |      '", "pubchem_cid": "' || pubchem_cid || '"}'
+        |  FROM ctdjoin
+        |  UNION ALL
+        |  SELECT DISTINCT 'toxrefdb',
+        |    '{"casrn": "' || casrn || '", "chemical_id": ' ||
+        |      CAST(chemical_id AS VARCHAR) || ', "dsstox_substance_id": "' ||
+        |      dsstox || '", "inchi": "' || inchi ||
+        |      '", "preferred_name": "' || preferred_name || '"}'
+        |  FROM toxcore)
         |ORDER BY sid, source""".stripMargin),
 
     "h2_properties_brick" -> (actsCte +
@@ -230,7 +447,28 @@ object HarmonizeQueries extends QueryModule {
         |  UNION ALL
         |  SELECT DISTINCT 'lineitem',
         |    '{"s_nationkey": ' || CAST(s_nationkey AS VARCHAR) || '}'
-        |  FROM lsupp)
+        |  FROM lsupp
+        |  UNION ALL
+        |  SELECT 'documents', '{"lang": "' || lang || '"}'
+        |  FROM (SELECT DISTINCT lang FROM documents)
+        |  UNION ALL
+        |  SELECT DISTINCT 'icegrid',
+        |    '{"o_orderpriority": "' || o_orderpriority || '"}'
+        |  FROM ibal
+        |  UNION ALL
+        |  SELECT DISTINCT 'bindingdb',
+        |    '{"l_linestatus": "' || l_linestatus || '", "metric": "' ||
+        |      metric || '"}'
+        |  FROM bkept
+        |  UNION ALL
+        |  SELECT DISTINCT 'ctdbase',
+        |    '{"interaction": "' || event_type || '"}'
+        |  FROM ctdjoin
+        |  UNION ALL
+        |  SELECT DISTINCT 'toxrefdb',
+        |    '{"guideline_name": "' || guideline_name ||
+        |      '", "guideline_number": "' || guideline_number || '"}'
+        |  FROM toxcore)
         |ORDER BY pid, source""".stripMargin),
 
     "h3_activities_qc" -> (actsCte +
@@ -257,7 +495,22 @@ object HarmonizeQueries extends QueryModule {
         |  FROM (SELECT DISTINCT o_orderpriority FROM orders)
         |  UNION ALL
         |  SELECT 'lineitem', count(DISTINCT s_nationkey)
-        |  FROM lsupp),
+        |  FROM lsupp
+        |  UNION ALL
+        |  SELECT 'documents', count(*)
+        |  FROM (SELECT DISTINCT lang FROM documents)
+        |  UNION ALL
+        |  SELECT 'icegrid', count(DISTINCT o_orderpriority)
+        |  FROM ibal
+        |  UNION ALL
+        |  SELECT 'bindingdb', count(*)
+        |  FROM (SELECT DISTINCT l_linestatus, metric FROM bkept)
+        |  UNION ALL
+        |  SELECT 'ctdbase', count(DISTINCT event_type)
+        |  FROM ctdjoin
+        |  UNION ALL
+        |  SELECT 'toxrefdb', count(DISTINCT guideline_number)
+        |  FROM toxcore),
         |apids AS (
         |  SELECT source, count(DISTINCT pid) AS n_apids
         |  FROM allacts GROUP BY 1)
@@ -277,42 +530,42 @@ object HarmonizeQueries extends QueryModule {
         |  value, numvalue
         |FROM lsupp ORDER BY aid""".stripMargin),
 
-    "h8_ice_grid" ->
-      """WITH obs AS (
-        |  SELECT o_custkey, o_orderpriority,
-        |    quantile_cont(o_totalprice, 0.5) AS numvalue
-        |  FROM orders GROUP BY 1, 2),
-        |med AS (
-        |  SELECT o_orderpriority, quantile_cont(numvalue, 0.5) AS med
-        |  FROM obs GROUP BY 1),
-        |grid AS (
-        |  SELECT u.o_custkey, t.o_orderpriority, o.numvalue,
-        |    CASE WHEN o.numvalue IS NULL THEN 'negative'
-        |         WHEN o.numvalue >= m.med THEN 'positive'
-        |         ELSE 'negative' END AS value
-        |  FROM (SELECT DISTINCT o_custkey FROM orders) u
-        |  CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) t
-        |  LEFT JOIN obs o ON o.o_custkey = u.o_custkey
-        |    AND o.o_orderpriority = t.o_orderpriority
-        |  JOIN med m ON m.o_orderpriority = t.o_orderpriority),
-        |cnts AS (
-        |  SELECT *,
-        |    count(*) OVER (PARTITION BY o_orderpriority, value) AS cnt
-        |  FROM grid),
-        |mins AS (
-        |  SELECT *, min(cnt) OVER (PARTITION BY o_orderpriority) AS minc,
-        |    row_number() OVER (PARTITION BY o_orderpriority, value
-        |      ORDER BY md5(CAST(o_custkey AS VARCHAR) || '|' ||
-        |        o_orderpriority)) AS rn
-        |  FROM cnts),
-        |bal AS (
+    "h8_ice_grid" -> (actsCte +
+      """SELECT 'icegrid-' || md5(sid || '|' || pid) AS aid,
+        |  sid, pid, inchi, value, numvalue FROM (
         |  SELECT md5('cust:' || CAST(o_custkey AS VARCHAR)) AS sid,
         |    md5('prio:' || o_orderpriority) AS pid,
         |    'InChI=1S/C' || CAST(o_custkey AS VARCHAR) AS inchi,
         |    value, numvalue
-        |  FROM mins WHERE rn <= minc)
-        |SELECT 'icegrid-' || md5(sid || '|' || pid) AS aid,
-        |  sid, pid, inchi, value, numvalue
-        |FROM bal ORDER BY aid""".stripMargin
+        |  FROM ibal)
+        |ORDER BY aid""".stripMargin),
+
+    "h9_bindingdb_staging" -> (actsCte +
+      """SELECT 'bindingdb-' || md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+        |    CAST(l_linenumber AS VARCHAR) || '|' ||
+        |    CAST(l_partkey AS VARCHAR) || '|' || metric || '|' ||
+        |    CAST(mrn AS VARCHAR)) AS aid,
+        |  md5('bdbsub:' || CAST(l_partkey AS VARCHAR)) AS sid,
+        |  md5('bdbmeas:' || l_linestatus || '|' || metric) AS pid,
+        |  'InChI=1S/P' || CAST(l_partkey AS VARCHAR) AS inchi,
+        |  value, numvalue
+        |FROM bkept ORDER BY aid""".stripMargin),
+
+    "h10_ctdbase_staging" -> (actsCte +
+      """SELECT DISTINCT 'ctdbase-' || md5(md5('ctd:' || inchi) || '|' ||
+        |    md5('ixn:' || event_type) || '|' || value) AS aid,
+        |  md5('ctd:' || inchi) AS sid,
+        |  md5('ixn:' || event_type) AS pid,
+        |  inchi, value, CAST(NULL AS DOUBLE) AS numvalue
+        |FROM ctdjoin ORDER BY aid""".stripMargin),
+
+    "h11_toxrefdb_staging" -> (actsCte +
+      """SELECT 'toxrefdb-' || md5(sid || '|' || pid || '|' || value) AS aid,
+        |  sid, pid, inchi, value, numvalue FROM (
+        |  SELECT md5('toxchem:' || CAST(chemical_id AS VARCHAR)) AS sid,
+        |    md5('guideline:' || guideline_number) AS pid,
+        |    inchi, value, min(dose_level) AS numvalue
+        |  FROM toxcore GROUP BY 1, 2, 3, 4)
+        |ORDER BY aid""".stripMargin)
   )
 }

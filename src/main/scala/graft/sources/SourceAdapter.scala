@@ -35,6 +35,15 @@ trait SourceAdapter {
 
 object SourceAdapter {
 
+  /** Every registered integrator — the full harmonize union
+    * (the reference unions ~15 staging dirs, src/80_harmonize.py:33):
+    * the three simple assay shapes plus the five composite patterns
+    * (chembl-, ICE-, bindingdb-, ctdbase-, toxrefdb-shaped).
+    */
+  val all: Seq[SourceAdapter] = Seq(
+    EventsAdapter, OrdersAdapter, DocumentsAdapter, LineitemAdapter,
+    IceAdapter, BindingdbAdapter, CtdbaseAdapter, ToxrefdbAdapter)
+
   /** Session-scoped memo of staged triplets, persisted MEMORY_AND_DISK —
     * same policy as Harmonize.cachedBrick. The composite stagings
     * (LineitemAdapter, IceAdapter) run full multi-window pipelines; the

@@ -83,9 +83,11 @@ class JdbcSourceSpec extends SparkSpec {
   }
 
   override def afterAll(): Unit = {
-    // shut the embedded engine down so the db files close, then remove
-    // the temp database directory
-    try DriverManager.getConnection("jdbc:derby:;shutdown=true")
+    // shut down ONLY this spec's database (not the whole embedded
+    // engine — ToxrefdbAdapter's study DB shares the engine in-JVM), so
+    // its files close and the temp directory can be removed
+    try DriverManager.getConnection(
+      s"jdbc:derby:${dbDir.toString}/studydb;shutdown=true")
     catch { case _: java.sql.SQLException => () } // shutdown always throws
     if (dbDir != null) {
       import scala.jdk.CollectionConverters._
