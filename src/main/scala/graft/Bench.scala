@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,38 +10,59 @@ object Bench {
     // measured query isn't charged Spark's init cost
     spark.range(1000000).selectExpr("sum(id)").collect()
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    // Pass 1 (unmeasured warm pass): materializes the shared memoized
-    // frames (brick, shingles), fills codegen/JIT caches. Pass 2 is the
-    // measured one — per-query numbers then reflect steady-state query
-    // cost instead of first-touch materialization + machine-load noise
-    // (round-2 driver totals were ~2x the committed local snapshot of
-    // identical code for exactly that reason).
+    // Pass 0 (unmeasured cold pass): materializes the shared memoized
+    // frames (brick, shingles), fills codegen/JIT caches. Then N measured
+    // warm passes; the reported per-query number is the MEDIAN across
+    // passes — a single pass is hostage to co-tenant load bursts (the r3
+    // driver run showed contiguous alphabetical spans at 3-12x their
+    // calm-machine cost while interleaved neighbors were unaffected; a
+    // per-query median across spaced passes suppresses exactly that).
     val coldT0 = System.nanoTime()
     ordered.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
     val coldTotal = (System.nanoTime() - coldT0) / 1e9
+    val warmPasses =
+      sys.env.get("SPARK_GRAFT_WARM_PASSES").map(_.toInt).getOrElse(3)
+    // last pass keeps each query's executed frame so the optional plan
+    // dump reflects the FINAL AQE plan of a run that actually executed
+    var lastFrames = Map.empty[String, DataFrame]
+    val passes: Seq[Map[String, Double]] = (1 to warmPasses).map { p =>
+      ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val df = try {
+          val d = fn(spark, sfDir); d.count(); Some(d)
+        } catch { case _: Throwable => None }
+        if (p == warmPasses && df.isDefined)
+          lastFrames += (name -> df.get)
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) -1.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val results = ordered.map { case (name, _) =>
+      name -> median(passes.map(_(name)))
+    }
     // Optional plan dump (SPARK_GRAFT_PLANS=<dir>): one formatted
-    // physical plan per query, captured AFTER the warm pass so AQE
-    // re-plans and memoized frames are what actually ran. Feeds the
-    // PLANS.md audit without a separate Explain pass.
+    // physical plan per query, captured from the frames the LAST warm
+    // pass executed — so AQE shows its final re-planned form and the
+    // dump itself runs nothing (it previously ran a near-full extra
+    // execution between the cold and measured passes).
     sys.env.get("SPARK_GRAFT_PLANS").foreach { dir =>
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-      ordered.foreach { case (name, fn) =>
+      lastFrames.foreach { case (name, df) =>
         try {
-          val plan = fn(spark, sfDir).queryExecution.explainString(
+          val plan = df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
           java.nio.file.Files.write(
             java.nio.file.Paths.get(dir, s"$name.txt"),
             plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         } catch { case _: Throwable => () }
       }
-    }
-    val results = ordered.map {
-      case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
     }
     // Still ONE JSON line (the driver contract), but: per-query times at
     // ms precision (full double repr doubles the line length), and the
@@ -57,7 +78,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"queries":$qs,"n_queries":${results.size},"cold_total_sec":${f3(coldTotal)},"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}""")
+    val passTotals = passes.map(p => f3(p.values.sum)).mkString("[", ",", "]")
+    println(s"""{"queries":$qs,"n_queries":${results.size},"cold_total_sec":${f3(coldTotal)},"warm_passes":$warmPasses,"pass_totals_sec":$passTotals,"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}""")
     spark.stop()
   }
 }

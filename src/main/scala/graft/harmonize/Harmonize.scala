@@ -54,6 +54,16 @@ object Harmonize {
   private val memo =
     scala.collection.mutable.Map.empty[(SparkSession, String, String), Brick]
 
+  /** Evict this session's cached bricks (frees the checkpoint blocks);
+    * the next cachedBrick call rebuilds bit-identically. Registered with
+    * MemoRegistry for the one-call evict-everything path.
+    */
+  def evict(spark: SparkSession): Unit =
+    graft.MemoRegistry.evictMap(spark, memo)(_._1)(b =>
+      Seq(b.substances, b.properties, b.activities))
+
+  graft.MemoRegistry.register(evict)
+
   def cachedBrick(spark: SparkSession, sfDir: String,
       adapters: Seq[SourceAdapter],
       converter: StructureConverter = StructureConverter.Stub): Brick =

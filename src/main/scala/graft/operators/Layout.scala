@@ -91,9 +91,34 @@ object Layout {
     * 100 TB the planner-side variant avoids even LISTING/opening the
     * 99% of files a clustered layout excludes — the stats frame is tiny
     * (one row per file), so the collect is a metadata read, not data.
+    *
+    * Freshness contract: the stats snapshot must describe the directory
+    * AS IT IS — a rewrite/re-compaction after `fileStats` leaves stale
+    * paths (reads fail) or unlisted new files (rows silently missed), so
+    * the file-name sets are compared up front and a mismatch throws
+    * instead of returning a wrong answer. Unpartitioned directories
+    * only: reading by explicit file list bypasses hive-style partition
+    * discovery, so partition columns would be absent from the result.
     */
   def prunedRead(spark: org.apache.spark.sql.SparkSession, dir: String,
       stats: DataFrame, statCol: String, lo: Long, hi: Long): DataFrame = {
+    val statFiles = stats.select(col("__file")).collect()
+      .map(_.getString(0))
+    def basename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val onDisk = java.nio.file.Files.list(java.nio.file.Paths.get(
+        dir.stripPrefix("file:"))).iterator()
+    val diskNames = new scala.collection.mutable.HashSet[String]
+    while (onDisk.hasNext) {
+      val n = onDisk.next().getFileName.toString
+      if (n.endsWith(".parquet")) diskNames += n
+    }
+    val statNames = statFiles.map(basename).toSet
+    if (statNames != diskNames)
+      throw new IllegalStateException(
+        s"stale zone-map stats for $dir: stats list ${statNames.size} " +
+          s"files, directory has ${diskNames.size}; rebuild fileStats " +
+          s"after any rewrite (missing=${(diskNames -- statNames).take(3)}" +
+          s", gone=${(statNames -- diskNames).take(3)})")
     val files = stats
       .filter(col(s"max_$statCol") >= lo && col(s"min_$statCol") <= hi)
       .select(col("__file")).collect().map(_.getString(0))

@@ -69,6 +69,71 @@ object Ops {
       .select(groupCols.map(c => col(s"k.$c")) :+ col(s"m.$out"): _*)
   }
 
+  /** Distributed EXACT global quantiles — the scale-safe replacement for
+    * an ungrouped `percentile(v, array(...))`, whose ObjectHashAggregate
+    * buffers the ENTIRE column in one in-memory aggregation buffer (the
+    * one plan shape a 100 TB column cannot survive). Two passes instead:
+    *
+    *   1. count pass — the non-null count fixes each target's fractional
+    *      rank `p * (n-1)`;
+    *   2. rank pass — a range-partitioned distributed sort (the TeraSort
+    *      shape: every partition sorts its slice, no single task sees the
+    *      whole column) + a two-job zipWithIndex (per-partition sizes,
+    *      then offset rank assignment), keeping ONLY the ≤ 2·|ps| order
+    *      statistics the targets need.
+    *
+    * Interpolation replicates Spark's `Percentile` exactly
+    * (`(higher-pos)*lowerVal + (pos-lower)*higherVal`), so results are
+    * bit-identical to the aggregate (OpsSpec proves it). Returns one
+    * Double per requested p — scalar results, like any global aggregate.
+    * For repeated or latency-sensitive use at scale, `percentile_approx`
+    * (the declared Approx swap, a16) remains the sketch path.
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+      ps: Seq[Double]): Seq[Double] = {
+    val vals = df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val n = vals.count()
+    if (n == 0) return ps.map(_ => Double.NaN)
+    val positions = ps.map(p => p * (n - 1)) // 0-based fractional ranks
+    val needed = positions
+      .flatMap(r => Seq(math.floor(r).toLong, math.ceil(r).toLong)).toSet
+    val neededB = vals.sparkSession.sparkContext.broadcast(needed)
+    import vals.sparkSession.implicits._
+    val byRank = vals.sort("v").as[Double].rdd.zipWithIndex()
+      .filter { case (_, i) => neededB.value.contains(i) }
+      .collect().map(_.swap).toMap
+    positions.map { pos =>
+      val lower = math.floor(pos).toLong
+      val higher = math.ceil(pos).toLong
+      if (higher == lower) byRank(lower)
+      else (higher - pos) * byRank(lower) + (pos - lower) * byRank(higher)
+    }
+  }
+
+  /** Stable train/val/test hash split on the LAST hex digit of md5(key):
+    * '0'..'b' → train (12/16), 'c'/'d' → val (2/16), else test (2/16).
+    * Growth-stable (a row's split never changes as the corpus grows) and
+    * map-side at any scale. Single definition point: `hashSplitSql` is
+    * the SAME rule as a SQL fragment for the DuckDB oracles, so query
+    * and oracle cannot drift (TrainingMixSpec pins the buckets).
+    */
+  def hashSplit(key: org.apache.spark.sql.Column):
+      org.apache.spark.sql.Column = {
+    val h = substring(md5(key), 32, 1)
+    when(h.between("0", "b"), "train")
+      .when(h.isin("c", "d"), "val")
+      .otherwise("test")
+  }
+
+  /** SQL twin of [[hashSplit]] over a key expression. */
+  def hashSplitSql(keyExpr: String): String =
+    s"""CASE WHEN substr(md5($keyExpr), 32, 1)
+       |       BETWEEN '0' AND 'b' THEN 'train'
+       |     WHEN substr(md5($keyExpr), 32, 1)
+       |       IN ('c', 'd') THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
   /** Binarize a numeric column against its per-group EXACT median
     * (ref: src/01_integrate_toxvaldb.R:24-25; SURVEY §4 decision 1:
     * `percentile`, not `percentile_approx`, for reproducible ids).

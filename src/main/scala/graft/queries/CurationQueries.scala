@@ -80,12 +80,9 @@ object CurationQueries extends QueryModule {
     // arithmetic; everything after the survivor joins is map-side +
     // one small aggregate.
     "c2_training_manifest" -> ((s, d) => {
-      val h = substring(md5(concat_ws("|", col("doc_id"))), 32, 1)
       survivors(s, d)
         .withColumn("split",
-          when(h.between("0", "b"), "train")
-            .when(h.isin("c", "d"), "val")
-            .otherwise("test"))
+          graft.operators.Ops.hashSplit(concat_ws("|", col("doc_id"))))
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("n_tokens"),
@@ -130,7 +127,7 @@ object CurationQueries extends QueryModule {
         |GROUP BY 1 ORDER BY lang""".stripMargin),
 
     "c2_training_manifest" -> (DedupQueries.shCte +
-      """, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      s""", sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
         |pairs AS (
         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
         |  FROM sh a JOIN sh b
@@ -154,11 +151,8 @@ object CurationQueries extends QueryModule {
         |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS ts
         |        FROM documents))
         |SELECT
-        |  CASE WHEN substr(md5(concat_ws('|', doc_id)), 32, 1)
-        |         BETWEEN '0' AND 'b' THEN 'train'
-        |       WHEN substr(md5(concat_ws('|', doc_id)), 32, 1)
-        |         IN ('c', 'd') THEN 'val'
-        |       ELSE 'test' END AS split,
+        |  ${graft.operators.Ops.hashSplitSql("concat_ws('|', doc_id)")}
+        |    AS split,
         |  lang, count(*) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |  CAST(ceil(sum(n_tok) / 2048.0) AS BIGINT) AS n_sequences

@@ -87,6 +87,12 @@ object DedupQueries extends QueryModule {
           "da", "db"))
     }
 
+  graft.MemoRegistry.register { spark =>
+    Seq(shMemo, jMemo, compMemo).foreach(m =>
+      graft.MemoRegistry.evictMap(spark, m)(_._1)(Seq(_)))
+    graft.MemoRegistry.evictMap(spark, candMemo)(_._1)(Seq(_))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact + normalized-exact dedup: hash-groupBy on content hash.
     "dd1_exact_dedup" -> ((s, d) => {

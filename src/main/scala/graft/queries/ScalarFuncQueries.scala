@@ -117,19 +117,20 @@ object ScalarFuncQueries extends QueryModule {
     }),
 
     // Quantile feature binning — the quantile-discretizer step of a
-    // feature pipeline: exact quartile edges (one aggregate, tiny),
-    // broadcast back, per-row case_when bin assignment, census per bin.
-    // NOT ntile: a global ntile window is a global sort; edges +
-    // broadcast is one pass + map-side binning at any scale.
+    // feature pipeline: exact quartile edges via the DISTRIBUTED exact
+    // rank (count pass + range-partitioned sort + rank pick,
+    // Ops.exactQuantiles — never one aggregation buffer holding the full
+    // column), then per-row case_when bin assignment, census per bin.
+    // NOT ntile: a global ntile window is a global sort per ROW; the
+    // edges are three scalars and binning stays map-side at any scale.
     "f15_quantile_bins" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
-      val edges = li.agg(expr(
-        "percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("e"))
-      li.crossJoin(broadcast(edges))
-        .withColumn("bin",
-          when(col("l_extendedprice") < expr("e[0]"), 0)
-            .when(col("l_extendedprice") < expr("e[1]"), 1)
-            .when(col("l_extendedprice") < expr("e[2]"), 2)
+      val Seq(e0, e1, e2) = graft.operators.Ops.exactQuantiles(
+        li, "l_extendedprice", Seq(0.25, 0.5, 0.75))
+      li.withColumn("bin",
+          when(col("l_extendedprice") < e0, 0)
+            .when(col("l_extendedprice") < e1, 1)
+            .when(col("l_extendedprice") < e2, 2)
             .otherwise(3))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"),

@@ -361,6 +361,11 @@ object SimilarityQueries extends QueryModule {
       })
     }
 
+  graft.MemoRegistry.register { spark =>
+    Seq(centMemo, assignMemo).foreach(m =>
+      graft.MemoRegistry.evictMap(spark, m)(_._1)(Seq(_)))
+  }
+
   /** Per-subspace CTE block for the ann9 oracle: slice → init → one
     * Lloyd round (assign by cosine, decimal-exact means — the ann7
     * replay pattern) → encode → per-pair subspace ADC contribution.

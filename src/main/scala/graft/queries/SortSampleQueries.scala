@@ -97,13 +97,11 @@ object SortSampleQueries extends QueryModule {
     // never migrates between splits), unlike rand()-seeded sampling.
     // Pure map-side projection + tiny census.
     "o7_hash_split" -> ((s, d) => {
-      val h = substring(md5(concat_ws("|", col("doc_id"))), 32, 1)
       Tables.documents(s, d)
+        // hex alphabet: '0'..'b' is exactly {0-9, a, b} = 12/16; the
+        // rule lives in Ops.hashSplit so c2 and the oracles share it
         .withColumn("split",
-          // hex alphabet: '0'..'b' is exactly {0-9, a, b} = 12/16
-          when(h.between("0", "b"), "train")
-            .when(h.isin("c", "d"), "val")
-            .otherwise("test"))
+          graft.operators.Ops.hashSplit(concat_ws("|", col("doc_id"))))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("lang")).as("n_langs"),
@@ -157,16 +155,13 @@ object SortSampleQueries extends QueryModule {
         |GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "o7_hash_split" ->
-      """SELECT split, count(*) AS n_docs,
+      s"""SELECT split, count(*) AS n_docs,
         |  count(DISTINCT lang) AS n_langs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM (
         |  SELECT lang, n_chars,
-        |    CASE WHEN substr(md5(concat_ws('|', doc_id)), 32, 1)
-        |           BETWEEN '0' AND 'b' THEN 'train'
-        |         WHEN substr(md5(concat_ws('|', doc_id)), 32, 1)
-        |           IN ('c', 'd') THEN 'val'
-        |         ELSE 'test' END AS split
+        |    ${graft.operators.Ops.hashSplitSql("concat_ws('|', doc_id)")}
+        |      AS split
         |  FROM documents)
         |GROUP BY 1 ORDER BY split""".stripMargin
   )

