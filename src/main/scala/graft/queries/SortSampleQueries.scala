@@ -96,6 +96,31 @@ object SortSampleQueries extends QueryModule {
     // stable under re-partitioning, re-runs, and corpus growth (a doc
     // never migrates between splits), unlike rand()-seeded sampling.
     // Pure map-side projection + tiny census.
+    // Weighted reservoir sampling WITHOUT replacement, cross-engine
+    // EXACT. The float Efraimidis-Spirakis key (u^(1/w)) can't be
+    // oracle-replayed — ln/pow ulp drift between engines flips ranks
+    // near ties — but for INTEGER weights the equivalent min-of-w-keys
+    // form is float-free: expand each row into w deterministic md5 draws
+    // and order rows by their MINIMUM draw. All Σw draws are iid
+    // uniforms, so row order = first-appearance order of a random
+    // permutation of weight-many balls per row ⇒ successive selection
+    // probability is exactly weight-proportional (the E-S semantics).
+    // Scale: the expansion is a map-side 1→w flatMap (bounded by the
+    // weight cap), the per-row min is a map-side-combined aggregate, and
+    // the top-k is TakeOrderedAndProject — no global sort. For huge or
+    // fractional weights, fall back to the float E-S form (then only
+    // spec-checkable) or the o6 quota mixture.
+    "o8_weighted_reservoir" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("wt", least(expr("n_chars div 500") + 1, lit(8)))
+        .withColumn("j", explode(sequence(lit(1), col("wt"))))
+        .withColumn("hk", md5(concat_ws("#", col("doc_id"), col("j"))))
+        .groupBy(col("doc_id"), col("lang"), col("wt"))
+        .agg(min(col("hk")).as("sel_key"))
+        .orderBy(col("sel_key"))
+        .limit(40)
+    }),
+
     "o7_hash_split" -> ((s, d) => {
       Tables.documents(s, d)
         // hex alphabet: '0'..'b' is exactly {0-9, a, b} = 12/16; the
@@ -153,6 +178,19 @@ object SortSampleQueries extends QueryModule {
         |FROM ranked JOIN recipe USING (lang)
         |WHERE rn <= quota
         |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "o8_weighted_reservoir" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, least(n_chars // 500 + 1, 8) AS wt
+        |  FROM documents),
+        |exp AS (
+        |  SELECT doc_id, lang, wt, md5(concat_ws('#', doc_id, j)) AS hk
+        |  FROM w, LATERAL (SELECT unnest(generate_series(1, wt)) AS j)),
+        |keys AS (
+        |  SELECT doc_id, lang, wt, min(hk) AS sel_key
+        |  FROM exp GROUP BY 1, 2, 3)
+        |SELECT doc_id, lang, wt, sel_key FROM keys
+        |ORDER BY sel_key LIMIT 40""".stripMargin,
 
     "o7_hash_split" ->
       s"""SELECT split, count(*) AS n_docs,

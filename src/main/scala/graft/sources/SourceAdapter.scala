@@ -44,13 +44,20 @@ object SourceAdapter {
     EventsAdapter, OrdersAdapter, DocumentsAdapter, LineitemAdapter,
     IceAdapter, BindingdbAdapter, CtdbaseAdapter, ToxrefdbAdapter)
 
-  /** Session-scoped memo of staged triplets, persisted MEMORY_AND_DISK —
-    * same policy as Harmonize.cachedBrick. The composite stagings
-    * (LineitemAdapter, IceAdapter) run full multi-window pipelines; the
-    * end-to-end queries (h7/h8) and the brick build each need the same
-    * deterministic output, so it is computed once per (session, sfDir,
-    * adapter) and shared. Keyed by adapter name — adapters are
-    * stateless objects, so name identifies the computation.
+  /** Session-scoped memo of staged triplets, localCheckpoint-ed — same
+    * policy (and same rationale) as Harmonize.cachedBrick. The composite
+    * stagings (LineitemAdapter, IceAdapter, …) run full multi-window
+    * pipelines; the end-to-end queries (h7-h11) and the brick build each
+    * need the same deterministic output, so it is computed once per
+    * (session, sfDir, adapter) and shared. Keyed by adapter name —
+    * adapters are stateless objects, so name identifies the computation.
+    *
+    * Checkpoint, not persist: the brick's assembly plan references every
+    * staging FOUR times (activities union, sid map, pid map, inchi map),
+    * so un-truncated staging lineages multiply into a plan Catalyst
+    * spends a DATA-INDEPENDENT ~60-80 s analyzing (measured via
+    * BrickProfile: 'brick.checkpoint' 82 s at sf0.01 vs 59 s at sf0.1 —
+    * pure planning). With staged leaves the same step is seconds.
     */
   private val memo = scala.collection.mutable.Map
     .empty[(SparkSession, String, String), StagingTriplet]
@@ -65,11 +72,10 @@ object SourceAdapter {
   def cachedStaging(a: SourceAdapter, spark: SparkSession,
       sfDir: String): StagingTriplet = memo.synchronized {
     memo.getOrElseUpdate((spark, sfDir, a.name), {
-      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val t = a.staging(spark, sfDir)
-      StagingTriplet(t.substances.persist(MEMORY_AND_DISK),
-        t.properties.persist(MEMORY_AND_DISK),
-        t.activities.persist(MEMORY_AND_DISK))
+      StagingTriplet(t.substances.localCheckpoint(),
+        t.properties.localCheckpoint(),
+        t.activities.localCheckpoint())
     })
   }
 }

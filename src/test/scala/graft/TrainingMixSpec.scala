@@ -137,6 +137,23 @@ class TrainingMixSpec extends SparkSpec {
     }
   }
 
+  test("o8 weighted reservoir: k distinct rows, deterministic, weight-biased") {
+    val rows = run("o8_weighted_reservoir").collect()
+    assert(rows.length == 40)
+    assert(rows.map(_.getLong(0)).distinct.length == 40) // w/o replacement
+    // deterministic: md5 draws, not RNG — a rerun is identical
+    val again = run("o8_weighted_reservoir").collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // weight-proportional selection: on this corpus the heavy bucket
+    // (wt>=2, ~10% of docs) must land above its unweighted share
+    val heavyShare = rows.count(_.getLong(2) >= 2) / 40.0
+    val popShare = run("o8_weighted_reservoir").sparkSession
+      .read.parquet(s"${sf()}/documents.parquet")
+      .filter(expr("least(n_chars div 500 + 1, 8) >= 2")).count() / 500.0
+    assert(heavyShare > popShare,
+      s"sample heavy share $heavyShare <= population $popShare")
+  }
+
   test("s12 applies jsonl weights with a 1.0 default for unmatched types") {
     val rows = run("s12_jsonl_weights").collect()
     val byType = rows.map(r => r.getString(0) -> r).toMap
