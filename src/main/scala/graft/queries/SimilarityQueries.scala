@@ -302,6 +302,61 @@ object SimilarityQueries extends QueryModule {
       approx.crossJoin(broadcast(overlap))
         .withColumn("pq_beats_chance", col("pq_overlap_top3") >= 4)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Cluster-blocked embedding near-dup — the sub-quadratic production
+    // counterpart of dd5's brute pair scan (which stays as the labeled
+    // ground-truth baseline). Vectors are blocked by their nearest
+    // centroids (the IVF assignment, shared memo with ann4/ann5); pairs
+    // form only WITHIN a block: an equi-join on list_id, so at 100 TB
+    // the pair generation hash-partitions by list and never touches the
+    // N² cross space. Like dd7's banding-tradeoff, the query emits the
+    // RECALL CURVE over the nprobe knob (1 and 2 probes) next to the
+    // brute ground truth, oracle-pinned — on this synthetic corpus the
+    // 0.4-cosine pairs are noise-level (no true near-dups exist), so
+    // single-probe recall is visibly partial and the 2-probe point
+    // shows exactly what widening the probe set buys.
+    "dd10_blocked_near_dup" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val wProbe = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("clabel"))
+      val probes = Tables.embeddings(s, d)
+        .crossJoin(broadcast(centroids(s, d)))
+        .withColumn("ccos", expr("cosine_sim(embedding, cv)"))
+        .withColumn("rk", row_number().over(wProbe))
+        .filter(col("rk") <= 2)
+        .select(col("vec_id"), col("clabel").as("list_id"), col("rk"))
+      val e = Tables.embeddings(s, d)
+      def cosPairs(cand: DataFrame): DataFrame = cand
+        .join(broadcast(e.select(col("vec_id").as("va"),
+          col("embedding").as("x"))), Seq("va"))
+        .join(broadcast(e.select(col("vec_id").as("vb"),
+          col("embedding").as("y"))), Seq("vb"))
+        .withColumn("c", expr("cosine_sim(x, y)"))
+      val p1 = probes.filter(col("rk") === 1)
+      val pairs1 = cosPairs(
+        p1.select(col("list_id"), col("vec_id").as("va"))
+          .join(p1.select(col("list_id"), col("vec_id").as("vb")),
+            Seq("list_id"))
+          .filter(col("va") < col("vb"))
+          .select(col("va"), col("vb")))
+        .agg(count(lit(1)).as("n_cand_p1"),
+          count(when(col("c") >= 0.4, 1)).as("n_dup_p1"))
+      val pairs2 = cosPairs(
+        probes.select(col("list_id"), col("vec_id").as("va"))
+          .join(probes.select(col("list_id"), col("vec_id").as("vb")),
+            Seq("list_id"))
+          .filter(col("va") < col("vb"))
+          .select(col("va"), col("vb")).distinct())
+        .agg(count(lit(1)).as("n_cand_p2"),
+          count(when(col("c") >= 0.4, 1)).as("n_dup_p2"))
+      val brute = e
+        .select(col("vec_id").as("va"), col("embedding").as("x"))
+        .crossJoin(e.select(col("vec_id").as("vb"), col("embedding").as("y")))
+        .filter(col("va") < col("vb"))
+        .agg(count(when(expr("cosine_sim(x, y)") >= 0.4, 1))
+          .as("n_dup_brute"))
+      pairs1.crossJoin(broadcast(pairs2)).crossJoin(broadcast(brute))
     })
   )
 
@@ -658,6 +713,62 @@ object SimilarityQueries extends QueryModule {
         |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rk
         |    FROM v CROSS JOIN c1 c) WHERE rk = 1)
         |SELECT cid, count(*) AS n, count(DISTINCT label) AS n_labels
-        |FROM a2 GROUP BY 1 ORDER BY cid""".stripMargin
+        |FROM a2 GROUP BY 1 ORDER BY cid""".stripMargin,
+
+    "dd10_blocked_near_dup" ->
+      """WITH expl AS (
+        |  SELECT label, unnest(embedding) AS e,
+        |    unnest(range(0, len(embedding))) AS pos
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, pos,
+        |    CAST(sum(CAST(e AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c
+        |  FROM expl GROUP BY 1, 2),
+        |cvec AS (
+        |  SELECT label AS clabel, list(c ORDER BY pos) AS cv
+        |  FROM cent GROUP BY 1),
+        |probes AS (
+        |  SELECT vec_id, clabel AS list_id, rk FROM (
+        |    SELECT v.vec_id, c.clabel,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_dot_product(v.embedding::DOUBLE[], c.cv) /
+        |          (sqrt(list_dot_product(v.embedding::DOUBLE[],
+        |             v.embedding::DOUBLE[])) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.clabel) AS rk
+        |    FROM embeddings v CROSS JOIN cvec c)
+        |  WHERE rk <= 2),
+        |cos1 AS (
+        |  SELECT list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS c
+        |  FROM probes p1 JOIN probes p2
+        |    ON p1.list_id = p2.list_id AND p1.vec_id < p2.vec_id
+        |   AND p1.rk = 1 AND p2.rk = 1
+        |  JOIN embeddings a ON p1.vec_id = a.vec_id
+        |  JOIN embeddings b ON p2.vec_id = b.vec_id),
+        |cand2 AS (
+        |  SELECT DISTINCT p1.vec_id AS va, p2.vec_id AS vb
+        |  FROM probes p1 JOIN probes p2
+        |    ON p1.list_id = p2.list_id AND p1.vec_id < p2.vec_id),
+        |cos2 AS (
+        |  SELECT list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS c
+        |  FROM cand2 JOIN embeddings a ON cand2.va = a.vec_id
+        |  JOIN embeddings b ON cand2.vb = b.vec_id),
+        |brute AS (
+        |  SELECT list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS c
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT
+        |  (SELECT count(*) FROM cos1) AS n_cand_p1,
+        |  (SELECT count(CASE WHEN c >= 0.4 THEN 1 END) FROM cos1)
+        |    AS n_dup_p1,
+        |  (SELECT count(*) FROM cos2) AS n_cand_p2,
+        |  (SELECT count(CASE WHEN c >= 0.4 THEN 1 END) FROM cos2)
+        |    AS n_dup_p2,
+        |  (SELECT count(CASE WHEN c >= 0.4 THEN 1 END) FROM brute)
+        |    AS n_dup_brute""".stripMargin
   )
 }

@@ -121,6 +121,27 @@ object SortSampleQueries extends QueryModule {
         .limit(40)
     }),
 
+    // Per-GROUP weighted reservoir: k weighted samples per language —
+    // the "balanced multilingual subset" provisioning step (k docs per
+    // lang, long docs favored). Same float-free min-of-w-draws keys as
+    // o8, but the selection is top-k per group, so it runs on the
+    // native two-phase TopKPerGroup heap operator: map-side partial
+    // k-heaps per language below the exchange, never a per-language
+    // full sort. Languages are low-cardinality, so the heap state
+    // (groups × k) is tiny at any corpus size.
+    "o9_grouped_reservoir" -> ((s, d) => {
+      val keyed = Tables.documents(s, d)
+        .withColumn("wt", least(expr("n_chars div 500") + 1, lit(8)))
+        .withColumn("j", explode(sequence(lit(1), col("wt"))))
+        .withColumn("hk", md5(concat_ws("#", col("doc_id"), col("j"))))
+        .groupBy(col("doc_id"), col("lang"), col("wt"))
+        .agg(min(col("hk")).as("sel_key"))
+      graft.plans.TopK.topKPerGroup(keyed, Seq("lang"), "sel_key",
+          desc = false, k = 10)
+        .select(col("lang"), col("doc_id"), col("wt"), col("sel_key"))
+        .orderBy(col("lang"), col("sel_key"))
+    }),
+
     "o7_hash_split" -> ((s, d) => {
       Tables.documents(s, d)
         // hex alphabet: '0'..'b' is exactly {0-9, a, b} = 12/16; the
@@ -191,6 +212,23 @@ object SortSampleQueries extends QueryModule {
         |  FROM exp GROUP BY 1, 2, 3)
         |SELECT doc_id, lang, wt, sel_key FROM keys
         |ORDER BY sel_key LIMIT 40""".stripMargin,
+
+    "o9_grouped_reservoir" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, least(n_chars // 500 + 1, 8) AS wt
+        |  FROM documents),
+        |exp AS (
+        |  SELECT doc_id, lang, wt, md5(concat_ws('#', doc_id, j)) AS hk
+        |  FROM w, LATERAL (SELECT unnest(generate_series(1, wt)) AS j)),
+        |keys AS (
+        |  SELECT doc_id, lang, wt, min(hk) AS sel_key
+        |  FROM exp GROUP BY 1, 2, 3),
+        |ranked AS (
+        |  SELECT lang, doc_id, wt, sel_key,
+        |    row_number() OVER (PARTITION BY lang ORDER BY sel_key) AS rn
+        |  FROM keys)
+        |SELECT lang, doc_id, wt, sel_key FROM ranked
+        |WHERE rn <= 10 ORDER BY lang, sel_key""".stripMargin,
 
     "o7_hash_split" ->
       s"""SELECT split, count(*) AS n_docs,

@@ -81,4 +81,20 @@ object Catalog {
     save(brick.properties, "properties_b", "pid")
     save(brick.activities, "activities_b", "sid")
   }
+
+  /** The consume path of the write-once artifact: a Brick whose three
+    * tables are the BUCKETED catalog relations, so a fresh session (or
+    * a downstream job that never ran harmonize) gets the exchange-free
+    * sid/pid join layout straight from storage — no staging, no
+    * assembly, no memo. This plus `writeBrickBucketed` is the 100 TB
+    * brick lifecycle: one job builds and buckets; every consumer reads
+    * the layout (BrickLayoutSpec proves read-back equality and that
+    * the bucketing survives the round-trip).
+    */
+  def readBrickBucketed(spark: SparkSession,
+      db: String = "graft"): Harmonize.Brick =
+    Harmonize.Brick(
+      spark.table(s"$db.substances_b"),
+      spark.table(s"$db.properties_b"),
+      spark.table(s"$db.activities_b"))
 }

@@ -4,12 +4,14 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Differential fuzzing of the relational core: generated
-  * filter ∘ join ∘ aggregate plans run through Spark AND through an
-  * independent in-memory evaluator (plain Scala collections over the
-  * same rows), and every result must agree exactly. This extends the
-  * 149 hand-written DuckDB oracles with machine-generated ones — the
-  * DuckDB binary isn't loadable in-JVM, so the second implementation
-  * here IS the oracle (it shares no code with Spark's evaluation).
+  * filter ∘ join ∘ aggregate plans — inner AND left-outer joins,
+  * HAVING-style group filters, and two-level (agg-of-agg) shapes — run
+  * through Spark AND through an independent in-memory evaluator (plain
+  * Scala collections over the same rows), and every result must agree
+  * exactly. This extends the hand-written DuckDB oracles with
+  * machine-generated ones — the DuckDB binary isn't loadable in-JVM,
+  * so the second implementation here IS the oracle (it shares no code
+  * with Spark's evaluation).
   *
   * Determinism contract: fixed seed, predicate literals drawn from real
   * column values, SUM restricted to integral-valued columns (integral
@@ -23,8 +25,13 @@ class DifferentialFuzzSpec extends SparkSpec {
   private case class Pred(col: String, op: String, lit: Any)
   private case class Join(table: String, leftKey: String, rightKey: String)
   private case class Agg(kind: String, col: String) // kind: count|sum|min|max
+  // joinType: inner|left; having: min group size (HAVING count(*) >= n);
+  // second: optional second aggregation level over the grouped result
+  // (count|sum|min|max over the level-1 agg value) — the "agg of agg"
+  // shape (e.g. Q13's distribution-of-counts)
   private case class Plan(base: String, preds: Seq[Pred], join: Option[Join],
-      groupCol: Option[String], agg: Agg)
+      joinType: String, groupCol: Option[String], agg: Agg,
+      having: Option[Int], second: Option[String])
 
   private val d = sf() // sf0.001: small enough for the in-memory oracle
 
@@ -101,6 +108,8 @@ class DifferentialFuzzSpec extends SparkSpec {
         Some(js(rnd.nextInt(js.size)))
       case _ => None
     }
+    val joinType =
+      if (join.isDefined && rnd.nextBoolean()) "left" else "inner"
     // group/agg columns may come from the base or the joined table
     val tabs = base +: join.map(_.table).toSeq
     val gtab = tabs(rnd.nextInt(tabs.size))
@@ -115,7 +124,22 @@ class DifferentialFuzzSpec extends SparkSpec {
       case 2 => Agg("min", minMaxCols(atab)(rnd.nextInt(minMaxCols(atab).size)))
       case _ => Agg("max", minMaxCols(atab)(rnd.nextInt(minMaxCols(atab).size)))
     }
-    Plan(base, preds, join, groupCol, agg)
+    val having =
+      if (groupCol.isDefined && rnd.nextInt(3) == 0)
+        Some(1 + rnd.nextInt(4))
+      else None
+    // level-2 SUM only over integral level-1 values (count/sum over
+    // integral cols): summing fractional min/max values across groups
+    // would reintroduce float-order drift
+    val secondOps =
+      if (agg.kind == "count" || agg.kind == "sum")
+        Seq("count", "sum", "min", "max")
+      else Seq("count", "min", "max")
+    val second =
+      if (groupCol.isDefined && rnd.nextInt(3) == 0)
+        Some(secondOps(rnd.nextInt(secondOps.size)))
+      else None
+    Plan(base, preds, join, joinType, groupCol, agg, having, second)
   }
 
   // ---- Spark side -------------------------------------------------------
@@ -130,7 +154,8 @@ class DifferentialFuzzSpec extends SparkSpec {
     }
     var df = p.preds.foldLeft(frames(p.base))((f, pr) => f.filter(cond(pr)))
     p.join.foreach { j =>
-      df = df.join(frames(j.table), col(j.leftKey) === col(j.rightKey))
+      df = df.join(frames(j.table), col(j.leftKey) === col(j.rightKey),
+        p.joinType)
     }
     val aggCol = p.agg.kind match {
       case "count" => count(lit(1))
@@ -139,8 +164,24 @@ class DifferentialFuzzSpec extends SparkSpec {
       case "max" => max(col(p.agg.col))
     }
     val res = p.groupCol match {
-      case Some(g) => df.groupBy(col(g)).agg(aggCol.as("a"))
-        .collect().map(r => (norm(r.get(0)), norm(r.get(1))))
+      case Some(g) =>
+        var adf = df.groupBy(col(g))
+          .agg(aggCol.as("a"), count(lit(1)).as("__n"))
+        p.having.foreach(n => adf = adf.filter(col("__n") >= n))
+        p.second match {
+          case Some(k2) =>
+            val c2 = k2 match {
+              case "count" => count(lit(1))
+              case "sum" => sum(col("a"))
+              case "min" => min(col("a"))
+              case "max" => max(col("a"))
+            }
+            adf.agg(c2.as("a2"))
+              .collect().map(r => ("<global2>": Any, norm(r.get(0))))
+          case None =>
+            adf.select(col(g), col("a"))
+              .collect().map(r => (norm(r.get(0)), norm(r.get(1))))
+        }
       case None => df.agg(aggCol.as("a"))
         .collect().map(r => ("<global>": Any, norm(r.get(0))))
     }
@@ -181,8 +222,14 @@ class DifferentialFuzzSpec extends SparkSpec {
     var data = rows(p.base).filter(r => p.preds.forall(keep(r, _)))
     p.join.foreach { j =>
       val right = rows(j.table).groupBy(r => r(j.rightKey))
+      val nullRight =
+        frames(j.table).columns.map(c => c -> (null: Any)).toMap
       data = data.flatMap { l =>
-        right.getOrElse(l(j.leftKey), Seq.empty).map(r => l ++ r)
+        right.get(l(j.leftKey)) match {
+          case Some(ms) => ms.map(r => l ++ r)
+          case None if p.joinType == "left" => Seq(l ++ nullRight)
+          case None => Seq.empty
+        }
       }
     }
     def aggOf(group: Seq[Map[String, Any]]): Any = p.agg.kind match {
@@ -203,27 +250,59 @@ class DifferentialFuzzSpec extends SparkSpec {
     }
     p.groupCol match {
       case Some(g) =>
-        data.groupBy(r => norm(r(g))).map { case (k, grp) =>
-          k -> norm(aggOf(grp.toSeq))
+        val groups = data.groupBy(r => norm(r(g)))
+          .filter { case (_, grp) =>
+            p.having.forall(n => grp.size >= n) }
+          .map { case (k, grp) => k -> norm(aggOf(grp.toSeq)) }
+        p.second match {
+          case Some(k2) =>
+            val vs = groups.values.toSeq
+            val nn = vs.filter(_ != null)
+            val v2: Any = k2 match {
+              case "count" => vs.size.toLong // count(lit(1)): nulls too
+              case "sum" =>
+                if (nn.isEmpty) null
+                else nn.head match {
+                  case _: Long => nn.map(v => toD(v).toLong).sum: Any
+                  case _ => nn.map(toD).sum: Any
+                }
+              case "min" =>
+                if (nn.isEmpty) null
+                else nn.reduce((a, b) => if (cmp(a, b) <= 0) a else b)
+              case _ =>
+                if (nn.isEmpty) null
+                else nn.reduce((a, b) => if (cmp(a, b) >= 0) a else b)
+            }
+            Map(("<global2>": Any) -> norm(v2))
+          case None => groups
         }
       case None => Map(("<global>": Any) -> norm(aggOf(data)))
     }
   }
 
-  test("120 generated filter∘join∘agg plans agree with the independent oracle") {
+  test("200 generated filter∘join∘agg plans agree with the independent oracle") {
     val rnd = new scala.util.Random(20260813L)
     var withJoin = 0
+    var leftJoin = 0
     var grouped = 0
-    (1 to 120).foreach { i =>
+    var havings = 0
+    var twoLevel = 0
+    (1 to 200).foreach { i =>
       val p = gen(rnd)
       if (p.join.isDefined) withJoin += 1
+      if (p.join.isDefined && p.joinType == "left") leftJoin += 1
       if (p.groupCol.isDefined) grouped += 1
+      if (p.having.isDefined) havings += 1
+      if (p.second.isDefined) twoLevel += 1
       val got = sparkEval(p)
       val want = refEval(p)
       assert(got == want,
         s"plan #$i diverged: $p\nspark=$got\noracle=$want")
     }
     // the generator actually exercises the composition space
-    assert(withJoin > 20 && grouped > 30, s"join=$withJoin grouped=$grouped")
+    assert(withJoin > 40 && leftJoin > 10 && grouped > 60 &&
+      havings > 15 && twoLevel > 15,
+      s"join=$withJoin left=$leftJoin grouped=$grouped " +
+        s"having=$havings second=$twoLevel")
   }
 }

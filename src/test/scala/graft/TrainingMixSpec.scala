@@ -154,6 +154,26 @@ class TrainingMixSpec extends SparkSpec {
       s"sample heavy share $heavyShare <= population $popShare")
   }
 
+  test("o9 grouped reservoir: k per language, native heap ≡ window form") {
+    val rows = run("o9_grouped_reservoir").collect()
+    val perLang = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(perLang.values.forall(_ == 10), s"per-lang counts: $perLang")
+    assert(rows.map(_.getLong(1)).distinct.length == rows.length)
+    // the native two-phase heap selects the same rows as the spillable
+    // window formulation (one implementation checks the other)
+    val keyed = spark.read.parquet(s"${sf()}/documents.parquet")
+      .withColumn("wt", least(expr("n_chars div 500") + 1, lit(8)))
+      .withColumn("j", explode(sequence(lit(1), col("wt"))))
+      .withColumn("hk", md5(concat_ws("#", col("doc_id"), col("j"))))
+      .groupBy(col("doc_id"), col("lang"), col("wt"))
+      .agg(min(col("hk")).as("sel_key"))
+    val windowed = graft.plans.TopK.topKPerGroupBySort(
+        keyed, Seq("lang"), "sel_key", descending = false, k = 10)
+      .select(col("lang"), col("doc_id"), col("wt"), col("sel_key"))
+      .orderBy(col("lang"), col("sel_key")).collect()
+    assert(rows.map(_.toSeq).toSeq == windowed.map(_.toSeq).toSeq)
+  }
+
   test("s12 applies jsonl weights with a 1.0 default for unmatched types") {
     val rows = run("s12_jsonl_weights").collect()
     val byType = rows.map(r => r.getString(0) -> r).toMap
