@@ -579,6 +579,93 @@ object RelationalQueries extends QueryModule {
         .agg(dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount"))
             .as("revenue"),
           count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q20-shaped "dominant supplier": a grouped sum compared
+    // against its group's total — the correlated-threshold IN-subquery
+    // of Q20, adapted to this schema (no partsupp: lineitem is the
+    // part↔supplier link; availqty → shipped qty). The fraction-of-
+    // group is a WINDOW over the grouped frame, not a groupBy+self-join
+    // (one exchange fewer, no duplicate scan); the per-part total sums
+    // in decimal inside the window so it stays order-independent at
+    // any parallelism. Both sides compute `0.5 * total` in double from
+    // identical inputs, so the strict > is cross-engine stable.
+    "q20_dominant_supplier" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val shipped = Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_size") <= 10)
+          .select(col("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(dsum(col("l_quantity")).as("qty"))
+      val w = Window.partitionBy(col("l_partkey"))
+      shipped
+        .withColumn("total",
+          sum(col("qty").cast(DecimalType(18, 4))).over(w).cast("double"))
+        .filter(col("qty") > lit(0.5) * col("total"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n_dominant_parts"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q21-shaped "suppliers who kept orders waiting": the
+    // EXISTS / NOT-EXISTS pair over the same fact table, adapted to
+    // this schema (late = shipped >90 days after the order date; the
+    // reference schema's receipt/commit dates don't exist here).
+    // EXISTS compiles to a left-semi and NOT EXISTS to a left-anti
+    // join on the order key with the supplier-inequality as a join
+    // residual — three passes over lineitem but every one an equi-join
+    // shuffle on l_orderkey, the scalable shape (never a per-order
+    // subquery loop).
+    "q21_waiting_supplier" -> ((s, d) => {
+      val late = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val others = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val lateOthers = late
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+      late
+        .join(others, col("l_orderkey") === col("k2") &&
+          col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(lateOthers, col("l_orderkey") === col("k3") &&
+          col("l_suppkey") =!= col("s3"), "left_anti")
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    }),
+
+    // TPC-H Q22-shaped "idle customers with means": a global scalar
+    // threshold (average positive balance, broadcast) + NOT IN over a
+    // distinct key set (anti join — o_custkey is non-null so the
+    // NOT-IN null trap doesn't bite), grouped by segment (this
+    // schema's stand-in for the phone prefix). The scalar average is
+    // the exact decimal sum over count, so the `>` cut is identical on
+    // both engines.
+    "q22_idle_customers" -> ((s, d) => {
+      val avgBal = Tables.customer(s, d)
+        .filter(col("c_acctbal") > 0)
+        .agg(davg(col("c_acctbal")).as("a"))
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      Tables.customer(s, d)
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("a"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -920,6 +1007,58 @@ object RelationalQueries extends QueryModule {
         |   OR (p_type = 'ECONOMY' AND l_quantity BETWEEN 10 AND 20
         |        AND p_size <= 25)
         |   OR (p_type = 'STANDARD' AND l_quantity BETWEEN 20 AND 30
-        |        AND p_size <= 50)""".stripMargin
+        |        AND p_size <= 50)""".stripMargin,
+
+    "q20_dominant_supplier" ->
+      """WITH shipped AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size <= 10
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(qty AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  FROM shipped GROUP BY 1)
+        |SELECT s_suppkey, s_name, count(*) AS n_dominant_parts
+        |FROM shipped JOIN tot USING (l_partkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE qty > 0.5 * total
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |SELECT s_name, count(*) AS numwait
+        |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+
+    "q22_idle_customers" ->
+      """WITH avg_bal AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |    / count(c_acctbal) AS a
+        |  FROM customer WHERE c_acctbal > 0),
+        |recent AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+        |SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+        |FROM customer, avg_bal
+        |WHERE c_acctbal > a
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -81,6 +81,38 @@ object StreamingQueries extends QueryModule {
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("buy_id")).as("n_attributed_buys"),
           countDistinct(col("click_id")).as("n_clicks_used"))
+    }),
+
+    // The LEFT-OUTER face of the interval join: every purchase keeps a
+    // row whether or not a click preceded it — matched pairs plus the
+    // "organic" remainder. In streaming this is the left-outer
+    // stream-stream join (unmatched rows emit with nulls once the
+    // watermark passes the join bound — StreamingSpec pins that
+    // runtime); in batch the same semantics decompose into the binned
+    // range join (inner pairs) + a left-anti join for the remainder —
+    // both equi-joins on (user, bin) / buy_id, no outer-join state kept
+    // anywhere.
+    "st6_outer_attribution" -> ((s, d) => {
+      val hourUs = 3600000000L
+      val ev = Tables.events(s, d).withColumn("us", expr("ts_ns div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("us"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("buy_id"),
+          (col("us") - hourUs).as("start"), col("us").as("end"))
+      val pairs = graft.operators.Ops.rangeJoin(clicks, buys, "user_id",
+        "us", "start", "end", binWidth = hourUs / 2)
+      val organic = buys
+        .join(pairs.select(col("buy_id")).distinct(),
+          Seq("buy_id"), "left_anti")
+      pairs
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("buy_id")).as("n_attributed_buys"))
+        .crossJoin(broadcast(buys.agg(count(lit(1)).as("n_buys"))))
+        .crossJoin(broadcast(
+          organic.agg(count(lit(1)).as("n_organic_buys"))))
+        .select(col("n_buys"), col("n_pairs"),
+          col("n_attributed_buys"), col("n_organic_buys"))
     })
   )
 
@@ -141,6 +173,27 @@ object StreamingQueries extends QueryModule {
         |  count(DISTINCT buy_id) AS n_attributed_buys,
         |  count(DISTINCT click_id) AS n_clicks_used
         |FROM c JOIN b ON c.user_id = b.user_id
-        |  AND c.us >= bus - 3600000000 AND c.us <= bus""".stripMargin
+        |  AND c.us >= bus - 3600000000 AND c.us <= bus""".stripMargin,
+
+    "st6_outer_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us
+        |  FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, us FROM ev
+        |      WHERE event_type = 'click'),
+        |b AS (SELECT user_id, event_id AS buy_id, us AS bus FROM ev
+        |      WHERE event_type = 'purchase'),
+        |p AS (
+        |  SELECT b.buy_id, c.click_id
+        |  FROM b LEFT JOIN c ON c.user_id = b.user_id
+        |    AND c.us >= bus - 3600000000 AND c.us <= bus)
+        |SELECT
+        |  (SELECT count(*) FROM b) AS n_buys,
+        |  (SELECT count(click_id) FROM p) AS n_pairs,
+        |  (SELECT count(DISTINCT buy_id) FROM p WHERE click_id IS NOT NULL)
+        |    AS n_attributed_buys,
+        |  (SELECT count(*) FROM p WHERE click_id IS NULL)
+        |    AS n_organic_buys""".stripMargin
   )
 }

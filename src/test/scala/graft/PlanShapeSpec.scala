@@ -32,6 +32,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q20 fraction-of-group is one window pass, no self-join of the agg") {
+    // the Q20 correlated threshold could decorrelate into groupBy +
+    // self-join (two shuffles + a duplicate scan); the window form
+    // re-uses the grouped frame's partitioning — exactly one Window and
+    // the only joins are the part filter + supplier dim lookups
+    val plan = physical("q20_dominant_supplier")
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("SortMergeJoin"), // both dims broadcast at sf
+      plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("q21 exists/not-exists compile to semi and anti hash joins") {
+    val plan = physical("q21_waiting_supplier")
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("st6 outer face keeps the binned equi-join, no cartesian pairing") {
+    // the single-row aggregate crossJoins plan as broadcast nested
+    // loops over one row (fine); the contract is that the PAIRING
+    // itself is never a cartesian product — the range join stays an
+    // equi-join on (user, bin) and the remainder a left-anti hash join
+    val plan = physical("st6_outer_attribution")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
   test("f15 binning is map-side on literal edges, no exact-percentile buffer") {
     // edges come from Ops.exactQuantiles (count pass + distributed sort
     // + rank pick) as scalars, so the binning plan itself is one

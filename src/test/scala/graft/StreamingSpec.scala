@@ -170,6 +170,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream LEFT-outer interval join emits unmatched rows as nulls") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val purchases = MemoryStream[(Timestamp, Long)]
+    val c = clicks.toDF().toDF("c_ts", "c_user").withWatermark("c_ts", "10 minutes")
+    val p = purchases.toDF().toDF("p_ts", "p_user").withWatermark("p_ts", "10 minutes")
+    // purchase keeps its row with a NULL click once the watermark passes
+    // the join bound — the st6 batch face's organic remainder, live
+    val joined = p.join(c,
+      expr("p_user = c_user AND c_ts >= p_ts - interval 30 minutes AND " +
+        "c_ts <= p_ts"), "leftOuter")
+    val query = joined.writeStream.format("memory")
+      .queryName("stream_outer").outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData((ts(0), 1L))
+      purchases.addData((ts(10), 1L), (ts(10), 9L)) // 9: no click anywhere
+      query.processAllAvailable()
+      // advance both watermarks far past the bound so user 9's row expires
+      clicks.addData((Timestamp.valueOf("2024-01-01 14:00:00"), 99L))
+      purchases.addData((Timestamp.valueOf("2024-01-01 14:00:00"), 98L))
+      query.processAllAvailable()
+      val rows = spark.table("stream_outer")
+        .filter(col("p_ts") < "2024-01-01 12:00:00")
+        .select(col("p_user"), col("c_user")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      assert(rows == Set((1L, 1L), (9L, -1L)),
+        s"expected matched user 1 + null-padded user 9, got $rows")
+    } finally query.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups repeated keys across triggers") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
