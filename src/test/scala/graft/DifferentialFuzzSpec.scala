@@ -25,12 +25,14 @@ class DifferentialFuzzSpec extends SparkSpec {
   private case class Pred(col: String, op: String, lit: Any)
   private case class Join(table: String, leftKey: String, rightKey: String)
   private case class Agg(kind: String, col: String) // kind: count|sum|min|max
-  // joinType: inner|left; having: min group size (HAVING count(*) >= n);
-  // second: optional second aggregation level over the grouped result
-  // (count|sum|min|max over the level-1 agg value) — the "agg of agg"
-  // shape (e.g. Q13's distribution-of-counts)
-  private case class Plan(base: String, preds: Seq[Pred], join: Option[Join],
-      joinType: String, groupCol: Option[String], agg: Agg,
+  // joins: a CHAIN of up to two (join, type) steps — the second step may
+  // hang off the first joined table (lineitem→supplier→nation), each
+  // independently inner or left-outer; having: min group size (HAVING
+  // count(*) >= n); second: optional second aggregation level over the
+  // grouped result (count|sum|min|max over the level-1 agg value) — the
+  // "agg of agg" shape (e.g. Q13's distribution-of-counts)
+  private case class Plan(base: String, preds: Seq[Pred],
+      joins: Seq[(Join, String)], groupCol: Option[String], agg: Agg,
       having: Option[Int], second: Option[String])
 
   private val d = sf() // sf0.001: small enough for the in-memory oracle
@@ -103,15 +105,23 @@ class DifferentialFuzzSpec extends SparkSpec {
       }
       Pred(c, op, sample)
     }
-    val join = joinsFor(base) match {
-      case js if js.nonEmpty && rnd.nextBoolean() =>
-        Some(js(rnd.nextInt(js.size)))
-      case _ => None
+    val j1opts = joinsFor(base)
+    val joins = scala.collection.mutable.ArrayBuffer.empty[(Join, String)]
+    if (j1opts.nonEmpty && rnd.nextBoolean()) {
+      val j1 = j1opts(rnd.nextInt(j1opts.size))
+      joins += ((j1, if (rnd.nextBoolean()) "left" else "inner"))
+      // a second step: another dim off the base, or a chain off the
+      // first joined table — never a table already in the plan (a
+      // repeated table would collide column names)
+      val j2opts = (j1opts.filterNot(_ == j1) ++ joinsFor(j1.table))
+        .filterNot(j => j.table == base || j.table == j1.table)
+      if (j2opts.nonEmpty && rnd.nextInt(3) == 0) {
+        val j2 = j2opts(rnd.nextInt(j2opts.size))
+        joins += ((j2, if (rnd.nextBoolean()) "left" else "inner"))
+      }
     }
-    val joinType =
-      if (join.isDefined && rnd.nextBoolean()) "left" else "inner"
-    // group/agg columns may come from the base or the joined table
-    val tabs = base +: join.map(_.table).toSeq
+    // group/agg columns may come from the base or any joined table
+    val tabs = base +: joins.map(_._1.table).toSeq
     val gtab = tabs(rnd.nextInt(tabs.size))
     val groupCol =
       if (rnd.nextBoolean())
@@ -139,7 +149,7 @@ class DifferentialFuzzSpec extends SparkSpec {
       if (groupCol.isDefined && rnd.nextInt(3) == 0)
         Some(secondOps(rnd.nextInt(secondOps.size)))
       else None
-    Plan(base, preds, join, joinType, groupCol, agg, having, second)
+    Plan(base, preds, joins.toSeq, groupCol, agg, having, second)
   }
 
   // ---- Spark side -------------------------------------------------------
@@ -153,9 +163,8 @@ class DifferentialFuzzSpec extends SparkSpec {
       case _ => col(pr.col) =!= lit(pr.lit)
     }
     var df = p.preds.foldLeft(frames(p.base))((f, pr) => f.filter(cond(pr)))
-    p.join.foreach { j =>
-      df = df.join(frames(j.table), col(j.leftKey) === col(j.rightKey),
-        p.joinType)
+    p.joins.foreach { case (j, typ) =>
+      df = df.join(frames(j.table), col(j.leftKey) === col(j.rightKey), typ)
     }
     val aggCol = p.agg.kind match {
       case "count" => count(lit(1))
@@ -220,14 +229,16 @@ class DifferentialFuzzSpec extends SparkSpec {
       }
     }
     var data = rows(p.base).filter(r => p.preds.forall(keep(r, _)))
-    p.join.foreach { j =>
+    p.joins.foreach { case (j, typ) =>
       val right = rows(j.table).groupBy(r => r(j.rightKey))
       val nullRight =
         frames(j.table).columns.map(c => c -> (null: Any)).toMap
       data = data.flatMap { l =>
-        right.get(l(j.leftKey)) match {
+        // a null leftKey (from an earlier left join's padding) matches
+        // nothing — null never equals — so it drops (inner) or pads (left)
+        (if (l(j.leftKey) == null) None else right.get(l(j.leftKey))) match {
           case Some(ms) => ms.map(r => l ++ r)
-          case None if p.joinType == "left" => Seq(l ++ nullRight)
+          case None if typ == "left" => Seq(l ++ nullRight)
           case None => Seq.empty
         }
       }
@@ -284,13 +295,15 @@ class DifferentialFuzzSpec extends SparkSpec {
     val rnd = new scala.util.Random(20260813L)
     var withJoin = 0
     var leftJoin = 0
+    var chains = 0
     var grouped = 0
     var havings = 0
     var twoLevel = 0
     (1 to 200).foreach { i =>
       val p = gen(rnd)
-      if (p.join.isDefined) withJoin += 1
-      if (p.join.isDefined && p.joinType == "left") leftJoin += 1
+      if (p.joins.nonEmpty) withJoin += 1
+      if (p.joins.exists(_._2 == "left")) leftJoin += 1
+      if (p.joins.size == 2) chains += 1
       if (p.groupCol.isDefined) grouped += 1
       if (p.having.isDefined) havings += 1
       if (p.second.isDefined) twoLevel += 1
@@ -300,9 +313,9 @@ class DifferentialFuzzSpec extends SparkSpec {
         s"plan #$i diverged: $p\nspark=$got\noracle=$want")
     }
     // the generator actually exercises the composition space
-    assert(withJoin > 40 && leftJoin > 10 && grouped > 60 &&
+    assert(withJoin > 40 && leftJoin > 10 && chains > 8 && grouped > 60 &&
       havings > 15 && twoLevel > 15,
-      s"join=$withJoin left=$leftJoin grouped=$grouped " +
+      s"join=$withJoin left=$leftJoin chains=$chains grouped=$grouped " +
         s"having=$havings second=$twoLevel")
   }
 }
