@@ -111,6 +111,33 @@ object Ops {
     }
   }
 
+  /** Deterministic GLOBAL row index in `orderCol` order — the
+    * training-data "global shuffle": order the corpus by a content hash
+    * and hand every row its contiguous position, so downstream sharding
+    * (`pos div shard_size`) and resume-from-step are reproducible across
+    * runs and engines.
+    *
+    * The naive formulation — `row_number() OVER (ORDER BY hash)` — plans
+    * as Exchange SinglePartition + Window: one task sorts and numbers
+    * the entire corpus (SURVEY §7.4 risk 5, the shape this engine bans).
+    * Here instead: range-partitioned distributed sort (TeraSort shape)
+    * + zipWithIndex — one metadata job for per-partition sizes, then
+    * offset assignment per partition. The RDD hop is the justified
+    * imperative case (contiguous numbering is inherently per-partition
+    * stateful); with unique order keys the result is partition-count
+    * independent.
+    */
+  def globalRowIndex(df: DataFrame, orderCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val sorted = df.repartitionByRange(col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+    val rdd = sorted.rdd.zipWithIndex()
+      .map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    sorted.sparkSession.createDataFrame(rdd,
+      sorted.schema.add("pos", LongType, nullable = false))
+  }
+
   /** Stable train/val/test hash split on the LAST hex digit of md5(key):
     * '0'..'b' → train (12/16), 'c'/'d' → val (2/16), else test (2/16).
     * Growth-stable (a row's split never changes as the corpus grows) and

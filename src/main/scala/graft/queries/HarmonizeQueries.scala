@@ -135,6 +135,26 @@ object HarmonizeQueries extends QueryModule {
     "h11_toxrefdb_staging" -> ((s, d) => {
       SourceAdapter.cachedStaging(ToxrefdbAdapter, s, d)
         .activities.orderBy(col("aid"))
+    }),
+
+    // Incremental harmonize IN the correctness gate: the brick is built
+    // as seven sources + `Harmonize.incremental` of the eighth, and the
+    // oracle replays the ONE-SHOT eight-source build — equality is the
+    // content-addressed-merge bit-identity claim (HarmonizeSpec proves
+    // it at the row level; this pins it against DuckDB every round).
+    // This is the reference's add-a-source workflow without its
+    // rerun-everything DVC cost: the merge touches the new source's
+    // rows plus one distinct per table.
+    "h12_incremental_brick" -> ((s, d) => {
+      val adapters = SourceAdapter.all
+      val existing = Harmonize.cachedBrick(s, d, adapters.init)
+      val full = Harmonize.incremental(s, d, existing, Seq(adapters.last))
+      full.activities
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_acts"),
+          countDistinct(col("sid")).as("n_sids"),
+          countDistinct(col("pid")).as("n_pids"))
+        .orderBy(col("source"))
     })
   )
 
@@ -566,6 +586,13 @@ object HarmonizeQueries extends QueryModule {
         |    md5('guideline:' || guideline_number) AS pid,
         |    inchi, value, min(dose_level) AS numvalue
         |  FROM toxcore GROUP BY 1, 2, 3, 4)
-        |ORDER BY aid""".stripMargin)
+        |ORDER BY aid""".stripMargin),
+
+    // the oracle replays the ONE-SHOT build; the Spark side constructs
+    // the same brick incrementally (7 + 1) — equality = merge identity
+    "h12_incremental_brick" -> (actsCte +
+      """SELECT source, count(*) AS n_acts,
+        |  count(DISTINCT sid) AS n_sids, count(DISTINCT pid) AS n_pids
+        |FROM allacts GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

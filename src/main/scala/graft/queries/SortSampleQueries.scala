@@ -142,6 +142,25 @@ object SortSampleQueries extends QueryModule {
         .orderBy(col("lang"), col("sel_key"))
     }),
 
+    // Deterministic global shuffle: every document gets its contiguous
+    // position in content-hash order (Ops.globalRowIndex — TeraSort-
+    // shaped range sort + zipWithIndex, never a single-partition
+    // window). The census output (per-lang count / min / max / SUM of
+    // positions) pins the ENTIRE assignment: a numbering that is
+    // non-contiguous, duplicated, or order-shuffled breaks the per-lang
+    // position sums against the oracle's row_number replay.
+    "o10_global_shuffle" -> ((s, d) => {
+      val hk = Tables.documents(s, d)
+        .withColumn("hk", md5(col("doc_id").cast("string")))
+      graft.operators.Ops.globalRowIndex(hk, "hk")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("pos")).as("min_pos"),
+          max(col("pos")).as("max_pos"),
+          sum(col("pos")).as("sum_pos"))
+        .orderBy(col("lang"))
+    }),
+
     "o7_hash_split" -> ((s, d) => {
       Tables.documents(s, d)
         // hex alphabet: '0'..'b' is exactly {0-9, a, b} = 12/16; the
@@ -229,6 +248,16 @@ object SortSampleQueries extends QueryModule {
         |  FROM keys)
         |SELECT lang, doc_id, wt, sel_key FROM ranked
         |WHERE rn <= 10 ORDER BY lang, sel_key""".stripMargin,
+
+    "o10_global_shuffle" ->
+      """WITH idx AS (
+        |  SELECT lang,
+        |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1
+        |      AS pos
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, min(pos) AS min_pos,
+        |  max(pos) AS max_pos, CAST(sum(pos) AS BIGINT) AS sum_pos
+        |FROM idx GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "o7_hash_split" ->
       s"""SELECT split, count(*) AS n_docs,

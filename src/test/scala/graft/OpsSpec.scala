@@ -142,6 +142,24 @@ class OpsSpec extends SparkSpec {
       Seq(0.5)).head.isNaN)
   }
 
+  test("globalRowIndex numbers the corpus contiguously in key order") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .withColumn("hk", md5(col("doc_id").cast("string")))
+    val n = docs.count()
+    val idx = Ops.globalRowIndex(docs, "hk")
+    val rows = idx.select(col("pos"), col("hk")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // exactly 0..n-1, each once
+    assert(rows.map(_._1).toSeq == (0L until n).toSeq)
+    // position order IS key order
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq)
+    // deterministic across runs and partitioning
+    val again = Ops.globalRowIndex(docs.repartition(7), "hk")
+      .select(col("pos"), col("hk")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("groupedMedianBySort keeps a NULL group KEY (groupBy semantics)") {
     val df = Seq[(Option[String], Option[Double])](
       (None, Some(1.0)), (None, Some(3.0)), (Some("a"), Some(4.0))
