@@ -89,6 +89,33 @@ object CurationQueries extends QueryModule {
           ceil(sum(col("n_tok")) / lit(2048.0)).cast("long")
             .as("n_sequences"))
         .orderBy(col("split"), col("lang"))
+    }),
+
+    // The SHARD manifest: deterministic global shuffle (o10's
+    // Ops.globalRowIndex) → fixed-size shards by position → per-shard
+    // doc counts, split mix (o7's shared hash rule), and char budget.
+    // This is the physical layout a training job reads: shard k holds
+    // exactly positions [100k, 100k+100), every run, every engine —
+    // resume-from-shard and data-order reproducibility fall out of the
+    // content-hash ordering. Everything after the index is one
+    // map-side projection + a small aggregate.
+    "c3_shard_manifest" -> ((s, d) => {
+      val idx = graft.operators.Ops.globalRowIndex(
+        graft.Tables.documents(s, d)
+          .withColumn("hk", md5(col("doc_id").cast("string"))), "hk")
+      idx
+        .withColumn("shard", expr("pos div 100"))
+        .withColumn("split",
+          graft.operators.Ops.hashSplit(concat_ws("|", col("doc_id"))))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("split") === "train", 1)).as("n_train"),
+          count(when(col("split") === "val", 1)).as("n_val"),
+          count(when(col("split") === "test", 1)).as("n_test"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("pos")).as("min_pos"),
+          max(col("pos")).as("max_pos"))
+        .orderBy(col("shard"))
     })
   )
 
@@ -160,6 +187,25 @@ object CurationQueries extends QueryModule {
         |WHERE doc_id IN (SELECT doc_id FROM keepx)
         |  AND doc_id NOT IN (SELECT doc_id FROM dropped)
         |  AND score >= 0.5 AND n_tok >= 3
-        |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin),
+
+    "c3_shard_manifest" ->
+      s"""WITH idx AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1
+        |      AS pos
+        |  FROM documents),
+        |tagged AS (
+        |  SELECT pos // 100 AS shard, n_chars, pos,
+        |    ${graft.operators.Ops.hashSplitSql("concat_ws('|', doc_id)")}
+        |      AS split
+        |  FROM idx)
+        |SELECT shard, count(*) AS n_docs,
+        |  count(CASE WHEN split = 'train' THEN 1 END) AS n_train,
+        |  count(CASE WHEN split = 'val' THEN 1 END) AS n_val,
+        |  count(CASE WHEN split = 'test' THEN 1 END) AS n_test,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(pos) AS min_pos, max(pos) AS max_pos
+        |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

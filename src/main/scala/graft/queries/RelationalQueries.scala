@@ -666,6 +666,56 @@ object RelationalQueries extends QueryModule {
         .agg(count(lit(1)).as("numcust"),
           dsum(col("c_acctbal")).as("totacctbal"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // TPC-H Q4-shaped "order priority checking": count orders per
+    // priority that have at least one late line. The reference
+    // schema's commit/receipt dates don't exist here, so "late" is the
+    // q21 rule (shipped >60 days after the order date). The correlated
+    // EXISTS compiles to ONE left-semi shuffle join on l_orderkey with
+    // the date inequality as a join residual — per-order dedup is free
+    // (semi join emits each order at most once), no distinct, no
+    // subquery loop; both scans keep only two columns.
+    "q4_priority_check" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_shipdate")),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >
+              col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q15-shaped "top supplier": quarterly revenue per supplier,
+    // then the supplier(s) whose revenue equals the global max — the
+    // CREATE VIEW + scalar-subquery shape. The revenue frame is one
+    // map-combined hash aggregate off a pushed-down scan; the max is a
+    // single-row aggregate of THAT frame broadcast back over it (the
+    // view is computed once per branch of a self-referencing plan, both
+    // branches tiny after the agg). The double equality is safe because
+    // both sides come from the same order-independent decimal sum — the
+    // max IS one of the values, bit-identical on any engine.
+    "q15_top_supplier" -> ((s, d) => {
+      val revenue = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount"))
+          .as("total_revenue"))
+      val best = revenue.agg(max(col("total_revenue")).as("m"))
+      revenue
+        .crossJoin(broadcast(best))
+        .filter(col("total_revenue") === col("m"))
+        .join(broadcast(Tables.supplier(s, d)
+            .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
     })
   )
 
@@ -1059,6 +1109,31 @@ object RelationalQueries extends QueryModule {
         |FROM customer, avg_bal
         |WHERE c_acctbal > a
         |  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q4_priority_check" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      CAST(1 - l_discount AS DECIMAL(18,4)) AS DECIMAL(28,4)))
+        |      AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin
   )
 }

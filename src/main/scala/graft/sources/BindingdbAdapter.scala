@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -23,8 +23,12 @@ import graft.Tables
   *      (property-columns, metric) group (R:55-56)
   *
   * Scale notes: the unpivot is a map-side 1→N expand (no shuffle); the
-  * censor parse and thresholds are codegen'd expressions on the expanded
-  * rows; the only shuffle is the aid-disambiguation window, partitioned
+  * censor parse runs per metric on the wide row BEFORE the expand (see
+  * the in-method comment — post-expand it trips a Spark 4.1.2
+  * whole-stage-codegen subexpression-elimination bug and the stage
+  * falls back to interpreted) and the thresholds are codegen'd
+  * expressions on the expanded rows; the only shuffle is the
+  * aid-disambiguation window, partitioned
   * by the near-unique physical row key (no skew, bounded state). The
   * reference assigns aid by a GLOBAL `row_number()` (R:74) — a
   * single-partition sort at scale; here the aid is a content hash of the
@@ -34,49 +38,60 @@ object BindingdbAdapter extends SourceAdapter {
   val name = "bindingdb"
 
   def staging(s: SparkSession, d: String): StagingTriplet = {
-    // six measure columns, one shared type, unpivoted to (metric, mval)
+    // censored-value synthesis + parse, PER METRIC and BEFORE the
+    // unpivot: a deterministic slice of the measurements carries
+    // comparator prefixes or an unparseable marker (the raw bindingdb
+    // dump's '>'/'<'/blank forms); the parse is the reference's
+    // strip-and-cast, and rows that don't parse drop out. Only the four
+    // metrics that carry activities are synthesized — the dropped two
+    // never contribute activities/ids anyway (props derive from the
+    // kept set). A null raw measure stays null through the parse
+    // (concat/cast of null is null), so the unpivot's null drop below
+    // subsumes the reference's pre-melt values_drop_na.
+    //
+    // Parsing BEFORE the unpivot (wide columns in, wide columns out) is
+    // deliberate: when this expression sat after the Expand, the
+    // pushed-down isnotnull(numvalue) filter duplicated it, and
+    // whole-stage codegen's subexpression elimination hoisted the copy
+    // into a helper function whose parameter was the Expand's
+    // mutable-state slot — `UTF8String expand_mutableStateArray_0[0]`,
+    // invalid Java — so janino rejected the stage and the WHOLE
+    // unpivot+parse ran interpreted (Spark codegen bug, observed on
+    // 4.1.2). Pre-Expand the inputs are plain locals, the stage stays
+    // inside WholeStageCodegen, and the Expand carries 4 doubles
+    // instead of 6, with all string work done once on the wide row.
+    def parsed(metric: String, v: Column): Column = {
+      val censor =
+        (col("l_orderkey") + col("l_linenumber") + lit(metric.length)) % 11
+      val vstr =
+        when(censor === 3, concat(lit(">"), v.cast("string")))
+          .when(censor === 5, concat(lit("<"), v.cast("string")))
+          .when(censor === 7, lit("n/d"))
+          .otherwise(v.cast("string"))
+      // try_cast, not cast: ANSI mode (Spark 4 default) throws on 'n/d';
+      // the reference's as.numeric yields NA — rows drop, jobs don't die
+      regexp_replace(vstr, "[<>]", "").try_cast("double").as(metric)
+    }
     val wide = Tables.lineitem(s, d).select(
       col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
       col("l_linestatus"),
-      col("l_quantity").cast("double").as("m_qty"),
-      col("l_extendedprice").cast("double").as("m_price"),
-      col("l_discount").cast("double").as("m_disc"),
-      col("l_tax").cast("double").as("m_tax"),
-      col("l_linenumber").cast("double").as("m_line"),
-      col("l_suppkey").cast("double").as("m_supp"))
-    val unp = wide.unpivot(
+      parsed("m_qty", col("l_quantity").cast("double")),
+      parsed("m_price", col("l_extendedprice").cast("double")),
+      parsed("m_disc", col("l_discount").cast("double")),
+      parsed("m_tax", col("l_tax").cast("double")))
+    // 1→4 map-side expand; the null drop removes both the raw nulls and
+    // the censor slice that failed to parse — same final set as the
+    // post-expand filter chain it replaces
+    val kept0 = wide.unpivot(
       Array(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_linestatus")),
-      Array(col("m_qty"), col("m_price"), col("m_disc"), col("m_tax"),
-        col("m_line"), col("m_supp")),
-      "metric", "mval")
-      .filter(col("mval").isNotNull)
-
-    // censored-value synthesis + parse: a deterministic slice of the
-    // measurements carries comparator prefixes or an unparseable marker
-    // (the raw bindingdb dump's '>'/'<'/blank forms); the parse is the
-    // reference's strip-and-cast, and rows that don't parse drop out.
-    // Metric filter FIRST — cheaper, and the dropped metrics never
-    // contribute activities/ids anyway (props derive from the kept set).
-    val censor =
-      (col("l_orderkey") + col("l_linenumber") + length(col("metric"))) % 11
-    val parsed = unp
-      .filter(col("metric").isin("m_qty", "m_price", "m_disc", "m_tax"))
-      .withColumn("vstr",
-        when(censor === 3, concat(lit(">"), col("mval").cast("string")))
-          .when(censor === 5, concat(lit("<"), col("mval").cast("string")))
-          .when(censor === 7, lit("n/d"))
-          .otherwise(col("mval").cast("string")))
-      // try_cast, not cast: ANSI mode (Spark 4 default) throws on 'n/d';
-      // the reference's as.numeric yields NA — rows drop, jobs don't die
-      .withColumn("numvalue",
-        expr("try_cast(regexp_replace(vstr, '[<>]', '') AS DOUBLE)"))
+      Array(col("m_qty"), col("m_price"), col("m_disc"), col("m_tax")),
+      "metric", "numvalue")
       .filter(col("numvalue").isNotNull)
-      .drop("vstr")
 
     // per-metric binarization thresholds (R:78-88's Ki/IC50/Kd/EC50
     // cutoffs, scaled to the testdata measure domains)
-    val kept = parsed
+    val kept = kept0
       .withColumn("value",
         when(col("metric") === "m_qty" && col("numvalue") < 25, "positive")
           .when(col("metric") === "m_price" && col("numvalue") < 30000,

@@ -26,6 +26,26 @@ class CompositeAdapterSpec extends SparkSpec {
     assert(bdb.properties.count() == 8) // 2 linestatus x 4 metrics
   }
 
+  test("bindingdb: parse stage stays inside whole-stage codegen") {
+    // Regression guard for a Spark 4.1.2 codegen bug: with the censor
+    // parse AFTER the unpivot, subexpression elimination hoisted the
+    // duplicated parse into a helper whose parameter was the Expand's
+    // mutable-state slot (`UTF8String expand_mutableStateArray_0[0]` —
+    // invalid Java), janino rejected it, and the stage silently ran
+    // interpreted. The adapter now parses pre-Expand; this pins that
+    // every codegen subtree of the staging plan actually compiles
+    // (codegenToSeq reports ByteCodeStats(-1,…) on compile failure).
+    import org.apache.spark.sql.execution.debug._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false") // expose subtrees
+    val acts = BindingdbAdapter.staging(s2, sf()).activities
+    val stats = acts.queryExecution.debug.codegenToSeq()
+    assert(stats.nonEmpty)
+    stats.foreach { case (subtree, _, bc) =>
+      assert(bc.maxMethodCodeSize > 0, s"codegen failed for:\n$subtree")
+    }
+  }
+
   test("bindingdb: props/subs cover exactly the surviving activities") {
     val actPids = bdb.activities.select("pid").distinct()
     val propPids = bdb.properties.select("pid").distinct()
