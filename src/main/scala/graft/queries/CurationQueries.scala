@@ -116,6 +116,40 @@ object CurationQueries extends QueryModule {
           min(col("pos")).as("min_pos"),
           max(col("pos")).as("max_pos"))
         .orderBy(col("shard"))
+    }),
+
+    // Second-order capstone: o9's per-language weighted reservoir
+    // (min-of-w md5 draws on the native two-phase TopKPerGroup heap)
+    // feeding c3's deterministic shard layout — the eval-subset export
+    // job. Sample k docs per language by length-proportional weight,
+    // then give the SAMPLE its own contiguous content-hash order and
+    // cut fixed-size shards. Every stage is the already-verified
+    // operator: the reservoir is map-side expand + map-combined min +
+    // per-group heaps; the index is the TeraSort-shaped range sort
+    // (never a single-partition window); the manifest is one small
+    // aggregate. Languages interleave in the shards by construction —
+    // the content-hash order is an unbiased shuffle of the sample.
+    "c4_reservoir_shards" -> ((s, d) => {
+      val keyed = graft.Tables.documents(s, d)
+        .withColumn("wt", least(expr("n_chars div 500") + 1, lit(8)))
+        .withColumn("j", explode(sequence(lit(1), col("wt"))))
+        .withColumn("hk", md5(concat_ws("#", col("doc_id"), col("j"))))
+        .groupBy(col("doc_id"), col("lang"), col("wt"))
+        .agg(min(col("hk")).as("sel_key"))
+      val sample = graft.plans.TopK.topKPerGroup(keyed, Seq("lang"),
+          "sel_key", desc = false, k = 10)
+        .select(col("lang"), col("doc_id"), col("wt"))
+      val idx = graft.operators.Ops.globalRowIndex(
+        sample.withColumn("hk", md5(col("doc_id").cast("string"))), "hk")
+      idx
+        .withColumn("shard", expr("pos div 8"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("wt")).as("sum_wt"),
+          min(col("pos")).as("min_pos"),
+          max(col("pos")).as("max_pos"))
+        .orderBy(col("shard"))
     })
   )
 
@@ -206,6 +240,32 @@ object CurationQueries extends QueryModule {
         |  count(CASE WHEN split = 'test' THEN 1 END) AS n_test,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(pos) AS min_pos, max(pos) AS max_pos
-        |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "c4_reservoir_shards" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, least(n_chars // 500 + 1, 8) AS wt
+        |  FROM documents),
+        |exp AS (
+        |  SELECT doc_id, lang, wt, md5(concat_ws('#', doc_id, j)) AS hk
+        |  FROM w, LATERAL (SELECT unnest(generate_series(1, wt)) AS j)),
+        |keys AS (
+        |  SELECT doc_id, lang, wt, min(hk) AS sel_key
+        |  FROM exp GROUP BY 1, 2, 3),
+        |ranked AS (
+        |  SELECT lang, doc_id, wt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY sel_key) AS rn
+        |  FROM keys),
+        |samp AS (SELECT lang, doc_id, wt FROM ranked WHERE rn <= 10),
+        |idx AS (
+        |  SELECT lang, wt,
+        |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1
+        |      AS pos
+        |  FROM samp)
+        |SELECT pos // 8 AS shard, count(*) AS n_docs,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(wt) AS BIGINT) AS sum_wt,
+        |  min(pos) AS min_pos, max(pos) AS max_pos
+        |FROM idx GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -701,9 +701,14 @@ object RelationalQueries extends QueryModule {
     // both sides come from the same order-independent decimal sum — the
     // max IS one of the values, bit-identical on any engine.
     "q15_top_supplier" -> ((s, d) => {
+      // the explicit isNotNull matches what the supplier join pushes
+      // into its branch, so BOTH consumers of `revenue` canonicalize to
+      // the same exchange and ReuseExchange computes the scan+aggregate
+      // ONCE (without it the max branch re-scans lineitem)
       val revenue = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp") &&
+          col("l_suppkey").isNotNull)
         .groupBy(col("l_suppkey"))
         .agg(dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount"))
           .as("total_revenue"))

@@ -357,6 +357,35 @@ object SimilarityQueries extends QueryModule {
         .agg(count(when(expr("cosine_sim(x, y)") >= 0.4, 1))
           .as("n_dup_brute"))
       pairs1.crossJoin(broadcast(pairs2)).crossJoin(broadcast(brute))
+    }),
+
+    // Embedding-space eval-set decontamination — x8's operator in
+    // vector space: the corpus is scrubbed of anything too close to a
+    // held-out eval slice (vec_id ≡ 0 mod 50) in COSINE, not n-gram,
+    // space. Production shape: both sides take the 4-bit hyperplane
+    // signature, the candidate pairing is an equi-join on bucket with
+    // the (tiny) eval side broadcast — never corpus×eval brute force —
+    // and the flag set distincts BEFORE the census join. At 100 TB the
+    // corpus side stays a scan + map-side bucket signature; only
+    // bucket-colliding pairs pay the cosine. Output is the per-label
+    // contamination census (integers only — cosines never surface).
+    "ann10_eval_decontam" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .withColumn("bucket", expr(bucketExprSpark("embedding")))
+      val ev = e.filter(col("vec_id") % 50 === 0)
+        .select(col("bucket"), col("embedding").as("qv"))
+      val corp = e.filter(col("vec_id") % 50 =!= 0)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          col("bucket"))
+      val flagged = corp.join(broadcast(ev), Seq("bucket"))
+        .filter(expr("cosine_sim(embedding, qv)") >= 0.3)
+        .select(col("vec_id")).distinct()
+      corp.join(flagged.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_corpus"),
+          count(col("hit")).as("n_contaminated"))
+        .orderBy(col("label"))
     })
   )
 
@@ -769,6 +798,24 @@ object SimilarityQueries extends QueryModule {
         |  (SELECT count(CASE WHEN c >= 0.4 THEN 1 END) FROM cos2)
         |    AS n_dup_p2,
         |  (SELECT count(CASE WHEN c >= 0.4 THEN 1 END) FROM brute)
-        |    AS n_dup_brute""".stripMargin
+        |    AS n_dup_brute""".stripMargin,
+
+    "ann10_eval_decontam" ->
+      s"""WITH sig AS (
+         |  SELECT vec_id, label, embedding,
+         |    ${bucketExprDuck("embedding")} AS bucket
+         |  FROM embeddings),
+         |ev AS (SELECT bucket, embedding FROM sig WHERE vec_id % 50 = 0),
+         |corp AS (
+         |  SELECT vec_id, label, embedding, bucket FROM sig
+         |  WHERE vec_id % 50 <> 0),
+         |flagged AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM corp a JOIN ev b ON a.bucket = b.bucket
+         |  WHERE $duckCos >= 0.3)
+         |SELECT label, count(*) AS n_corpus,
+         |  count(CASE WHEN vec_id IN (SELECT vec_id FROM flagged)
+         |    THEN 1 END) AS n_contaminated
+         |FROM corp GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -161,6 +161,42 @@ object SortSampleQueries extends QueryModule {
         .orderBy(col("lang"))
     }),
 
+    // Temperature-weighted language mixing (the multilingual-training
+    // sampling rule): per-language quotas ∝ n^τ with τ=0.5 —
+    // up-weights tail languages the way multilingual pretraining does —
+    // apportioned exactly by largest remainder so the quotas SUM to k.
+    // Cross-engine exactness: sqrt is IEEE-correctly-rounded on every
+    // engine, and the weight is immediately integer-ized
+    // (floor(sqrt(n)·2^20)) so every accumulation after it — total,
+    // base quota, remainder ranking, leftover — is integer arithmetic,
+    // immune to float addition order (a windowed double prefix-sum
+    // would NOT be: engines disagree on summation trees). The global
+    // windows here ride the per-LANGUAGE frame — bounded by the number
+    // of languages, metadata-scale at any corpus size; the corpus-scale
+    // work is the one map-combined groupBy count.
+    "o11_temperature_mix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 1000L
+      val full = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.documents(s, d)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("w",
+          floor(sqrt(col("n_docs").cast("double")) * lit(1048576L))
+            .cast("long"))
+        .withColumn("s", sum(col("w")).over(full))
+        .withColumn("base", expr(s"($k * w) div s"))
+        .withColumn("rem", (lit(k) * col("w")) % col("s"))
+        .withColumn("rr", row_number().over(
+          Window.orderBy(col("rem").desc, col("lang"))))
+        .withColumn("leftover", lit(k) - sum(col("base")).over(full))
+        .select(col("lang"), col("n_docs"),
+          (col("base") +
+            when(col("rr") <= col("leftover"), 1).otherwise(0))
+            .as("quota"))
+        .orderBy(col("lang"))
+    }),
+
     "o7_hash_split" -> ((s, d) => {
       Tables.documents(s, d)
         // hex alphabet: '0'..'b' is exactly {0-9, a, b} = 12/16; the
@@ -258,6 +294,31 @@ object SortSampleQueries extends QueryModule {
         |SELECT lang, count(*) AS n_docs, min(pos) AS min_pos,
         |  max(pos) AS max_pos, CAST(sum(pos) AS BIGINT) AS sum_pos
         |FROM idx GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "o11_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |wts AS (
+        |  SELECT lang, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1048576) AS BIGINT)
+        |      AS w
+        |  FROM counts),
+        |tot AS (
+        |  SELECT lang, n_docs, w, CAST(sum(w) OVER () AS BIGINT) AS s
+        |  FROM wts),
+        |quota AS (
+        |  SELECT lang, n_docs, (1000 * w) // s AS base,
+        |    (1000 * w) % s AS rem
+        |  FROM tot),
+        |ranked AS (
+        |  SELECT lang, n_docs, base, rem,
+        |    row_number() OVER (ORDER BY rem DESC, lang) AS rr,
+        |    1000 - CAST(sum(base) OVER () AS BIGINT) AS leftover
+        |  FROM quota)
+        |SELECT lang, n_docs,
+        |  CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS quota
+        |FROM ranked ORDER BY lang""".stripMargin,
 
     "o7_hash_split" ->
       s"""SELECT split, count(*) AS n_docs,

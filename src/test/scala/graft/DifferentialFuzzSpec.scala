@@ -291,6 +291,166 @@ class DifferentialFuzzSpec extends SparkSpec {
     }
   }
 
+  // ---- window-function family ------------------------------------------
+  // filter → window over a partition → threshold filter on the window
+  // value → global (count, sum of window value). Covers row_number /
+  // rank / dense_rank (ranking semantics incl. ties) and count/sum OVER
+  // a partition (the grouped-mutate shape). The final aggregate keeps
+  // the compare single-row while still pinning every row's window value
+  // (the sum is a checksum of the full assignment).
+  //
+  // Determinism: row_number gets the table's unique key appended to the
+  // ordering (total order); rank/dense_rank order by the value alone —
+  // tie GROUPS are deterministic even though row order isn't. Sums stay
+  // integral (ranks are ints; sum-over-partition draws from sumCols).
+  private case class WinPlan(base: String, preds: Seq[Pred], part: String,
+      ord: String, desc: Boolean, func: String, sumCol: String, k: Long)
+
+  private val uniqueKey = Map(
+    "nation" -> Seq("n_nationkey"), "customer" -> Seq("c_custkey"),
+    "orders" -> Seq("o_orderkey"), "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"))
+
+  private def genWin(rnd: scala.util.Random): WinPlan = {
+    val base = predCols.keys.toSeq.sorted.apply(rnd.nextInt(predCols.size))
+    val preds = (0 until rnd.nextInt(2)).map { _ =>
+      val c = predCols(base)(rnd.nextInt(predCols(base).size))
+      val sample = rows(base)(rnd.nextInt(rows(base).size))(c)
+      val op = sample match {
+        case _: String => Seq("=", "!=")(rnd.nextInt(2))
+        case _ => Seq("<", "<=", ">", ">=")(rnd.nextInt(4))
+      }
+      Pred(c, op, sample)
+    }
+    val part = groupCols(base)(rnd.nextInt(groupCols(base).size))
+    val ord = minMaxCols(base)(rnd.nextInt(minMaxCols(base).size))
+    val func = Seq("row_number", "rank", "dense_rank", "count_part",
+      "sum_part")(rnd.nextInt(5))
+    val sumCol = sumCols(base)(rnd.nextInt(sumCols(base).size))
+    val k = func match {
+      case "row_number" | "rank" | "dense_rank" => 1L + rnd.nextInt(5)
+      case _ =>
+        // a real partition's value keeps the >= cut selective: sample a
+        // row, measure its partition (generation may peek at the data;
+        // both engines still evaluate independently)
+        val anchor = rows(base)(rnd.nextInt(rows(base).size))(part)
+        val grp = rows(base).filter(r => norm(r(part)) == norm(anchor))
+        if (func == "count_part") grp.size.toLong
+        else grp.map(r => toD(r(sumCol))).sum.toLong
+    }
+    WinPlan(base, preds, part, ord, rnd.nextBoolean(), func, sumCol, k)
+  }
+
+  private def sparkEvalWin(p: WinPlan): (Long, Any) = {
+    import org.apache.spark.sql.expressions.Window
+    def cond(pr: Pred): Column = pr.op match {
+      case "<" => col(pr.col) < lit(pr.lit)
+      case "<=" => col(pr.col) <= lit(pr.lit)
+      case ">" => col(pr.col) > lit(pr.lit)
+      case ">=" => col(pr.col) >= lit(pr.lit)
+      case "=" => col(pr.col) === lit(pr.lit)
+      case _ => col(pr.col) =!= lit(pr.lit)
+    }
+    val df = p.preds.foldLeft(frames(p.base))((f, pr) => f.filter(cond(pr)))
+    def dir(c: Column): Column = if (p.desc) c.desc else c.asc
+    val wv = p.func match {
+      case "row_number" =>
+        val keys = (p.ord +: uniqueKey(p.base).filterNot(_ == p.ord))
+          .map(c => dir(col(c)))
+        row_number().over(Window.partitionBy(col(p.part)).orderBy(keys: _*))
+      case "rank" =>
+        rank().over(Window.partitionBy(col(p.part)).orderBy(dir(col(p.ord))))
+      case "dense_rank" =>
+        dense_rank().over(
+          Window.partitionBy(col(p.part)).orderBy(dir(col(p.ord))))
+      case "count_part" =>
+        count(lit(1)).over(Window.partitionBy(col(p.part)))
+      case _ =>
+        sum(col(p.sumCol)).over(Window.partitionBy(col(p.part)))
+    }
+    val cut = if (p.func == "count_part" || p.func == "sum_part")
+      col("wv") >= lit(p.k) else col("wv") <= lit(p.k)
+    val r = df.withColumn("wv", wv).filter(cut)
+      .agg(count(lit(1)).as("n"), sum(col("wv")).as("s"))
+      .collect().head
+    (r.getLong(0), norm(r.get(1)))
+  }
+
+  private def refEvalWin(p: WinPlan): (Long, Any) = {
+    def keep(r: Map[String, Any], pr: Pred): Boolean = {
+      val v = r(pr.col)
+      if (v == null || pr.lit == null) false
+      else pr.op match {
+        case "<" => cmp(v, pr.lit) < 0
+        case "<=" => cmp(v, pr.lit) <= 0
+        case ">" => cmp(v, pr.lit) > 0
+        case ">=" => cmp(v, pr.lit) >= 0
+        case "=" => cmp(v, pr.lit) == 0
+        case _ => cmp(v, pr.lit) != 0
+      }
+    }
+    val data = rows(p.base).filter(r => p.preds.forall(keep(r, _)))
+    val sign = if (p.desc) -1 else 1
+    def keyCmp(keys: Seq[String])(a: Map[String, Any],
+        b: Map[String, Any]): Boolean = {
+      val c = keys.iterator.map(k => sign * cmp(a(k), b(k)))
+        .find(_ != 0).getOrElse(0)
+      c < 0
+    }
+    val withWv: Seq[(Map[String, Any], Any)] =
+      data.groupBy(r => norm(r(p.part))).toSeq.flatMap { case (_, grp) =>
+        p.func match {
+          case "row_number" =>
+            val keys = p.ord +: uniqueKey(p.base).filterNot(_ == p.ord)
+            grp.sortWith(keyCmp(keys)).zipWithIndex
+              .map { case (r, i) => r -> ((i + 1).toLong: Any) }
+          case "rank" =>
+            val sorted = grp.sortWith(keyCmp(Seq(p.ord)))
+            var last: Any = null
+            var lastRank = 0L
+            sorted.zipWithIndex.map { case (r, i) =>
+              if (last == null || cmp(r(p.ord), last) != 0) {
+                lastRank = i + 1L; last = r(p.ord)
+              }
+              r -> (lastRank: Any)
+            }
+          case "dense_rank" =>
+            val sorted = grp.sortWith(keyCmp(Seq(p.ord)))
+            var last: Any = null
+            var dr = 0L
+            sorted.map { r =>
+              if (last == null || cmp(r(p.ord), last) != 0) {
+                dr += 1; last = r(p.ord)
+              }
+              r -> (dr: Any)
+            }
+          case "count_part" => grp.map(r => r -> (grp.size.toLong: Any))
+          case _ =>
+            val vs = grp.map(r => r(p.sumCol)).filter(_ != null)
+            val s: Any =
+              if (vs.isEmpty) null
+              else vs.head match {
+                case _: Long | _: Int => vs.map(v => toD(v).toLong).sum: Any
+                case _ => vs.map(toD).sum: Any
+              }
+            grp.map(r => r -> s)
+        }
+      }
+    val kept = withWv.filter { case (_, wv) =>
+      wv != null && (if (p.func == "count_part" || p.func == "sum_part")
+        cmp(wv, p.k) >= 0 else cmp(wv, p.k) <= 0)
+    }
+    val wvs = kept.map(_._2)
+    val s: Any =
+      if (wvs.isEmpty) null
+      else wvs.head match {
+        case _: Long => wvs.map(v => toD(v).toLong).sum: Any
+        case _ => wvs.map(toD).sum: Any
+      }
+    (kept.size.toLong, norm(s))
+  }
+
   test("200 generated filter∘join∘agg plans agree with the independent oracle") {
     val rnd = new scala.util.Random(20260813L)
     var withJoin = 0
@@ -317,5 +477,23 @@ class DifferentialFuzzSpec extends SparkSpec {
       havings > 15 && twoLevel > 15,
       s"join=$withJoin left=$leftJoin chains=$chains grouped=$grouped " +
         s"having=$havings second=$twoLevel")
+  }
+
+  test("100 generated window plans agree with the independent oracle") {
+    val rnd = new scala.util.Random(20260814L)
+    var byFunc = Map.empty[String, Int].withDefaultValue(0)
+    var nonTrivial = 0
+    (1 to 100).foreach { i =>
+      val p = genWin(rnd)
+      byFunc += p.func -> (byFunc(p.func) + 1)
+      val got = sparkEvalWin(p)
+      val want = refEvalWin(p)
+      if (got._1 > 0) nonTrivial += 1
+      assert(got == want, s"window plan #$i diverged: $p\n" +
+        s"spark=$got\noracle=$want")
+    }
+    // every function fuzzed, and the threshold cuts mostly keep rows
+    assert(byFunc.size == 5 && byFunc.values.forall(_ >= 10), byFunc)
+    assert(nonTrivial > 70, s"only $nonTrivial plans kept any rows")
   }
 }

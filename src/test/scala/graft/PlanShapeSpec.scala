@@ -61,6 +61,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), plan)
   }
 
+  test("q4 exists compiles to one left-semi join, no distinct pass") {
+    // the correlated EXISTS must become a single left-semi hash join
+    // with the date inequality as a residual — never a decorrelated
+    // distinct + inner join (extra shuffle) or a nested-loop probe
+    val plan = physical("q4_priority_check")
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("HashAggregate(keys=[l_orderkey"), plan)
+  }
+
+  test("q15 scalar-max subquery reuses the revenue aggregate") {
+    // both consumers of the revenue view (the max and the equality
+    // filter) must share ONE scan+aggregate via exchange reuse; without
+    // the canonicalization-matching isNotNull in the query, the max
+    // branch silently re-scans lineitem — fine at sf, double I/O at
+    // 100 TB. Executed (AQE-final) plan: exactly one lineitem FileScan.
+    val df = SparkEntry.queries("q15_top_supplier")(spark, sf())
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val finalPlan = full.split("== Initial Plan ==").head
+    assert(finalPlan.contains("ReusedExchange"), full)
+    val lineitemScans = finalPlan.linesIterator
+      .count(l => l.contains("FileScan") && l.contains("lineitem"))
+    assert(lineitemScans == 1, finalPlan)
+  }
+
   test("f15 binning is map-side on literal edges, no exact-percentile buffer") {
     // edges come from Ops.exactQuantiles (count pass + distributed sort
     // + rank pick) as scalars, so the binning plan itself is one
