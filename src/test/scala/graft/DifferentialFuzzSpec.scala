@@ -109,19 +109,34 @@ class DifferentialFuzzSpec extends SparkSpec {
     val joins = scala.collection.mutable.ArrayBuffer.empty[(Join, String)]
     if (j1opts.nonEmpty && rnd.nextBoolean()) {
       val j1 = j1opts(rnd.nextInt(j1opts.size))
-      joins += ((j1, if (rnd.nextBoolean()) "left" else "inner"))
+      // semi/anti joins filter the left side without exposing right
+      // columns — they join (pun intended) the grammar with lower
+      // weight than the column-producing types
+      val typ1 = rnd.nextInt(5) match {
+        case 0 | 1 => "inner"
+        case 2 => "left"
+        case 3 => "left_semi"
+        case _ => "left_anti"
+      }
+      joins += ((j1, typ1))
       // a second step: another dim off the base, or a chain off the
       // first joined table — never a table already in the plan (a
-      // repeated table would collide column names)
-      val j2opts = (j1opts.filterNot(_ == j1) ++ joinsFor(j1.table))
+      // repeated table would collide column names), and never chained
+      // off a semi/anti step (its columns don't exist downstream)
+      val chainable = typ1 == "inner" || typ1 == "left"
+      val j2opts = (j1opts.filterNot(_ == j1) ++
+          (if (chainable) joinsFor(j1.table) else Seq.empty))
         .filterNot(j => j.table == base || j.table == j1.table)
       if (j2opts.nonEmpty && rnd.nextInt(3) == 0) {
         val j2 = j2opts(rnd.nextInt(j2opts.size))
         joins += ((j2, if (rnd.nextBoolean()) "left" else "inner"))
       }
     }
-    // group/agg columns may come from the base or any joined table
-    val tabs = base +: joins.map(_._1.table).toSeq
+    // group/agg columns may come from the base or any COLUMN-PRODUCING
+    // joined table (semi/anti contribute no columns)
+    val tabs = base +: joins.collect {
+      case (j, t) if t == "inner" || t == "left" => j.table
+    }.toSeq
     val gtab = tabs(rnd.nextInt(tabs.size))
     val groupCol =
       if (rnd.nextBoolean())
@@ -233,13 +248,20 @@ class DifferentialFuzzSpec extends SparkSpec {
       val right = rows(j.table).groupBy(r => r(j.rightKey))
       val nullRight =
         frames(j.table).columns.map(c => c -> (null: Any)).toMap
-      data = data.flatMap { l =>
-        // a null leftKey (from an earlier left join's padding) matches
-        // nothing — null never equals — so it drops (inner) or pads (left)
-        (if (l(j.leftKey) == null) None else right.get(l(j.leftKey))) match {
-          case Some(ms) => ms.map(r => l ++ r)
-          case None if typ == "left" => Seq(l ++ nullRight)
-          case None => Seq.empty
+      data = typ match {
+        // semi/anti: existence filters — no multiplicity, no columns
+        case "left_semi" => data.filter(l =>
+          l(j.leftKey) != null && right.contains(l(j.leftKey)))
+        case "left_anti" => data.filter(l =>
+          l(j.leftKey) == null || !right.contains(l(j.leftKey)))
+        case _ => data.flatMap { l =>
+          // a null leftKey (from an earlier left join's padding) matches
+          // nothing — null never equals — so it drops (inner) or pads (left)
+          (if (l(j.leftKey) == null) None else right.get(l(j.leftKey))) match {
+            case Some(ms) => ms.map(r => l ++ r)
+            case None if typ == "left" => Seq(l ++ nullRight)
+            case None => Seq.empty
+          }
         }
       }
     }
@@ -455,6 +477,7 @@ class DifferentialFuzzSpec extends SparkSpec {
     val rnd = new scala.util.Random(20260813L)
     var withJoin = 0
     var leftJoin = 0
+    var semiAnti = 0
     var chains = 0
     var grouped = 0
     var havings = 0
@@ -463,6 +486,8 @@ class DifferentialFuzzSpec extends SparkSpec {
       val p = gen(rnd)
       if (p.joins.nonEmpty) withJoin += 1
       if (p.joins.exists(_._2 == "left")) leftJoin += 1
+      if (p.joins.exists(t => t._2 == "left_semi" || t._2 == "left_anti"))
+        semiAnti += 1
       if (p.joins.size == 2) chains += 1
       if (p.groupCol.isDefined) grouped += 1
       if (p.having.isDefined) havings += 1
@@ -473,10 +498,128 @@ class DifferentialFuzzSpec extends SparkSpec {
         s"plan #$i diverged: $p\nspark=$got\noracle=$want")
     }
     // the generator actually exercises the composition space
-    assert(withJoin > 40 && leftJoin > 10 && chains > 8 && grouped > 60 &&
-      havings > 15 && twoLevel > 15,
-      s"join=$withJoin left=$leftJoin chains=$chains grouped=$grouped " +
-        s"having=$havings second=$twoLevel")
+    assert(withJoin > 40 && leftJoin > 8 && semiAnti > 15 && chains > 8 &&
+      grouped > 60 && havings > 15 && twoLevel > 15,
+      s"join=$withJoin left=$leftJoin semiAnti=$semiAnti chains=$chains " +
+        s"grouped=$grouped having=$havings second=$twoLevel")
+  }
+
+  // ---- union family -----------------------------------------------------
+  // two predicate slices of the same table, UNION ALL or union-DISTINCT
+  // (full-row dedup), then the usual group/agg. Pins bag vs set union
+  // semantics — the operator pair behind u1/u2/u3 — under generated
+  // predicates.
+  private case class UnionPlan(base: String, predsA: Seq[Pred],
+      predsB: Seq[Pred], distinct: Boolean, groupCol: Option[String],
+      agg: Agg)
+
+  private def genUnion(rnd: scala.util.Random): UnionPlan = {
+    val base = predCols.keys.toSeq.sorted.apply(rnd.nextInt(predCols.size))
+    def preds(): Seq[Pred] = (0 until 1 + rnd.nextInt(2)).map { _ =>
+      val c = predCols(base)(rnd.nextInt(predCols(base).size))
+      val sample = rows(base)(rnd.nextInt(rows(base).size))(c)
+      val op = sample match {
+        case _: String => Seq("=", "!=")(rnd.nextInt(2))
+        case _ => Seq("<", "<=", ">", ">=")(rnd.nextInt(4))
+      }
+      Pred(c, op, sample)
+    }
+    val groupCol =
+      if (rnd.nextBoolean())
+        Some(groupCols(base)(rnd.nextInt(groupCols(base).size)))
+      else None
+    val agg = rnd.nextInt(4) match {
+      case 0 => Agg("count", "*")
+      case 1 => Agg("sum", sumCols(base)(rnd.nextInt(sumCols(base).size)))
+      case 2 => Agg("min", minMaxCols(base)(rnd.nextInt(minMaxCols(base).size)))
+      case _ => Agg("max", minMaxCols(base)(rnd.nextInt(minMaxCols(base).size)))
+    }
+    UnionPlan(base, preds(), preds(), rnd.nextBoolean(), groupCol, agg)
+  }
+
+  private def evalUnionBoth(p: UnionPlan): (Map[Any, Any], Map[Any, Any]) = {
+    def cond(pr: Pred): Column = pr.op match {
+      case "<" => col(pr.col) < lit(pr.lit)
+      case "<=" => col(pr.col) <= lit(pr.lit)
+      case ">" => col(pr.col) > lit(pr.lit)
+      case ">=" => col(pr.col) >= lit(pr.lit)
+      case "=" => col(pr.col) === lit(pr.lit)
+      case _ => col(pr.col) =!= lit(pr.lit)
+    }
+    val a = p.predsA.foldLeft(frames(p.base))((f, pr) => f.filter(cond(pr)))
+    val b = p.predsB.foldLeft(frames(p.base))((f, pr) => f.filter(cond(pr)))
+    val u0 = a.union(b)
+    val u = if (p.distinct) u0.distinct() else u0
+    val aggCol = p.agg.kind match {
+      case "count" => count(lit(1))
+      case "sum" => sum(col(p.agg.col))
+      case "min" => min(col(p.agg.col))
+      case "max" => max(col(p.agg.col))
+    }
+    val got: Map[Any, Any] = (p.groupCol match {
+      case Some(g) => u.groupBy(col(g)).agg(aggCol.as("a"))
+        .collect().map(r => (norm(r.get(0)), norm(r.get(1))))
+      case None => u.agg(aggCol.as("a"))
+        .collect().map(r => ("<global>": Any, norm(r.get(0))))
+    }).toMap
+
+    def keep(r: Map[String, Any], pr: Pred): Boolean = {
+      val v = r(pr.col)
+      if (v == null || pr.lit == null) false
+      else pr.op match {
+        case "<" => cmp(v, pr.lit) < 0
+        case "<=" => cmp(v, pr.lit) <= 0
+        case ">" => cmp(v, pr.lit) > 0
+        case ">=" => cmp(v, pr.lit) >= 0
+        case "=" => cmp(v, pr.lit) == 0
+        case _ => cmp(v, pr.lit) != 0
+      }
+    }
+    val ra = rows(p.base).filter(r => p.predsA.forall(keep(r, _)))
+    val rb = rows(p.base).filter(r => p.predsB.forall(keep(r, _)))
+    val ru0 = ra ++ rb
+    val ru = if (p.distinct) ru0.distinct else ru0
+    def aggOf(group: Seq[Map[String, Any]]): Any = p.agg.kind match {
+      case "count" => group.size.toLong
+      case "sum" =>
+        val vs = group.map(r => r(p.agg.col)).filter(_ != null)
+        if (vs.isEmpty) null
+        else vs.head match {
+          case _: Long | _: Int => vs.map(v => toD(v).toLong).sum: Any
+          case _ => vs.map(toD).sum: Any
+        }
+      case "min" =>
+        val vs = group.map(r => r(p.agg.col)).filter(_ != null)
+        if (vs.isEmpty) null
+        else vs.reduce((x, y) => if (cmp(x, y) <= 0) x else y)
+      case _ =>
+        val vs = group.map(r => r(p.agg.col)).filter(_ != null)
+        if (vs.isEmpty) null
+        else vs.reduce((x, y) => if (cmp(x, y) >= 0) x else y)
+    }
+    val want: Map[Any, Any] = p.groupCol match {
+      case Some(g) =>
+        rowsToGroups(ru, g).map { case (k, grp) => k -> norm(aggOf(grp)) }
+      case None => Map(("<global>": Any) -> norm(aggOf(ru)))
+    }
+    (got, want)
+  }
+
+  private def rowsToGroups(data: Seq[Map[String, Any]], g: String)
+      : Map[Any, Seq[Map[String, Any]]] =
+    data.groupBy(r => norm(r(g))).map { case (k, v) => k -> v.toSeq }
+
+  test("60 generated union plans agree with the independent oracle") {
+    val rnd = new scala.util.Random(20260815L)
+    var distincts = 0
+    (1 to 60).foreach { i =>
+      val p = genUnion(rnd)
+      if (p.distinct) distincts += 1
+      val (got, want) = evalUnionBoth(p)
+      assert(got == want, s"union plan #$i diverged: $p\n" +
+        s"spark=$got\noracle=$want")
+    }
+    assert(distincts > 15 && distincts < 45, s"distincts=$distincts")
   }
 
   test("100 generated window plans agree with the independent oracle") {
