@@ -150,6 +150,35 @@ object CurationQueries extends QueryModule {
           min(col("pos")).as("min_pos"),
           max(col("pos")).as("max_pos"))
         .orderBy(col("shard"))
+    }),
+
+    // Curriculum binning: exact decile edges of the per-document
+    // quality score (x3's rule, defined once in
+    // TextQueries.qualityScored) via the distributed exact-quantile
+    // operator (f15's machinery — count pass + range-partitioned sort +
+    // rank pick, never a single-buffer global percentile), then a
+    // map-side bin assignment (decile = #edges ≤ score, a sum of
+    // comparisons against nine scalar literals) and one small
+    // aggregate. This is the curriculum-learning layout: a training
+    // job consumes easy→hard (or hard-capped) deciles by filter, and
+    // because the edges are exact order statistics the binning is
+    // reproducible on any engine.
+    "c5_quality_deciles" -> ((s, d) => {
+      val scored = TextQueries.qualityScored(s, d)
+      val edges = graft.operators.Ops.exactQuantiles(scored, "score",
+        (1 to 9).map(_ / 10.0))
+      val decile = edges.foldLeft(lit(0)) { (acc, e) =>
+        acc + when(col("score") >= e, 1).otherwise(0)
+      }
+      scored
+        .withColumn("decile", decile)
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+        .orderBy(col("decile"))
     })
   )
 
@@ -266,6 +295,22 @@ object CurationQueries extends QueryModule {
         |  count(DISTINCT lang) AS n_langs,
         |  CAST(sum(wt) AS BIGINT) AS sum_wt,
         |  min(pos) AS min_pos, max(pos) AS max_pos
-        |FROM idx GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM idx GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "c5_quality_deciles" ->
+      s"""WITH q AS (
+        |  ${TextQueries.qualityScoreSql}),
+        |e AS (
+        |  SELECT ${(1 to 9).map(i =>
+              s"quantile_cont(score, 0.$i) AS e$i").mkString(", ")}
+        |  FROM q)
+        |SELECT
+        |  ${(1 to 9).map(i =>
+              s"(CASE WHEN score >= e$i THEN 1 ELSE 0 END)").mkString(" + ")}
+        |    AS decile,
+        |  count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(score) AS min_score, max(score) AS max_score
+        |FROM q CROSS JOIN e GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

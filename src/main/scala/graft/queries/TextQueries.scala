@@ -23,6 +23,45 @@ object TextQueries extends QueryModule {
 
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(",")
 
+  /** Per-document quality score (type-token ratio + stopword ratio +
+    * length prior), defined ONCE and shared by x3's census and c5's
+    * curriculum deciles — a boundary change in one consumer can't drift
+    * the other (the o7/c2 hashSplit lesson). Returns the documents
+    * frame plus `n_tok` and `score`. The SQL twin is
+    * [[qualityScoreSql]]; both must change together.
+    */
+  def qualityScored(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val allStop = stop.values.flatten.toSeq.distinct
+    Tables.documents(s, d)
+      .withColumn("ts", split(lower(col("text")), " "))
+      .withColumn("n_tok", size(col("ts")))
+      .withColumn("ttr", size(array_distinct(col("ts"))) / col("n_tok"))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(ts, x -> x IN (${inList(allStop)})))") /
+          col("n_tok"))
+      .withColumn("len_prior",
+        least(col("n_tok") / lit(100.0), lit(1.0)))
+      .withColumn("score",
+        col("ttr") * 0.3 + col("stop_ratio") * 0.3 + col("len_prior") * 0.4)
+  }
+
+  /** DuckDB CTE body computing (doc_id, lang, n_chars, score) — the SQL
+    * twin of [[qualityScored]], interpolated into the x3 and c5 oracles.
+    */
+  val qualityScoreSql: String =
+    """SELECT doc_id, lang, n_chars,
+      |    ttr * 0.3 + stop_ratio * 0.3 + len_prior * 0.4 AS score
+      |  FROM (SELECT doc_id, lang, n_chars,
+      |      len(list_distinct(ts)) * 1.0 / len(ts) AS ttr,
+      |      len(list_filter(ts, x -> x IN ('the','a','and','of','to','el',
+      |        'la','de','que','y','der','die','das','und','ist','le','et',
+      |        'les'))) * 1.0 / len(ts) AS stop_ratio,
+      |      least(len(ts) / 100.0, 1.0) AS len_prior
+      |    FROM (SELECT doc_id, lang, n_chars,
+      |        string_split(lower(text), ' ') AS ts FROM documents))"""
+      .stripMargin
+
   /** Session-scoped memo of the exploded bigram instance frame — the
     * corpus bigram LM is a train-once-score-many artifact (same policy
     * as the LSH/SimHash candidate indexes in DedupQueries): the explode
@@ -87,17 +126,7 @@ object TextQueries extends QueryModule {
     // Quality scoring: type-token ratio + stopword ratio + length prior,
     // identical double arithmetic on both engines.
     "x3_quality_score" -> ((s, d) => {
-      val allStop = stop.values.flatten.toSeq.distinct
-      Tables.documents(s, d)
-        .withColumn("ts", split(lower(col("text")), " "))
-        .withColumn("n_tok", size(col("ts")))
-        .withColumn("ttr", size(array_distinct(col("ts"))) / col("n_tok"))
-        .withColumn("stop_ratio",
-          expr(s"size(filter(ts, x -> x IN (${inList(allStop)})))") / col("n_tok"))
-        .withColumn("len_prior",
-          least(col("n_tok") / lit(100.0), lit(1.0)))
-        .withColumn("score",
-          col("ttr") * 0.3 + col("stop_ratio") * 0.3 + col("len_prior") * 0.4)
+      qualityScored(s, d)
         .groupBy(col("lang"))
         .agg(count(when(col("score") >= 0.5, 1)).as("n_good"),
           count(lit(1)).as("n"),
@@ -341,20 +370,13 @@ object TextQueries extends QueryModule {
         |FROM scored GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
 
     "x3_quality_score" ->
-      """WITH q AS (
-        |  SELECT lang,
-        |    len(list_distinct(ts)) * 1.0 / len(ts) AS ttr,
-        |    len(list_filter(ts, x -> x IN ('the','a','and','of','to','el','la',
-        |      'de','que','y','der','die','das','und','ist','le','et','les')))
-        |      * 1.0 / len(ts) AS stop_ratio,
-        |    least(len(ts) / 100.0, 1.0) AS len_prior
-        |  FROM (SELECT lang, string_split(lower(text), ' ') AS ts FROM documents))
+      s"""WITH q AS (
+        |  $qualityScoreSql)
         |SELECT lang,
-        |  count(CASE WHEN ttr * 0.3 + stop_ratio * 0.3 + len_prior * 0.4 >= 0.5
-        |    THEN 1 END) AS n_good,
+        |  count(CASE WHEN score >= 0.5 THEN 1 END) AS n_good,
         |  count(*) AS n,
-        |  min(ttr * 0.3 + stop_ratio * 0.3 + len_prior * 0.4) AS min_score,
-        |  max(ttr * 0.3 + stop_ratio * 0.3 + len_prior * 0.4) AS max_score
+        |  min(score) AS min_score,
+        |  max(score) AS max_score
         |FROM q GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "x4_fingerprint" ->

@@ -35,4 +35,25 @@ class CurationSpec extends SparkSpec {
     assert(a.activities.exceptAll(fresh.activities).count() == 0)
     assert(fresh.activities.exceptAll(a.activities).count() == 0)
   }
+
+  test("c5 deciles partition the corpus monotonically in score") {
+    val out = CurationQueries.queries("c5_quality_deciles")(spark, sf())
+      .collect().sortBy(_.getAs[Int]("decile"))
+    // every document lands in exactly one decile
+    val total = Tables.documents(spark, sf()).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == total)
+    // bins are score-ordered and non-overlapping: each decile's max is
+    // at most the next decile's min (ties share an edge, never cross it)
+    out.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Double]("max_score") <= hi.getAs[Double]("min_score"),
+          s"deciles overlap: $lo vs $hi")
+      case _ =>
+    }
+    // exact decile edges keep the bins balanced: no bin drifts further
+    // than the tie-mass from n/10
+    val sizes = out.map(_.getAs[Long]("n_docs"))
+    assert(sizes.forall(s => s >= total / 10 - 5 && s <= total / 10 + 5),
+      sizes.mkString(","))
+  }
 }
