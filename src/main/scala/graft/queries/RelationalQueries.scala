@@ -532,8 +532,14 @@ object RelationalQueries extends QueryModule {
     // partsupp; negative-balance suppliers stand in for the complaints
     // filter.
     "q16_supplier_variety" -> ((s, d) => {
+      // the reference relation is distinct (part, supplier) pairs
+      // (TPC-H's partsupp), but materializing the distinct costs a full
+      // lineitem shuffle and buys nothing: countDistinct(l_suppkey) is
+      // invariant under duplicate pairs, and its own first aggregation
+      // level dedups (brand, type, size, suppkey) map-side before the
+      // only remaining exchange. One shuffle instead of two, same rows.
       val ps = Tables.lineitem(s, d)
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .select(col("l_partkey"), col("l_suppkey"))
       val excl = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
         .select(col("s_suppkey"))
       ps.join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
