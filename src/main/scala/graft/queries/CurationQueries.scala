@@ -24,44 +24,55 @@ object CurationQueries extends QueryModule {
   private val stopWords = Seq("the", "a", "and", "of", "to", "el", "la",
     "de", "que", "y", "der", "die", "das", "und", "ist", "le", "et", "les")
 
-  /** The c1 surviving corpus: exact dedup (lowest doc_id per content
-    * fingerprint), near-dup drop (dd6 policy over the session-shared
-    * J>=0.5 frame), x3 quality score + length floor. Shared by the c1
-    * census and the c2 manifest.
+  /** Raw documents + x3's quality score (type-token ratio + stopword
+    * ratio + length prior; identical arithmetic to the oracle so the
+    * 0.5 threshold is exact cross-engine). Stage input for both the
+    * survivor filter and c6's attribution.
     */
-  private def survivors(s: org.apache.spark.sql.SparkSession,
+  private def scoredDocs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val docs = Tables.documents(s, d)
+    val inList = stopWords.map(w => s"'$w'").mkString(",")
+    Tables.documents(s, d)
       .withColumn("ts", split(lower(col("text")), " "))
       .withColumn("n_tok", size(col("ts")))
-
-    // exact dedup: lowest doc_id survives per full-content fingerprint
-    val keepExact = docs
-      .groupBy(md5(lower(col("text"))).as("fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-
-    // near-dup dedup: dd6's greedy keep-lowest-id policy over the
-    // session-shared J>=0.5 pair frame
-    val dropped = DedupQueries.cachedJaccard(s, d)
-      .filter(col("j") >= 0.5)
-      .select(col("db").as("doc_id")).distinct()
-
-    // x3's quality score: type-token ratio + stopword ratio + length
-    // prior (identical arithmetic, so the 0.5 threshold is exact
-    // cross-engine)
-    val inList = stopWords.map(w => s"'$w'").mkString(",")
-    docs
       .withColumn("ttr", size(array_distinct(col("ts"))) / col("n_tok"))
       .withColumn("stop_ratio",
         expr(s"size(filter(ts, x -> x IN ($inList)))") / col("n_tok"))
       .withColumn("len_prior", least(col("n_tok") / lit(100.0), lit(1.0)))
       .withColumn("score",
         col("ttr") * 0.3 + col("stop_ratio") * 0.3 + col("len_prior") * 0.4)
-      .join(keepExact, Seq("doc_id"), "left_semi")
-      .join(dropped, Seq("doc_id"), "left_anti")
-      .filter(col("score") >= 0.5 && col("n_tok") >= 3)
   }
+
+  /** Exact-dedup keep set: lowest doc_id per full-content fingerprint
+    * (one row per surviving doc_id).
+    */
+  private def keepExact(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(lower(col("text"))).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+
+  /** Near-dup drop set: dd6's greedy keep-lowest-id policy over the
+    * session-shared J>=0.5 pair frame (distinct doc_ids).
+    */
+  private def nearDropped(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    DedupQueries.cachedJaccard(s, d)
+      .filter(col("j") >= 0.5)
+      .select(col("db").as("doc_id")).distinct()
+
+  /** The c1 surviving corpus: exact dedup, near-dup drop, quality
+    * score + length floor. Shared by the c1 census and the c2
+    * manifest; c6 reuses the same three building blocks for per-stage
+    * attribution.
+    */
+  private def survivors(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    scoredDocs(s, d)
+      .join(keepExact(s, d), Seq("doc_id"), "left_semi")
+      .join(nearDropped(s, d), Seq("doc_id"), "left_anti")
+      .filter(col("score") >= 0.5 && col("n_tok") >= 3)
 
   val queries: Map[String, Q] = Map(
     "c1_curation_pipeline" -> ((s, d) => {
@@ -179,6 +190,74 @@ object CurationQueries extends QueryModule {
           min(col("score")).as("min_score"),
           max(col("score")).as("max_score"))
         .orderBy(col("decile"))
+    }),
+
+    // Attrition funnel: attribute EVERY raw document to the curation
+    // stage that dropped it ('exact_dup' → 'near_dup' → 'quality', in
+    // c1's stage order) or to 'kept' — the audit report a governance
+    // pass publishes alongside the c1 census, and the number you need
+    // when a corpus shrinks unexpectedly ("which stage ate my data?").
+    // Same three building blocks as c1, but where c1 composes them as
+    // semi/anti filters this composes them as left joins against the
+    // small keyed sets (both one-row-per-doc_id, so no row growth) and
+    // a map-side case_when; one small aggregate at the end.
+    "c6_attrition_report" -> ((s, d) => {
+      scoredDocs(s, d)
+        .join(keepExact(s, d).withColumn("kx", lit(1)),
+          Seq("doc_id"), "left")
+        .join(nearDropped(s, d).withColumn("nd", lit(1)),
+          Seq("doc_id"), "left")
+        .withColumn("stage",
+          when(col("kx").isNull, "exact_dup")
+            .when(col("nd").isNotNull, "near_dup")
+            .when(col("score") < 0.5 || col("n_tok") < 3, "quality")
+            .otherwise("kept"))
+        .groupBy(col("lang"), col("stage"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"), col("stage"))
+    }),
+
+    // Leakage-safe split: assign train/val/test at near-dup-COMPONENT
+    // granularity — every doc inherits its component representative's
+    // hash bucket (singletons are their own representative), so a
+    // near-duplicate of a training doc can never land in test. The
+    // audit columns prove it cross-engine: n_cross_component (J>=0.5
+    // pairs straddling splits under this rule) is 0 by construction,
+    // while n_cross_naive (same pairs under o7's per-doc rule) is not.
+    // Scale shape: components come from the session-shared dd8 frame
+    // (banded at corpus scale), the assignment is one broadcast-size
+    // left join + map-side hashSplit, and the audit joins the tiny
+    // pair frame against the keyed assignment — no new quadratic work.
+    "c7_leakage_safe_split" -> ((s, d) => {
+      val comp = DedupQueries.cachedComponents(s, d)
+        .withColumnRenamed("id", "doc_id")
+      val assigned = Tables.documents(s, d)
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("component"), col("doc_id")))
+        .withColumn("split",
+          graft.operators.Ops.hashSplit(concat_ws("|", col("rep"))))
+        .withColumn("naive_split",
+          graft.operators.Ops.hashSplit(concat_ws("|", col("doc_id"))))
+      val asg = assigned.select(col("doc_id"), col("split"),
+        col("naive_split"))
+      val audit = DedupQueries.cachedJaccard(s, d)
+        .filter(col("j") >= 0.5).select(col("da"), col("db"))
+        .join(asg.select(col("doc_id").as("da"), col("split").as("sa"),
+          col("naive_split").as("na")), Seq("da"))
+        .join(asg.select(col("doc_id").as("db"), col("split").as("sb"),
+          col("naive_split").as("nb")), Seq("db"))
+        .agg(count(when(col("sa") =!= col("sb"), 1))
+            .as("n_cross_component"),
+          count(when(col("na") =!= col("nb"), 1)).as("n_cross_naive"))
+      assigned
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("rep")).as("n_groups"),
+          count(col("component")).as("n_grouped_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .crossJoin(broadcast(audit))
+        .orderBy(col("split"))
     })
   )
 
@@ -311,6 +390,91 @@ object CurationQueries extends QueryModule {
         |  count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(score) AS min_score, max(score) AS max_score
-        |FROM q CROSS JOIN e GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM q CROSS JOIN e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "c6_attrition_report" -> (DedupQueries.shCte +
+      """, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+        |  FROM sh a JOIN sh b
+        |    ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dropped AS (
+        |  SELECT DISTINCT db AS doc_id
+        |  FROM pairs JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id
+        |  WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.5),
+        |keepx AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(lower(text))),
+        |scored AS (
+        |  SELECT doc_id, lang, n_chars, len(ts) AS n_tok,
+        |    len(list_distinct(ts)) * 1.0 / len(ts) * 0.3 +
+        |    len(list_filter(ts, x -> x IN ('the','a','and','of','to','el',
+        |      'la','de','que','y','der','die','das','und','ist','le','et',
+        |      'les'))) * 1.0 / len(ts) * 0.3 +
+        |    least(len(ts) / 100.0, 1.0) * 0.4 AS score
+        |  FROM (SELECT doc_id, lang, n_chars,
+        |          string_split(lower(text), ' ') AS ts FROM documents))
+        |SELECT lang,
+        |  CASE WHEN doc_id NOT IN (SELECT doc_id FROM keepx)
+        |         THEN 'exact_dup'
+        |       WHEN doc_id IN (SELECT doc_id FROM dropped)
+        |         THEN 'near_dup'
+        |       WHEN score < 0.5 OR n_tok < 3 THEN 'quality'
+        |       ELSE 'kept' END AS stage,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM scored GROUP BY 1, 2 ORDER BY lang, stage""".stripMargin),
+
+    "c7_leakage_safe_split" ->
+      (DedupQueries.shCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", shsizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |jpairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+        |  FROM sh a JOIN sh b
+        |    ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |e0 AS (
+        |  SELECT da, db FROM jpairs
+        |  JOIN shsizes sa ON da = sa.doc_id
+        |  JOIN shsizes sb ON db = sb.doc_id
+        |  WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.5),
+        |edges AS (
+        |  SELECT da AS a, db AS b FROM e0
+        |  UNION SELECT db, da FROM e0),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.b AS id, reach.r FROM reach JOIN edges e
+        |    ON reach.id = e.a),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1),
+        |asg AS (
+        |  SELECT d.doc_id, d.n_chars, c.component,
+        |    COALESCE(c.component, d.doc_id) AS rep
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        |asg2 AS (
+        |  SELECT *,
+        |    ${graft.operators.Ops.hashSplitSql("concat_ws('|', rep)")}
+        |      AS split,
+        |    ${graft.operators.Ops.hashSplitSql("concat_ws('|', doc_id)")}
+        |      AS naive_split
+        |  FROM asg),
+        |audit AS (
+        |  SELECT
+        |    count(CASE WHEN a.split <> b.split THEN 1 END)
+        |      AS n_cross_component,
+        |    count(CASE WHEN a.naive_split <> b.naive_split THEN 1 END)
+        |      AS n_cross_naive
+        |  FROM e0 JOIN asg2 a ON e0.da = a.doc_id
+        |  JOIN asg2 b ON e0.db = b.doc_id)
+        |SELECT split, count(*) AS n_docs, count(DISTINCT rep) AS n_groups,
+        |  count(component) AS n_grouped_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  n_cross_component, n_cross_naive
+        |FROM asg2 CROSS JOIN audit
+        |GROUP BY split, n_cross_component, n_cross_naive
+        |ORDER BY split""".stripMargin)
   )
 }

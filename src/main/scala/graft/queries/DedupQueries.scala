@@ -78,7 +78,7 @@ object DedupQueries extends QueryModule {
   private val compMemo = scala.collection.mutable
     .Map.empty[(SparkSession, String), DataFrame]
 
-  private def cachedComponents(s: SparkSession, d: String): DataFrame =
+  private[queries] def cachedComponents(s: SparkSession, d: String): DataFrame =
     compMemo.synchronized {
       compMemo.getOrElseUpdate((s, d),
         graft.operators.Graph.connectedComponents(

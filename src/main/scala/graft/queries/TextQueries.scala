@@ -342,6 +342,65 @@ object TextQueries extends QueryModule {
           sum(col("fill")).as("total_tokens"),
           max(col("n_docs")).as("max_docs_per_seq"))
         .orderBy(col("lang"))
+    }),
+
+    // Token-window chunking with stride — the doc→chunk step of
+    // long-context prep: 32-token windows at stride 24 (25% overlap),
+    // window starts at 0, 24, 48, … so every token is covered and the
+    // tail window is allowed to run short. Unlike x12 (which packs
+    // whole docs into budgets via a per-language cumsum window), this
+    // is windowing WITHIN a doc: a pure per-row generator explode
+    // (row growth bounded by ~W/S ≈ 1.33×, no window functions, no
+    // shuffle before the final small aggregate), so it parallelizes
+    // per-document at any corpus size. Chunk identity is the md5 of
+    // the joined window — the cross-chunk distinct doubles as a
+    // chunk-level dedup census.
+    "x13_chunking" -> ((s, d) => {
+      val w = 32; val stride = 24
+      Tables.documents(s, d)
+        .withColumn("ts", split(lower(col("text")), " "))
+        .withColumn("st",
+          explode(expr(s"sequence(0, size(ts) - 1, $stride)")))
+        .withColumn("chunk", expr(s"slice(ts, st + 1, $w)"))
+        .withColumn("n_ck", size(col("chunk")))
+        .withColumn("ck_fp", md5(concat_ws(" ", col("chunk"))))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("n_ck")).cast("long").as("sum_chunk_tokens"),
+          count(when(col("n_ck") === w, 1)).as("n_full"),
+          countDistinct(col("ck_fp")).as("n_unique_chunks"))
+        .orderBy(col("lang"))
+    }),
+
+    // Leave-one-out fluency filter — the perplexity-style quality cut
+    // without a pretrained LM: a doc's support is how often its bigrams
+    // occur ELSEWHERE in the corpus (global count minus the doc's own
+    // occurrences), so a doc full of self-repeated phrases cannot
+    // self-certify. Keep = mean external support >= 29 per bigram,
+    // compared as integers (support >= 29 * n_bg) so the threshold is
+    // exact cross-engine. Scale shape: rides the memoized bigram frame;
+    // the per-(doc,bigram) aggregate map-side-combines, the global
+    // count derives from THAT (never a second corpus scan) and
+    // broadcasts — same train-once-score-many policy as x6.
+    "x14_loo_fluency" -> ((s, d) => {
+      val perDoc = cachedBigrams(s, d)
+        .groupBy(col("doc_id"), col("lang"), col("bg"))
+        .agg(count(lit(1)).as("c_doc"))
+      val gcnt = perDoc.groupBy(col("bg"))
+        .agg(sum(col("c_doc")).as("cnt"))
+      perDoc.join(broadcast(gcnt), Seq("bg"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("c_doc") * (col("cnt") - col("c_doc")))
+            .cast("long").as("support"),
+          sum(col("c_doc")).cast("long").as("n_bg"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("support") >= lit(29) * col("n_bg"), 1))
+            .as("n_kept"),
+          sum(col("support")).cast("long").as("sum_support"),
+          sum(col("n_bg")).cast("long").as("sum_bigrams"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -519,6 +578,43 @@ object TextQueries extends QueryModule {
         |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
         |  CAST(sum(fill) AS BIGINT) AS total_tokens,
         |  max(n_docs) AS max_docs_per_seq
-        |FROM per GROUP BY 1 ORDER BY lang""".stripMargin
+        |FROM per GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "x13_chunking" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS ts
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, lang, ts[st + 1 : st + 32] AS chunk
+        |  FROM docs
+        |  CROSS JOIN unnest(generate_series(0, len(ts) - 1, 24)) AS u(st))
+        |SELECT lang, count(*) AS n_chunks,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  CAST(sum(len(chunk)) AS BIGINT) AS sum_chunk_tokens,
+        |  count(CASE WHEN len(chunk) = 32 THEN 1 END) AS n_full,
+        |  count(DISTINCT md5(array_to_string(chunk, ' ')))
+        |    AS n_unique_chunks
+        |FROM chunks GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "x14_loo_fluency" ->
+      """WITH bi AS (
+        |  SELECT doc_id, lang, ts[g] || ' ' || ts[g+1] AS bg
+        |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS ts
+        |        FROM documents WHERE len(string_split(lower(text), ' ')) >= 2)
+        |  CROSS JOIN unnest(range(1, len(ts))) AS u(g)),
+        |per_doc AS (
+        |  SELECT doc_id, lang, bg, count(*) AS c_doc FROM bi GROUP BY 1, 2, 3),
+        |gcnt AS (SELECT bg, CAST(sum(c_doc) AS BIGINT) AS cnt
+        |         FROM per_doc GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(sum(c_doc * (cnt - c_doc)) AS BIGINT) AS support,
+        |    CAST(sum(c_doc) AS BIGINT) AS n_bg
+        |  FROM per_doc JOIN gcnt USING (bg) GROUP BY 1, 2)
+        |SELECT lang, count(*) AS n_docs,
+        |  count(CASE WHEN support >= 29 * n_bg THEN 1 END) AS n_kept,
+        |  CAST(sum(support) AS BIGINT) AS sum_support,
+        |  CAST(sum(n_bg) AS BIGINT) AS sum_bigrams
+        |FROM scored GROUP BY 1 ORDER BY lang""".stripMargin
   )
 }

@@ -36,6 +36,48 @@ class CurationSpec extends SparkSpec {
     assert(fresh.activities.exceptAll(a.activities).count() == 0)
   }
 
+  test("c6 attributes every raw document to exactly one stage, agreeing with c1") {
+    val raw = Tables.documents(spark, sf())
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
+    val c6 = CurationQueries.queries("c6_attrition_report")(spark, sf())
+    // partition property: per-language stage counts sum back to the corpus
+    val attributed = c6.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_att"))
+    val mismatch = attributed.join(raw, Seq("lang"))
+      .filter(col("n_att") =!= col("n_raw")).count()
+    assert(mismatch == 0, "stage counts must partition the raw corpus")
+    // the 'kept' row per language IS c1's census count
+    val kept = c6.filter(col("stage") === "kept")
+      .select(col("lang"), col("n_docs"))
+    val c1 = CurationQueries.queries("c1_curation_pipeline")(spark, sf())
+      .select(col("lang"), col("n_docs"))
+    assert(kept.exceptAll(c1).count() == 0 && c1.exceptAll(kept).count() == 0,
+      "c6 'kept' must equal the c1 census")
+    // composition stays keyed: left joins against one-row-per-doc_id sets
+    val plan = c6.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("c7 component split leaks zero near-dup pairs across splits") {
+    val out = CurationQueries.queries("c7_leakage_safe_split")(spark, sf())
+      .collect()
+    // the guarantee: no J>=0.5 pair straddles splits under the
+    // component rule, while the naive per-doc rule does leak (the
+    // fixtures plant near-dup pairs, so a zero here would mean the
+    // audit join itself is broken)
+    assert(out.forall(_.getAs[Long]("n_cross_component") == 0L))
+    assert(out.head.getAs[Long]("n_cross_naive") > 0L,
+      "planted near-dups must leak under the naive per-doc rule")
+    // split assignment partitions the corpus
+    val total = Tables.documents(spark, sf()).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == total)
+    // group accounting: every doc belongs to exactly one group, and
+    // groups never have more members than docs
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_groups") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_grouped_docs") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("c5 deciles partition the corpus monotonically in score") {
     val out = CurationQueries.queries("c5_quality_deciles")(spark, sf())
       .collect().sortBy(_.getAs[Int]("decile"))
