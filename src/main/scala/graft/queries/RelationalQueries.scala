@@ -220,6 +220,64 @@ object RelationalQueries extends QueryModule {
     // Approx count-distinct — the 100 TB swap for A4's exact distinct
     // (SURVEY §7.4 risk 6). HLL++ values are engine-specific ⇒ no SQL
     // oracle (rows-only); A4ApproxSpec bounds the error vs exact.
+    // Data-profiling moments the numerically-safe way for a 100 TB
+    // scan: ONE pass of exact integer power sums (n, Σx, Σx², Σy, Σy²,
+    // Σxy — each a codegen'd map-side-combining sum, order-independent
+    // because integer addition is associative), then mean/variance/
+    // correlation derived in a single final float expression per group.
+    // Never the two-pass subtract-the-mean form (a second scan) and
+    // never a float running sum (order-dependent at shuffle scale);
+    // both engines evaluate the identical IEEE expression tree over
+    // identical integers, so even corr hashes equal cross-engine.
+    "a19_exact_moments" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("lang"), col("n_chars").as("x"),
+          size(split(lower(col("text")), " ")).cast("long").as("y"))
+      base.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sx2"),
+          sum(col("y")).as("sy"),
+          sum(col("y") * col("y")).as("sy2"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("lang"), col("n"), col("sx"), col("sy"),
+          (col("sx").cast("double") / col("n")).as("mean_x"),
+          ((col("n") * col("sx2") - col("sx") * col("sx")).cast("double") /
+            (col("n") * col("n"))).as("var_x"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sx2") - col("sx") * col("sx"))
+              .cast("double")) *
+             sqrt((col("n") * col("sy2") - col("sy") * col("sy"))
+              .cast("double")))).as("corr_xy"))
+        .orderBy(col("lang"))
+    }),
+
+    // Skew diagnostics — the census that decides between a plain
+    // shuffle join and the j11 salted form BEFORE the job runs: per-key
+    // counts (one map-side-combining aggregate), then global shape
+    // stats over the (much smaller) key-count frame with the 1-row
+    // stats broadcast back for the hot-key cut (count > 2× mean). At
+    // 100 TB the key-count frame is |keys| rows, not |rows|, and the
+    // only full-data pass is the first aggregate; skew_ratio =
+    // max·keys/rows is the number you compare against the AQE
+    // skewedPartitionFactor to pick the salting fan-out.
+    "a20_skew_profile" -> ((s, d) => {
+      val kc = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+      val tot = kc.agg(count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_per_key"),
+        expr("percentile(c, 0.5)").as("med_per_key"))
+      kc.crossJoin(broadcast(tot))
+        .groupBy(col("n_keys"), col("n_rows"), col("max_per_key"),
+          col("med_per_key"))
+        .agg(count(when(col("c") * col("n_keys") >
+          lit(2) * col("n_rows"), 1)).as("n_hot_keys"))
+        .withColumn("skew_ratio",
+          (col("max_per_key") * col("n_keys")).cast("double") /
+            col("n_rows"))
+    }),
+
     "a13_approx_distinct" -> ((s, d) => {
       // HLL++ estimate validated against the exact count in-query: the
       // oracle pins the exact count and expects the 2%-rsd sketch to land
@@ -846,6 +904,41 @@ object RelationalQueries extends QueryModule {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |  (l_returnflag), ())
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "a20_skew_profile" ->
+      """WITH kc AS (
+        |  SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |tot AS (
+        |  SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+        |    max(c) AS max_per_key,
+        |    CAST(quantile_cont(c, 0.5) AS DOUBLE) AS med_per_key
+        |  FROM kc)
+        |SELECT n_keys, n_rows, max_per_key, med_per_key,
+        |  count(CASE WHEN c * n_keys > 2 * n_rows THEN 1 END) AS n_hot_keys,
+        |  CAST(max_per_key * n_keys AS DOUBLE) / n_rows AS skew_ratio
+        |FROM kc CROSS JOIN tot
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "a19_exact_moments" ->
+      """WITH base AS (
+        |  SELECT lang, n_chars AS x,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS y
+        |  FROM documents),
+        |sums AS (
+        |  SELECT lang, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sx2,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(y * y) AS BIGINT) AS sy2,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM base GROUP BY 1)
+        |SELECT lang, n, sx, sy,
+        |  CAST(sx AS DOUBLE) / n AS mean_x,
+        |  CAST(n * sx2 - sx * sx AS DOUBLE) / (n * n) AS var_x,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))) AS corr_xy
+        |FROM sums ORDER BY lang""".stripMargin,
 
     // The oracle pins the exact count and the tolerance contract; the
     // Spark side computes the HLL estimate and reports whether it held.

@@ -108,6 +108,30 @@ object SetReshapeQueries extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // SCD2 interval build — the slowly-changing-dimension history the
+    // u7 latest-wins upsert discards: each event opens a validity
+    // interval [ts, next event's ts) per user via lead(), the last one
+    // stays open (NULL end). Per-type census of interval counts and
+    // total closed duration. Scale shape: the window partitions by
+    // user_id (bounded per-user state, hash-parallel — never a global
+    // order), durations are integer microseconds (ts_ns div 1000 on
+    // both engines — DuckDB's parquet reader floor-truncates nanos to
+    // micros, so micro math is the cross-engine-exact granularity).
+    "u8_scd2_intervals" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_intervals"),
+          count(when(col("valid_to").isNull, 1)).as("n_open"),
+          sum(when(col("valid_to").isNotNull,
+            unix_micros(col("valid_to")) - unix_micros(col("ts"))))
+            .cast("long").as("sum_dur_us"))
+        .orderBy(col("event_type"))
+    }),
+
     // R4: nest-to-JSON struct pack — the staging `data` blob construction
     // (ref: src/09_integrate_pubchem.py:34, to_json(struct(...))).
     "r4_nest_json" -> ((s, d) => {
@@ -186,6 +210,19 @@ object SetReshapeQueries extends QueryModule {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         |  CAST(sum(src) AS BIGINT) AS n_updated
         |FROM m WHERE rn = 1
-        |GROUP BY 1 ORDER BY event_type""".stripMargin
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "u8_scd2_intervals" ->
+      """WITH iv AS (
+        |  SELECT event_type, ts,
+        |    lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS valid_to
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_intervals,
+        |  count(CASE WHEN valid_to IS NULL THEN 1 END) AS n_open,
+        |  CAST(sum(CASE WHEN valid_to IS NOT NULL
+        |    THEN epoch_us(valid_to) - epoch_us(ts) END) AS BIGINT)
+        |    AS sum_dur_us
+        |FROM iv GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 }

@@ -401,6 +401,42 @@ object TextQueries extends QueryModule {
           sum(col("support")).cast("long").as("sum_support"),
           sum(col("n_bg")).cast("long").as("sum_bigrams"))
         .orderBy(col("lang"))
+    }),
+
+    // One BPE merge round — the unit step of tokenizer vocabulary
+    // induction, distributed: pick the globally most frequent adjacent
+    // token pair (deterministic tiebreak on the pair string) and
+    // report, per language, how many merges it applies and the token
+    // count before/after. The pair is constrained to w1 != w2, which
+    // makes occurrences provably non-overlapping (an overlap at
+    // adjacent positions would force w1 == w2), so greedy left-to-right
+    // merge count == plain occurrence count and the whole round is two
+    // aggregates over the memoized bigram frame + a broadcast of the
+    // single winning pair — per-iteration cost at 100 TB is one scan of
+    // the (persisted) instance frame, the shape real BPE trainers use.
+    "x15_bpe_merge" -> ((s, d) => {
+      val bi = cachedBigrams(s, d)
+      val top = bi
+        .filter(expr("split(bg, ' ')[0] != split(bg, ' ')[1]"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bg")).limit(1)
+        .select(col("bg").as("top_pair"))
+      val merges = bi.join(broadcast(top), bi("bg") === col("top_pair"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("merged"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(lower(col("text")), " ")).cast("long").as("n_tok"))
+        .join(merges, Seq("doc_id"), "left")
+        .withColumn("nm", coalesce(col("merged"), lit(0L)))
+        .crossJoin(broadcast(top))
+        .groupBy(col("lang"), col("top_pair"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("nm") > 0, 1)).as("n_docs_affected"),
+          sum(col("nm")).cast("long").as("n_merges"),
+          sum(col("n_tok")).cast("long").as("tokens_before"),
+          (sum(col("n_tok")) - sum(col("nm"))).cast("long")
+            .as("tokens_after"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -615,6 +651,35 @@ object TextQueries extends QueryModule {
         |  count(CASE WHEN support >= 29 * n_bg THEN 1 END) AS n_kept,
         |  CAST(sum(support) AS BIGINT) AS sum_support,
         |  CAST(sum(n_bg) AS BIGINT) AS sum_bigrams
-        |FROM scored GROUP BY 1 ORDER BY lang""".stripMargin
+        |FROM scored GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "x15_bpe_merge" ->
+      """WITH bi AS (
+        |  SELECT doc_id, lang, ts[g] AS w1, ts[g+1] AS w2
+        |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS ts
+        |        FROM documents WHERE len(string_split(lower(text), ' ')) >= 2)
+        |  CROSS JOIN unnest(range(1, len(ts))) AS u(g)),
+        |top AS (
+        |  SELECT w1 || ' ' || w2 AS top_pair
+        |  FROM bi WHERE w1 <> w2
+        |  GROUP BY 1 ORDER BY count(*) DESC, 1 LIMIT 1),
+        |merges AS (
+        |  SELECT doc_id, count(*) AS merged
+        |  FROM bi JOIN top ON bi.w1 || ' ' || bi.w2 = top.top_pair
+        |  GROUP BY 1),
+        |toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT lang, top_pair,
+        |  count(*) AS n_docs,
+        |  count(CASE WHEN COALESCE(merged, 0) > 0 THEN 1 END)
+        |    AS n_docs_affected,
+        |  CAST(sum(COALESCE(merged, 0)) AS BIGINT) AS n_merges,
+        |  CAST(sum(n_tok) AS BIGINT) AS tokens_before,
+        |  CAST(sum(n_tok) - sum(COALESCE(merged, 0)) AS BIGINT)
+        |    AS tokens_after
+        |FROM toks LEFT JOIN merges USING (doc_id) CROSS JOIN top
+        |GROUP BY 1, 2 ORDER BY lang""".stripMargin
   )
 }

@@ -85,6 +85,46 @@ class ChunkingSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"no shuffle join expected:\n$plan")
   }
 
+  test("x15 merge round matches an independent argmax + greedy-merge evaluator") {
+    val docs = Tables.documents(spark, sf())
+      .select(col("lang"), lower(col("text")).as("t"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ")))
+
+    // independent argmax over adjacent pairs with w1 != w2, tiebreak on
+    // the pair string
+    val pairCounts = docs.flatMap { case (_, ts) =>
+      ts.sliding(2).filter(p => p.length == 2 && p(0) != p(1))
+        .map(_.mkString(" "))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.length }
+    val topPair = pairCounts.toSeq.sortBy { case (p, c) => (-c, p) }.head._1
+
+    // greedy left-to-right merge count per doc — must equal the plain
+    // occurrence count because w1 != w2 forbids overlaps
+    val Array(w1, w2) = topPair.split(" ")
+    val expected = docs.groupBy(_._1).map { case (lang, ds) =>
+      val merges = ds.map { case (_, ts) =>
+        var i = 0; var m = 0L
+        while (i < ts.length - 1) {
+          if (ts(i) == w1 && ts(i + 1) == w2) { m += 1; i += 2 } else i += 1
+        }
+        m
+      }.sum
+      lang -> ((ds.length.toLong, merges, ds.map(_._2.length.toLong).sum))
+    }
+
+    val out = TextQueries.queries("x15_bpe_merge")(spark, sf())
+    out.collect().foreach { r =>
+      assert(r.getAs[String]("top_pair") == topPair, r.toString)
+      val (n, merges, toks) = expected(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_docs") == n, r.toString)
+      assert(r.getAs[Long]("n_merges") == merges, r.toString)
+      assert(r.getAs[Long]("tokens_before") == toks, r.toString)
+      assert(r.getAs[Long]("tokens_after") == toks - merges, r.toString)
+    }
+    assert(out.count() == expected.size)
+  }
+
   test("x13 plan is generator + one aggregate — no window, no cartesian") {
     val plan = TextQueries.queries("x13_chunking")(spark, sf())
       .queryExecution.executedPlan.toString

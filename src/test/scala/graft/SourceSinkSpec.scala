@@ -155,6 +155,20 @@ class SourceSinkSpec extends SparkSpec {
     assert(merged.filter(col("numvalue").isNotNull).count() == 1)
   }
 
+  test("ORC sink/scan round-trips rows and pushes filters like parquet") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val src = Tables.nation(spark, sf())
+    src.write.mode("overwrite").orc(s"$dir/nation.orc")
+    val back = spark.read.orc(s"$dir/nation.orc")
+    assert(back.schema == src.schema)
+    assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
+    // predicate pushdown reaches the ORC scan too
+    val plan = back.filter(col("n_regionkey") === 1)
+      .select(col("n_name")).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_regionkey"),
+      s"ORC pushdown expected:\n$plan")
+  }
+
   test("permissive JSON ingestion quarantines corrupt records") {
     // Real feeds carry broken lines; ingestion must keep good rows,
     // capture bad ones for triage, and never fail the job (PERMISSIVE —
