@@ -224,6 +224,29 @@ object JoinQueries extends QueryModule {
         .withColumn("dist", levenshtein(col("probe"), col("p_name")))
         .filter(col("dist") <= 2)
         .orderBy(col("probe"), col("dist"), col("p_name"))
+    }),
+
+    // Referential-integrity audit — the FK health census a warehouse
+    // runs before trusting a join: orphans (children whose parent key
+    // is missing) via anti joins in the child→parent direction, and
+    // childless parents via anti joins the other way. Each count is an
+    // independent anti join — the parent key side is a narrow distinct
+    // projection Catalyst can broadcast when small or shuffle on the
+    // key when not; nothing materializes beyond four 1-row frames.
+    "j15_fk_audit" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.customer(s, d).select(col("c_custkey"))
+      val a = li.join(ord, col("l_orderkey") === col("o_orderkey"),
+        "left_anti").agg(count(lit(1)).as("orphan_lineitems"))
+      val b = ord.join(cust, col("o_custkey") === col("c_custkey"),
+        "left_anti").agg(count(lit(1)).as("orphan_orders"))
+      val c = cust.join(ord, col("c_custkey") === col("o_custkey"),
+        "left_anti").agg(count(lit(1)).as("childless_customers"))
+      val e = ord.join(li, col("o_orderkey") === col("l_orderkey"),
+        "left_anti").agg(count(lit(1)).as("childless_orders"))
+      a.crossJoin(b).crossJoin(c).crossJoin(e)
     })
   )
 
@@ -353,6 +376,21 @@ object JoinQueries extends QueryModule {
         |SELECT probe, p_name, levenshtein(probe, p_name) AS dist
         |FROM cand
         |WHERE levenshtein(probe, p_name) <= 2
-        |ORDER BY probe, dist, p_name""".stripMargin
+        |ORDER BY probe, dist, p_name""".stripMargin,
+
+    "j15_fk_audit" ->
+      """SELECT
+        | (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        |    ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+        |   AS orphan_lineitems,
+        | (SELECT count(*) FROM orders o LEFT JOIN customer c
+        |    ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+        |   AS orphan_orders,
+        | (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+        |   AS childless_customers,
+        | (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+        |   AS childless_orders""".stripMargin
   )
 }

@@ -89,6 +89,24 @@ object TextQueries extends QueryModule {
   graft.MemoRegistry.register(spark =>
     graft.MemoRegistry.evictMap(spark, bigramMemo)(_._1)(Seq(_)))
 
+  /** The x13 chunk transform: 32-token windows at stride 24 within each
+    * doc (window starts 0, 24, 48, …; tail runs short). Single
+    * definition point shared by the x13 census and the streaming parity
+    * spec — a pure per-row generator (explode of a sequence), so it is
+    * stateless and applies unchanged to a readStream frame.
+    */
+  private[graft] def chunked(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = 32; val stride = 24
+    docs
+      .withColumn("ts", split(lower(col("text")), " "))
+      .withColumn("st",
+        explode(expr(s"sequence(0, size(ts) - 1, $stride)")))
+      .withColumn("chunk", expr(s"slice(ts, st + 1, $w)"))
+      .withColumn("n_ck", size(col("chunk")))
+      .withColumn("ck_fp", md5(concat_ws(" ", col("chunk"))))
+  }
+
   val queries: Map[String, Q] = Map(
     // Token counting: whitespace tokenizer + per-language profile.
     "x1_token_stats" -> ((s, d) => {
@@ -356,19 +374,12 @@ object TextQueries extends QueryModule {
     // the joined window — the cross-chunk distinct doubles as a
     // chunk-level dedup census.
     "x13_chunking" -> ((s, d) => {
-      val w = 32; val stride = 24
-      Tables.documents(s, d)
-        .withColumn("ts", split(lower(col("text")), " "))
-        .withColumn("st",
-          explode(expr(s"sequence(0, size(ts) - 1, $stride)")))
-        .withColumn("chunk", expr(s"slice(ts, st + 1, $w)"))
-        .withColumn("n_ck", size(col("chunk")))
-        .withColumn("ck_fp", md5(concat_ws(" ", col("chunk"))))
+      chunked(Tables.documents(s, d))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_chunks"),
           countDistinct(col("doc_id")).as("n_docs"),
           sum(col("n_ck")).cast("long").as("sum_chunk_tokens"),
-          count(when(col("n_ck") === w, 1)).as("n_full"),
+          count(when(col("n_ck") === 32, 1)).as("n_full"),
           countDistinct(col("ck_fp")).as("n_unique_chunks"))
         .orderBy(col("lang"))
     }),

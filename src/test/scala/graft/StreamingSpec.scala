@@ -220,6 +220,38 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stateless chunking transform applies unchanged to a stream (batch parity)") {
+    // x13's chunk explode is a pure per-row generator, so the SAME
+    // column expressions run in a streaming query with no watermark,
+    // no state, and append mode — the property that makes doc→chunk
+    // prep safe to run on an ingest stream at any rate.
+    val batch = graft.queries.TextQueries.chunked(
+      Tables.documents(spark, sf()))
+      .select(col("doc_id"), col("st"), col("ck_fp"))
+    val expected = batch.collect().map(_.toString).sorted
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val streamed = graft.queries.TextQueries.chunked(
+      mem.toDF().toDF("doc_id", "text", "lang"))
+      .select(col("doc_id"), col("st"), col("ck_fp"))
+    val query = streamed.writeStream.format("memory")
+      .queryName("chunk_parity").outputMode(OutputMode.Append()).start()
+    try {
+      val rows = Tables.documents(spark, sf())
+        .select(col("doc_id"), col("text"), col("lang")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      // feed in two triggers to prove per-batch statelessness
+      val (first, second) = rows.splitAt(rows.length / 2)
+      mem.addData(first.toIndexedSeq: _*)
+      query.processAllAvailable()
+      mem.addData(second.toIndexedSeq: _*)
+      query.processAllAvailable()
+      val got = spark.table("chunk_parity").collect().map(_.toString).sorted
+      assert(got.toSeq == expected.toSeq)
+    } finally query.stop()
+  }
+
   test("foreachBatch sink writes exactly-once-per-batch parquet epochs") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-feb").toString
