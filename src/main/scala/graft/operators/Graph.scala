@@ -160,4 +160,23 @@ object Graph {
         Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
+
+  /** Incremental components: merge a PRIOR assignment (id, component)
+    * with a batch of NEW edges without rescanning the historical pair
+    * list. The old assignment is itself a star-shaped edge set (every
+    * node → its component min, diameter ≤ 2), so the union's size is
+    * |V_old| + |E_new| — at dedup scale that replaces the full edge
+    * history (quadratic-ish in corpus growth) with a frame linear in
+    * the corpus. Correctness: old labels ARE node ids (each component's
+    * minimum), so min-label propagation over the union converges to the
+    * same minimum per merged component as a one-shot build over the
+    * full history — `GraphSpec` pins incremental ≡ one-shot exactly.
+    */
+  def incrementalComponents(assign: DataFrame, newEdges: DataFrame,
+      aCol: String, bCol: String): DataFrame =
+    connectedComponents(
+      assign.select(col("id").as("a"), col("component").as("b"))
+        .union(newEdges.select(col(aCol).cast("long").as("a"),
+          col(bCol).cast("long").as("b"))),
+      "a", "b")
 }

@@ -315,6 +315,35 @@ object RelationalQueries extends QueryModule {
     // every exact heavy hitter — the MG containment guarantee. The
     // sketch aggregate ships ≤ 40 counters per map task; the exact side
     // exists to validate it and stays oracle-replayable.
+    // Count-Min point queries — the fourth mergeable sketch (HLL a13,
+    // GK a16, MG a17): d×w counter grid, entrywise-sum merge, so the
+    // exchange carries d·w longs per map task at ANY input cardinality.
+    // In-query validation, a13-style: the oracle pins the exact top-20
+    // counts and the two contract flags — CMS never underestimates
+    // (structural), and on this corpus the overestimate stays within
+    // n_total/64 (w=256 ⇒ expected collision mass ≈ n/256 per row,
+    // min over d=4 rows far below the flagged bound).
+    "a21_count_min" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("n_total"))
+      val sketch = toks.agg(
+        graft.functions.CountMin.cmsSketch(4, 256)(col("token")).as("cms"))
+      counts
+        .orderBy(col("cnt").desc, col("token")).limit(20)
+        .crossJoin(broadcast(sketch))
+        .crossJoin(broadcast(total))
+        .withColumn("est",
+          graft.functions.CountMin.probe(4, 256)(col("token"), col("cms")))
+        .select(col("token"), col("cnt"),
+          (col("est") >= col("cnt")).as("never_under"),
+          (col("est") - col("cnt") <= col("n_total") / 64)
+            .as("within_bound"))
+        .orderBy(col("cnt").desc, col("token"))
+    }),
+
     "a17_heavy_hitters" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(explode(split(lower(col("text")), " ")).as("token"))
@@ -953,6 +982,15 @@ object RelationalQueries extends QueryModule {
         |  quantile_cont(l_extendedprice, 0.5) AS med_exact,
         |  TRUE AS approx_within_1pct
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "a21_count_min" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS cnt,
+        |  TRUE AS never_under, TRUE AS within_bound
+        |FROM t WHERE token <> ''
+        |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
 
     "a17_heavy_hitters" ->
       """WITH t AS (

@@ -79,4 +79,29 @@ class GraphSpec extends SparkSpec {
     val edges = (treeA ++ treeB ++ cycles).filter { case (a, b) => a != b }
     assert(componentsStar(edges) == components(edges))
   }
+
+  test("incremental components over new edges equal a one-shot over full history") {
+    // day 1: two components {1,2,3} and {10,11}, plus singleton 20
+    val day1 = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L))
+    val assign1 = Graph.connectedComponents(day1.toDF("a", "b"), "a", "b")
+    // day 2: a bridge merging the two components, a brand-new pair, and
+    // an edge attaching a new node to the singleton
+    val day2 = Seq((3L, 10L), (30L, 31L), (20L, 21L))
+    val got = Graph.incrementalComponents(
+        assign1, day2.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val oneShot = components(day1 ++ day2)
+    assert(got == oneShot, s"incremental $got vs one-shot $oneShot")
+    // and the merged component is labeled by the global minimum
+    assert(got(11L) == 1L && got(21L) == 20L && got(31L) == 30L)
+  }
+
+  test("incremental build over an empty increment is the identity") {
+    val day1 = Seq((1L, 2L), (5L, 6L))
+    val assign1 = Graph.connectedComponents(day1.toDF("a", "b"), "a", "b")
+    val got = Graph.incrementalComponents(assign1,
+        Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == components(day1))
+  }
 }
