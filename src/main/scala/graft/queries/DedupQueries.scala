@@ -207,6 +207,28 @@ object DedupQueries extends QueryModule {
         .orderBy(col("size"))
     }),
 
+    // Incremental component build IN the correctness gate: split the
+    // pair frame into two deterministic halves ("day 1" / "day 2"),
+    // build components on day 1, fold day 2 in via
+    // Graph.incrementalComponents (the prior assignment re-enters as
+    // star edges — |V|+|E_new| work, never a rescan of the pair
+    // history), and emit the dd8 size census. The oracle replays the
+    // ONE-SHOT recursive-CTE build over the FULL pair set — equality
+    // is the merge identity a daily-growing dedup graph depends on.
+    "dd11_incremental_components" -> ((s, d) => {
+      val pairs = cachedJaccard(s, d).filter(col("j") >= 0.5)
+        .select(col("da"), col("db"))
+      val day1 = pairs.filter((col("da") + col("db")) % 2 === 0)
+      val day2 = pairs.filter((col("da") + col("db")) % 2 === 1)
+      val assign1 = graft.operators.Graph
+        .connectedComponents(day1, "da", "db")
+      graft.operators.Graph
+        .incrementalComponents(assign1, day2, "da", "db")
+        .groupBy(col("component")).agg(count(lit(1)).as("size"))
+        .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
+        .orderBy(col("size"))
+    }),
+
     // Component-based dedup materialization: keep each component's
     // minimum doc_id (= its label), drop the rest — the TRANSITIVE
     // keep policy dd6's pairwise greedy form approximates. Per-lang
@@ -255,6 +277,37 @@ object DedupQueries extends QueryModule {
       |keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 100),
       |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (sh))
       |""".stripMargin
+
+  /** One-shot component size census over the full J>=0.5 pair set —
+    * shared verbatim by dd8 (direct build) and dd11 (incremental
+    * build): both must hash-match this exact result.
+    */
+  private val componentSizeCensusSql: String =
+    shCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, shsizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |jpairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+        |  FROM sh a JOIN sh b
+        |    ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |e0 AS (
+        |  SELECT da, db FROM jpairs
+        |  JOIN shsizes sa ON da = sa.doc_id
+        |  JOIN shsizes sb ON db = sb.doc_id
+        |  WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.5),
+        |edges AS (
+        |  SELECT da AS a, db AS b FROM e0
+        |  UNION SELECT db, da FROM e0),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.b AS id, reach.r FROM reach JOIN edges e
+        |    ON reach.id = e.a),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1),
+        |csizes AS (SELECT component, count(*) AS size FROM comp GROUP BY 1)
+        |SELECT size, count(*) AS n_components
+        |FROM csizes GROUP BY 1 ORDER BY size""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dd1_exact_dedup" ->
@@ -341,31 +394,13 @@ object DedupQueries extends QueryModule {
         |     WHERE doc_id NOT IN (SELECT doc_id FROM dropped)) AS kept_chars,
         |  (SELECT count(*) FROM dropped) AS n_dropped""".stripMargin),
 
-    "dd8_components" -> (shCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      """, shsizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        |jpairs AS (
-        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
-        |  FROM sh a JOIN sh b
-        |    ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |e0 AS (
-        |  SELECT da, db FROM jpairs
-        |  JOIN shsizes sa ON da = sa.doc_id
-        |  JOIN shsizes sb ON db = sb.doc_id
-        |  WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.5),
-        |edges AS (
-        |  SELECT da AS a, db AS b FROM e0
-        |  UNION SELECT db, da FROM e0),
-        |nodes AS (SELECT DISTINCT a AS id FROM edges),
-        |reach AS (
-        |  SELECT id, id AS r FROM nodes
-        |  UNION
-        |  SELECT e.b AS id, reach.r FROM reach JOIN edges e
-        |    ON reach.id = e.a),
-        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1),
-        |csizes AS (SELECT component, count(*) AS size FROM comp GROUP BY 1)
-        |SELECT size, count(*) AS n_components
-        |FROM csizes GROUP BY 1 ORDER BY size""".stripMargin),
+    "dd8_components" -> componentSizeCensusSql,
+
+    // The incremental path must land on the IDENTICAL census as the
+    // one-shot recursive-CTE build over the full pair history — the
+    // content-addressed merge identity, pinned by DuckDB every round
+    // (same policy as h12's incremental brick).
+    "dd11_incremental_components" -> componentSizeCensusSql,
 
     "dd9_component_dedup" -> (shCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """, shsizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),

@@ -252,6 +252,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("CMS sketch aggregated over a stream equals the batch sketch") {
+    // the Count-Min Aggregator's merge is associative+commutative, so
+    // complete-mode streaming aggregation over any trigger split must
+    // produce the identical counter grid to one batch pass
+    val toks = Seq("a", "b", "a", "c", "a", "b", "d", "e", "a", "c")
+    val batchSketch = toks.toDF("token")
+      .agg(graft.functions.CountMin.cmsSketch(4, 64)(col("token")).as("cms"))
+      .head.getSeq[Long](0).toVector
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val agg = mem.toDF().toDF("token")
+      .agg(graft.functions.CountMin.cmsSketch(4, 64)(col("token")).as("cms"))
+    val query = agg.writeStream.format("memory")
+      .queryName("cms_parity").outputMode(OutputMode.Complete()).start()
+    try {
+      val (first, second) = toks.splitAt(4)
+      mem.addData(first: _*)
+      query.processAllAvailable()
+      mem.addData(second: _*)
+      query.processAllAvailable()
+      val got = spark.table("cms_parity").head.getSeq[Long](0).toVector
+      assert(got == batchSketch)
+    } finally query.stop()
+  }
+
   test("foreachBatch sink writes exactly-once-per-batch parquet epochs") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-feb").toString
