@@ -67,7 +67,7 @@ object CurationQueries extends QueryModule {
     * manifest; c6 reuses the same three building blocks for per-stage
     * attribution.
     */
-  private def survivors(s: org.apache.spark.sql.SparkSession,
+  private[graft] def survivors(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     scoredDocs(s, d)
       .join(keepExact(s, d), Seq("doc_id"), "left_semi")
