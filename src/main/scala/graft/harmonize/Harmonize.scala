@@ -51,30 +51,51 @@ object Harmonize {
     * expensive is written to storage once and every consumer reads the
     * artifact, not the recipe.
     */
-  private val memo =
-    scala.collection.mutable.Map.empty[(SparkSession, String, String), Brick]
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String),
+    java.util.concurrent.CompletableFuture[Brick]]
 
   /** Evict this session's cached bricks (frees the checkpoint blocks);
     * the next cachedBrick call rebuilds bit-identically. Registered with
-    * MemoRegistry for the one-call evict-everything path.
+    * MemoRegistry for the one-call evict-everything path. In-flight
+    * builds (pending futures) are left in place: removing one would
+    * orphan the checkpoint blocks its builder is about to create — the
+    * next evict call collects it once complete.
     */
-  def evict(spark: SparkSession): Unit =
-    graft.MemoRegistry.evictMap(spark, memo)(_._1)(b =>
-      Seq(b.substances, b.properties, b.activities))
+  def evict(spark: SparkSession): Unit = {
+    val it = memo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if ((e.getKey._1 eq spark) && e.getValue.isDone &&
+          !e.getValue.isCompletedExceptionally) {
+        it.remove()
+        val b = e.getValue.join()
+        Seq(b.substances, b.properties, b.activities)
+          .foreach(graft.MemoRegistry.release)
+      }
+    }
+  }
 
   graft.MemoRegistry.register(evict)
 
   def cachedBrick(spark: SparkSession, sfDir: String,
       adapters: Seq[SourceAdapter],
-      converter: StructureConverter = StructureConverter.Stub): Brick =
-    memo.synchronized {
+      converter: StructureConverter = StructureConverter.Stub): Brick = {
     // identity hash, not class name: two differently-configured
     // instances of the same converter class must not share a brick
     val key = (spark, sfDir,
       adapters.map(_.name).mkString(",") + "/" +
         converter.getClass.getName + "@" +
         System.identityHashCode(converter))
-    memo.getOrElseUpdate(key, {
+    // Per-key future, not a global lock: a brick build runs tens of
+    // seconds at sf0.1, and holding one monitor across it would
+    // serialize every unrelated session/key (and eviction) behind it.
+    // putIfAbsent elects one builder per key; losers block on that
+    // key's future only.
+    val fresh = new java.util.concurrent.CompletableFuture[Brick]()
+    val prior = memo.putIfAbsent(key, fresh)
+    if (prior != null) prior.join()
+    else try {
       // Shared-scan assembly: the canonicalize+md5 staging unions are
       // each consumed twice (substances + sidMap, properties + pidMap,
       // activities-union + inchiMap), so checkpointing the three final
@@ -95,8 +116,16 @@ object Harmonize {
       // three final tables carry their own blocks, so free the
       // intermediates now instead of waiting for the ContextCleaner
       inter.foreach(graft.MemoRegistry.release)
+      fresh.complete(out)
       out
-    })
+    } catch {
+      case e: Throwable =>
+        // a failed build must not poison the key: drop the entry so the
+        // next caller retries, and wake anyone already waiting
+        memo.remove(key, fresh)
+        fresh.completeExceptionally(e)
+        throw e
+    }
   }
 
   def brick(spark: SparkSession, sfDir: String,
@@ -196,12 +225,21 @@ object Harmonize {
       .select(col("aid"), col("new_sid").as("sid"), col("new_pid").as("pid"),
         col("source"), col("inchi"), col("smiles"), col("value"),
         col("binary_value"), col("numvalue"))
-      .groupBy("aid", "sid", "pid", "source", "inchi", "smiles", "value",
+
+    Brick(substances, properties, collapseActivities(activities))
+  }
+
+  /** The one deterministic collapse of the activities fact table: one
+    * row per reference-visible key, numvalue = min over the group. Both
+    * the one-shot build AND `merge` must apply this SAME reduction —
+    * distinct() does not commute with it (two merge units each emitting
+    * their own group min would leave two aid rows after distinct), so
+    * merge re-collapses and the min-of-mins equals the global min.
+    */
+  private def collapseActivities(df: DataFrame): DataFrame =
+    df.groupBy("aid", "sid", "pid", "source", "inchi", "smiles", "value",
         "binary_value")
       .agg(min(col("numvalue")).as("numvalue"))
-
-    Brick(substances, properties, activities)
-  }
 
   /** Incremental harmonize: fold newly-staged sources into an existing
     * brick. Because every id is a content hash (sid/pid =
@@ -211,13 +249,23 @@ object Harmonize {
     * all sources at once (HarmonizeSpec proves it). This is the scale
     * story for the reference's rerun-from-scratch DVC pipeline: adding
     * source N+1 to a 43 GB brick touches only the new source's rows
-    * plus one distinct per table.
+    * plus one distinct/collapse per table.
+    *
+    * Activities use `collapseActivities`, NOT distinct: the one-shot
+    * build keeps min(numvalue) per (aid,…) group, and if rows of one
+    * group arrive in different merge units (a row-wise-streamed
+    * bindingdb-shaped source), each unit's brick carries its own local
+    * min — distinct would keep both. Re-collapsing keeps the merge
+    * associative and bit-identical to the one-shot build
+    * (min(min(a),min(b)) = min(a∪b)); HarmonizeStreamSpec pins it with
+    * a multi-numvalue-per-group source split across batches.
     */
   def merge(existing: Brick, incoming: Brick): Brick =
     Brick(
       existing.substances.unionByName(incoming.substances).distinct(),
       existing.properties.unionByName(incoming.properties).distinct(),
-      existing.activities.unionByName(incoming.activities).distinct())
+      collapseActivities(
+        existing.activities.unionByName(incoming.activities)))
 
   /** Convenience: stage+harmonize only `newAdapters` and merge into an
     * existing brick (e.g. one read back from parquet).
