@@ -64,13 +64,15 @@ object Bench {
         } catch { case _: Throwable => () }
       }
     }
-    // Still ONE JSON line (the driver contract), but: per-query times at
-    // ms precision (full double repr doubles the line length), and the
-    // headline fields LAST — the driver keeps only the TAIL of the
-    // output, and in round 1 the leading {"metric":"total","value":...}
-    // was lost to truncation. JSON key order is irrelevant to parsers,
-    // so the trailing summary reads identically when the line survives
-    // whole and keeps the total visible when it doesn't.
+    // Artifact split (round-4 lesson: the driver keeps only a ~4 KB TAIL
+    // of stdout, and the 176-query map is ~5.5 KB — half the per-query
+    // numbers were lost to truncation and the line never parsed):
+    //   - the FULL per-query JSON is written to BENCH_LATEST.json in the
+    //     working directory (the repo root under the driver), where the
+    //     end-of-round commit preserves it whole for round-over-round
+    //     comparison;
+    //   - stdout gets ONE compact line (summary + the 10 slowest queries
+    //     + a pointer to the file) that fits the tail window and parses.
     // Locale.ROOT: the f-interpolator uses the default locale, and a
     // comma-decimal locale would corrupt the JSON
     def f3(v: Double): String =
@@ -79,7 +81,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val passTotals = passes.map(p => f3(p.values.sum)).mkString("[", ",", "]")
-    println(s"""{"queries":$qs,"n_queries":${results.size},"cold_total_sec":${f3(coldTotal)},"warm_passes":$warmPasses,"pass_totals_sec":$passTotals,"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}""")
+    val fullJson =
+      s"""{"queries":$qs,"n_queries":${results.size},"cold_total_sec":${f3(coldTotal)},"warm_passes":$warmPasses,"pass_totals_sec":$passTotals,"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LATEST.json"), fullJson + "\n")
+    catch { case _: Throwable => () }
+    val top10 = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"n_queries":${results.size},"cold_total_sec":${f3(coldTotal)},"warm_passes":$warmPasses,"pass_totals_sec":$passTotals,"slowest10":$top10,"queries_file":"BENCH_LATEST.json","sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}""")
     spark.stop()
   }
 }

@@ -13,20 +13,40 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; the legacy conf reads it as LongType
-    * (nanos since epoch). `ts_ns` keeps the raw long for ordering;
-    * `ts` is re-derived as a microsecond timestamp for event-time work.
-    * Integer `div` (not `/`): Divide promotes to double and epoch nanos
-    * (~1e18) exceed 2^53, so a double round-trip can shift the value by
-    * up to ~256 ns and the truncated microsecond by 1.
+  /** events.ts arrives in one of two physical forms depending on the
+    * testdata generation (both observed from the driver):
+    *
+    *   - parquet TIMESTAMP(NANOS): Spark's reader surfaces it as LongType
+    *     (nanos since epoch) under the legacy conf. `ts_ns` keeps the raw
+    *     long; `ts` is re-derived as a microsecond timestamp. Integer
+    *     `div` (not `/`): Divide promotes to double and epoch nanos
+    *     (~1e18) exceed 2^53, so a double round-trip can shift the value
+    *     by up to ~256 ns and the truncated microsecond by 1.
+    *   - parquet TIMESTAMP(MICROS, ntz): read natively as TIMESTAMP_NTZ;
+    *     `ts_ns` is derived as micros × 1000 (sub-microsecond digits are
+    *     zero by construction) and `ts` normalizes to a session-UTC
+    *     timestamp.
+    *
+    * Either way the contract downstream is identical: `ts_ns` BIGINT
+    * epoch-nanos that bit-matches DuckDB's `epoch_ns(ts)` on the same
+    * file, and `ts` a microsecond-precision timestamp for event-time
+    * work. Branching on the READ dtype (not a conf) keeps every
+    * events-based query working across driver regenerations.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts_ns div 1000)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      case _ =>
+        raw.select(col("event_id"),
+          expr("unix_micros(cast(ts as timestamp)) * 1000").as("ts_ns"),
+          col("user_id"), col("event_type"), col("value"), col("props"),
+          col("ts").cast("timestamp").as("ts"))
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")

@@ -9,12 +9,16 @@ import graft.sources._
   * tables, with the entire staging→canonicalize→re-key→smiles→aid chain
   * replayed in DuckDB SQL as the oracle.
   *
-  * EIGHT SourceAdapters feed the brick union — the simple event/order/
+  * THIRTEEN SourceAdapters feed the brick union — the simple event/order/
   * document shapes plus every composite integrator pattern the reference
   * runs: the chembl-shaped `LineitemAdapter`, the ICE-shaped grid
   * synthesis, the bindingdb-shaped wide-assay unpivot, the ctdbase-shaped
-  * REST-enriched flip synthesis, and the toxrefdb-shaped multi-table JDBC
-  * source (the reference unions ~15, src/80_harmonize.py:33). The brick
+  * REST-enriched flip synthesis, the toxrefdb-shaped multi-table JDBC
+  * source, the toxvaldb-shaped comptox-joined median binarizer, the
+  * tox21-shaped 3-class pos/neg expansion, the toxcast-shaped hitcall
+  * consensus, the reach-shaped GHS lookup, and the pubchem-shaped
+  * long-format key-value pipeline (the reference's dvc.yaml runs ~15,
+  * src/80_harmonize.py:33). The brick
   * shape, id algebra (md5-of-canonical-JSON, aid over sid|pid|inchi|value,
   * py:83), structure enrichment (distinct inchi → convert → join back,
   * py:72-73), and QC invariants are the reference's own.
@@ -155,6 +159,47 @@ object HarmonizeQueries extends QueryModule {
           countDistinct(col("sid")).as("n_sids"),
           countDistinct(col("pid")).as("n_pids"))
         .orderBy(col("source"))
+    }),
+
+    // The toxvaldb-shaped integrator end-to-end: quality filters →
+    // comptox structure join → pair-median collapse → support floor →
+    // per-property median binarization
+    // (ref: src/01_integrate_toxvaldb.R:12-33).
+    "h13_toxvaldb_staging" -> ((s, d) => {
+      SourceAdapter.cachedStaging(ToxvaldbAdapter, s, d)
+        .activities.orderBy(col("aid"))
+    }),
+
+    // The tox21-shaped integrator end-to-end: categorical QC →
+    // dup-sample removal → 3-class/2-assay expansion → discordance →
+    // support + two-class floors (ref: src/03_integrate_tox21.R:16-59).
+    "h14_tox21_staging" -> ((s, d) => {
+      SourceAdapter.cachedStaging(Tox21Adapter, s, d)
+        .activities.orderBy(col("aid"))
+    }),
+
+    // The toxcast-shaped integrator end-to-end: hitcall decode →
+    // comptox join → round(median) consensus → support + two-class
+    // floors (ref: src/04_integrate_toxcast.R:7-47).
+    "h15_toxcast_staging" -> ((s, d) => {
+      SourceAdapter.cachedStaging(ToxcastAdapter, s, d)
+        .activities.orderBy(col("aid"))
+    }),
+
+    // The reach-shaped integrator end-to-end: GHS TSV broadcast lookup →
+    // corrupt-ecnumber removal → structure build → per-hazard double
+    // support floor (ref: src/05_integrate_reach.R:8-60).
+    "h16_reach_staging" -> ((s, d) => {
+      SourceAdapter.cachedStaging(ReachAdapter, s, d)
+        .activities.orderBy(col("aid"))
+    }),
+
+    // The pubchem-shaped integrator end-to-end: long key-value compound
+    // slice → single-entry window filter → assay-dim joins → distinct
+    // (ref: src/09_integrate_pubchem.py:24-62).
+    "h17_pubchem_staging" -> ((s, d) => {
+      SourceAdapter.cachedStaging(PubchemAdapter, s, d)
+        .activities.orderBy(col("aid"))
     })
   )
 
@@ -394,6 +439,193 @@ object HarmonizeQueries extends QueryModule {
       |      inchi, value, dose_level
       |    FROM toxcore)
       |  GROUP BY 1, 2, 3, 4, 6),
+      |tvraw AS (
+      |  SELECT user_id, event_type, value,
+      |    CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      |  FROM events
+      |  WHERE CAST(json_extract(props, '$.k') AS INTEGER) % 2 = 0
+      |    AND event_type <> 'error'),
+      |cpx AS (
+      |  SELECT c_custkey, CASE WHEN c_custkey % 9 = 4 THEN NULL
+      |    ELSE 'InChI=1S/C' || CAST(c_custkey AS VARCHAR) END AS inchi
+      |  FROM customer),
+      |tvpair AS (
+      |  SELECT user_id, inchi, event_type, k % 10 AS kbucket,
+      |    quantile_cont(value, 0.5) AS numvalue
+      |  FROM tvraw JOIN cpx ON user_id = c_custkey
+      |  WHERE inchi IS NOT NULL
+      |  GROUP BY 1, 2, 3, 4),
+      |tvsup AS (
+      |  SELECT * FROM (SELECT *,
+      |    count(*) OVER (PARTITION BY event_type, kbucket) AS n
+      |    FROM tvpair) WHERE n >= 6),
+      |tvmed AS (
+      |  SELECT event_type, kbucket, quantile_cont(numvalue, 0.5) AS med
+      |  FROM tvsup GROUP BY 1, 2),
+      |tvfin AS (
+      |  SELECT user_id, inchi, event_type, kbucket, numvalue,
+      |    CASE WHEN numvalue >= med THEN 'positive' ELSE 'negative' END
+      |      AS value
+      |  FROM tvsup JOIN tvmed USING (event_type, kbucket)),
+      |tvacts AS (
+      |  SELECT md5('{"inchi": "' || inchi || '", "user_id": ' ||
+      |      CAST(user_id AS VARCHAR) || '}') AS sid,
+      |    md5('{"event_type": "' || event_type || '", "kbucket": ' ||
+      |      CAST(kbucket AS VARCHAR) || '}') AS pid,
+      |    inchi, value, numvalue, 'toxvaldb' AS source
+      |  FROM tvfin),
+      |t21raw AS (
+      |  SELECT l_orderkey, l_partkey, l_linenumber, l_linestatus,
+      |    o_orderpriority,
+      |    CASE l_returnflag WHEN 'A' THEN 'active agonist'
+      |      WHEN 'R' THEN 'active antagonist' ELSE 'inactive' END AS outcome
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F' AND l_quantity BETWEEN 2 AND 45),
+      |t21single AS (
+      |  SELECT * FROM (SELECT *,
+      |    min(l_linenumber) OVER (PARTITION BY l_orderkey, l_partkey)
+      |      = max(l_linenumber) OVER (PARTITION BY l_orderkey, l_partkey)
+      |      AS sgl
+      |    FROM t21raw) WHERE sgl),
+      |t21exp AS (
+      |  SELECT l_partkey, o_orderpriority, l_linestatus, assay,
+      |    CASE WHEN outcome = assay THEN 'positive' ELSE 'negative' END
+      |      AS value
+      |  FROM t21single
+      |  CROSS JOIN (VALUES ('active agonist'), ('active antagonist'))
+      |    AS a(assay)),
+      |t21conc AS (
+      |  SELECT DISTINCT l_partkey, o_orderpriority, l_linestatus, assay,
+      |    value
+      |  FROM (SELECT *,
+      |    min(value) OVER (PARTITION BY l_partkey, o_orderpriority,
+      |      l_linestatus, assay)
+      |      = max(value) OVER (PARTITION BY l_partkey, o_orderpriority,
+      |        l_linestatus, assay) AS conc
+      |    FROM t21exp) WHERE conc),
+      |t21sup AS (
+      |  SELECT * FROM (SELECT *,
+      |    count(*) OVER (PARTITION BY o_orderpriority, l_linestatus, assay,
+      |      value) AS n
+      |    FROM t21conc) WHERE n >= 26),
+      |t21two AS (
+      |  SELECT l_partkey, o_orderpriority, l_linestatus, assay, value
+      |  FROM (SELECT *,
+      |    min(value) OVER (PARTITION BY o_orderpriority, l_linestatus, assay)
+      |      <> max(value) OVER (PARTITION BY o_orderpriority, l_linestatus,
+      |        assay) AS two
+      |    FROM t21sup) WHERE two),
+      |t21acts AS (
+      |  SELECT md5('{"l_partkey": ' || CAST(l_partkey AS VARCHAR) || '}')
+      |      AS sid,
+      |    md5('{"assay": "' || assay || '", "l_linestatus": "' ||
+      |      l_linestatus || '", "o_orderpriority": "' || o_orderpriority ||
+      |      '"}') AS pid,
+      |    'InChI=1S/P' || CAST(l_partkey AS VARCHAR) AS inchi,
+      |    value, CAST(NULL AS DOUBLE) AS numvalue, 'tox21' AS source
+      |  FROM t21two),
+      |tcraw AS (
+      |  SELECT user_id, event_type,
+      |    CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) % 7 = 0
+      |      THEN -1 WHEN value >= 40 THEN 1 ELSE 0 END AS hitc
+      |  FROM events),
+      |tccons AS (
+      |  SELECT user_id, inchi, event_type,
+      |    round(quantile_cont(hitc, 0.5)) AS consensus
+      |  FROM (SELECT * FROM tcraw WHERE hitc <> -1) r
+      |  JOIN cpx ON user_id = c_custkey
+      |  WHERE inchi IS NOT NULL GROUP BY 1, 2, 3),
+      |tcval AS (
+      |  SELECT *, CASE WHEN consensus = 1 THEN 'positive' ELSE 'negative'
+      |    END AS value
+      |  FROM tccons),
+      |tcsup AS (
+      |  SELECT * FROM (SELECT *,
+      |    count(*) OVER (PARTITION BY event_type, value) AS n
+      |    FROM tcval) WHERE n >= 4),
+      |tctwo AS (
+      |  SELECT * FROM (SELECT *,
+      |    min(value) OVER (PARTITION BY event_type)
+      |      <> max(value) OVER (PARTITION BY event_type) AS two
+      |    FROM tcsup) WHERE two),
+      |tcacts AS (
+      |  SELECT md5('{"inchi": "' || inchi || '", "user_id": ' ||
+      |      CAST(user_id AS VARCHAR) || '}') AS sid,
+      |    md5('{"aeid": "' || event_type || '", "aenm": "' ||
+      |      upper(event_type) || '"}') AS pid,
+      |    inchi, value, CAST(consensus AS DOUBLE) AS numvalue,
+      |    'toxcast' AS source
+      |  FROM tctwo),
+      |ghs AS (
+      |  SELECT * FROM (VALUES ('H20', 'Explosive'), ('H21', 'Flammable gas'),
+      |    ('H22', 'Flammable aerosol'), ('H23', 'Oxidizing gas'),
+      |    ('H24', 'Gas under pressure'), ('H25', 'Flammable liquid'),
+      |    ('H26', 'Self-reactive')) AS g(hazard, description)),
+      |rraw AS (
+      |  SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_suppkey,
+      |    hazard, description,
+      |    'EC' || CAST(l_orderkey AS VARCHAR) || '-' ||
+      |      CAST(l_partkey AS VARCHAR) AS ecnumber,
+      |    'R' || CAST(l_partkey AS VARCHAR) || 'x' ||
+      |      CAST(l_linenumber AS VARCHAR) AS smiles
+      |  FROM (SELECT l.*, 'H2' || CAST(s_nationkey % 10 AS VARCHAR) AS hazard
+      |        FROM lineitem l JOIN supplier ON l_suppkey = s_suppkey) x
+      |  JOIN ghs USING (hazard)),
+      |rsingle AS (
+      |  SELECT * FROM (SELECT *,
+      |    min(smiles) OVER (PARTITION BY ecnumber)
+      |      = max(smiles) OVER (PARTITION BY ecnumber) AS sgl
+      |    FROM rraw) WHERE sgl),
+      |rval AS (
+      |  SELECT *, 'InChI=1S/' || smiles AS inchi,
+      |    CASE WHEN l_quantity >= 25 THEN 'positive' ELSE 'negative' END
+      |      AS value
+      |  FROM rsingle),
+      |rsup AS (
+      |  SELECT * FROM (SELECT *,
+      |    count(*) FILTER (WHERE value = 'positive')
+      |      OVER (PARTITION BY hazard) AS npos,
+      |    count(*) FILTER (WHERE value = 'negative')
+      |      OVER (PARTITION BY hazard) AS nneg
+      |    FROM rval) WHERE npos > 100 AND nneg > 100),
+      |racts AS (
+      |  SELECT md5('{"ecnumber": "' || ecnumber || '", "inchi": "' || inchi
+      |      || '", "smiles": "' || smiles || '"}') AS sid,
+      |    md5('{"description": "' || description || '", "hazard": "' ||
+      |      hazard || '"}') AS pid,
+      |    inchi, value, CAST(l_quantity AS DOUBLE) AS numvalue,
+      |    'reach' AS source
+      |  FROM rsup),
+      |pccmp AS (
+      |  SELECT id, inchi FROM (
+      |    SELECT id, inchi, count(*) OVER (PARTITION BY id) AS cnt FROM (
+      |      SELECT p_partkey AS id,
+      |        'InChI=1S/P' || CAST(p_partkey AS VARCHAR) AS inchi FROM part
+      |      UNION ALL
+      |      SELECT p_partkey,
+      |        'InChI=1S/P' || CAST(p_partkey AS VARCHAR) || 'v2'
+      |      FROM part WHERE p_partkey % 13 = 0))
+      |  WHERE cnt = 1),
+      |pcjoin AS (
+      |  SELECT l_partkey, o_orderkey, o_orderpriority, o_orderstatus, inchi,
+      |    CASE WHEN l_returnflag = 'A' THEN 'positive' ELSE 'negative' END
+      |      AS value
+      |  FROM lineitem
+      |  JOIN (SELECT o_orderkey, o_orderpriority, o_orderstatus
+      |        FROM orders WHERE o_orderkey % 4 = 0) o
+      |    ON l_orderkey = o_orderkey
+      |  JOIN pccmp ON l_partkey = id
+      |  WHERE l_returnflag IN ('A', 'R')),
+      |pcacts AS (
+      |  SELECT DISTINCT
+      |    md5('{"inchi": "' || inchi || '", "pubchem_cid": ' ||
+      |      CAST(l_partkey AS VARCHAR) || '}') AS sid,
+      |    md5('{"assay_id": ' || CAST(o_orderkey AS VARCHAR) ||
+      |      ', "o_orderpriority": "' || o_orderpriority ||
+      |      '", "o_orderstatus": "' || o_orderstatus || '"}') AS pid,
+      |    inchi, value, CAST(NULL AS DOUBLE) AS numvalue,
+      |    'pubchem' AS source
+      |  FROM pcjoin),
       |allacts AS (
       |  -- the brick's final collapse: reference distinct (py:84) over the
       |  -- numvalue-free columns, generalized to min(numvalue)
@@ -408,7 +640,10 @@ object HarmonizeQueries extends QueryModule {
       |    FROM (SELECT * FROM eacts UNION ALL SELECT * FROM oacts
       |      UNION ALL SELECT * FROM lacts UNION ALL SELECT * FROM dacts
       |      UNION ALL SELECT * FROM iacts UNION ALL SELECT * FROM bacts
-      |      UNION ALL SELECT * FROM cacts UNION ALL SELECT * FROM tacts))
+      |      UNION ALL SELECT * FROM cacts UNION ALL SELECT * FROM tacts
+      |      UNION ALL SELECT * FROM tvacts UNION ALL SELECT * FROM t21acts
+      |      UNION ALL SELECT * FROM tcacts UNION ALL SELECT * FROM racts
+      |      UNION ALL SELECT * FROM pcacts))
       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8)
       |""".stripMargin
 
@@ -452,7 +687,31 @@ object HarmonizeQueries extends QueryModule {
         |      CAST(chemical_id AS VARCHAR) || ', "dsstox_substance_id": "' ||
         |      dsstox || '", "inchi": "' || inchi ||
         |      '", "preferred_name": "' || preferred_name || '"}'
-        |  FROM toxcore)
+        |  FROM toxcore
+        |  UNION ALL
+        |  SELECT DISTINCT 'toxvaldb',
+        |    '{"inchi": "' || inchi || '", "user_id": ' ||
+        |      CAST(user_id AS VARCHAR) || '}'
+        |  FROM tvfin
+        |  UNION ALL
+        |  SELECT DISTINCT 'tox21',
+        |    '{"l_partkey": ' || CAST(l_partkey AS VARCHAR) || '}'
+        |  FROM t21two
+        |  UNION ALL
+        |  SELECT DISTINCT 'toxcast',
+        |    '{"inchi": "' || inchi || '", "user_id": ' ||
+        |      CAST(user_id AS VARCHAR) || '}'
+        |  FROM tctwo
+        |  UNION ALL
+        |  SELECT DISTINCT 'reach',
+        |    '{"ecnumber": "' || ecnumber || '", "inchi": "' || inchi ||
+        |      '", "smiles": "' || smiles || '"}'
+        |  FROM rsup
+        |  UNION ALL
+        |  SELECT DISTINCT 'pubchem',
+        |    '{"inchi": "' || inchi || '", "pubchem_cid": ' ||
+        |      CAST(l_partkey AS VARCHAR) || '}'
+        |  FROM pcjoin)
         |ORDER BY sid, source""".stripMargin),
 
     "h2_properties_brick" -> (actsCte +
@@ -488,7 +747,34 @@ object HarmonizeQueries extends QueryModule {
         |  SELECT DISTINCT 'toxrefdb',
         |    '{"guideline_name": "' || guideline_name ||
         |      '", "guideline_number": "' || guideline_number || '"}'
-        |  FROM toxcore)
+        |  FROM toxcore
+        |  UNION ALL
+        |  SELECT DISTINCT 'toxvaldb',
+        |    '{"event_type": "' || event_type || '", "kbucket": ' ||
+        |      CAST(kbucket AS VARCHAR) || '}'
+        |  FROM tvfin
+        |  UNION ALL
+        |  SELECT DISTINCT 'tox21',
+        |    '{"assay": "' || assay || '", "l_linestatus": "' ||
+        |      l_linestatus || '", "o_orderpriority": "' || o_orderpriority ||
+        |      '"}'
+        |  FROM t21two
+        |  UNION ALL
+        |  SELECT DISTINCT 'toxcast',
+        |    '{"aeid": "' || event_type || '", "aenm": "' ||
+        |      upper(event_type) || '"}'
+        |  FROM tctwo
+        |  UNION ALL
+        |  SELECT DISTINCT 'reach',
+        |    '{"description": "' || description || '", "hazard": "' ||
+        |      hazard || '"}'
+        |  FROM rsup
+        |  UNION ALL
+        |  SELECT DISTINCT 'pubchem',
+        |    '{"assay_id": ' || CAST(o_orderkey AS VARCHAR) ||
+        |      ', "o_orderpriority": "' || o_orderpriority ||
+        |      '", "o_orderstatus": "' || o_orderstatus || '"}'
+        |  FROM pcjoin)
         |ORDER BY pid, source""".stripMargin),
 
     "h3_activities_qc" -> (actsCte +
@@ -530,7 +816,20 @@ object HarmonizeQueries extends QueryModule {
         |  FROM ctdjoin
         |  UNION ALL
         |  SELECT 'toxrefdb', count(DISTINCT guideline_number)
-        |  FROM toxcore),
+        |  FROM toxcore
+        |  UNION ALL
+        |  SELECT 'toxvaldb', count(*)
+        |  FROM (SELECT DISTINCT event_type, kbucket FROM tvfin)
+        |  UNION ALL
+        |  SELECT 'tox21', count(*)
+        |  FROM (SELECT DISTINCT o_orderpriority, l_linestatus, assay
+        |        FROM t21two)
+        |  UNION ALL
+        |  SELECT 'toxcast', count(DISTINCT event_type) FROM tctwo
+        |  UNION ALL
+        |  SELECT 'reach', count(DISTINCT hazard) FROM rsup
+        |  UNION ALL
+        |  SELECT 'pubchem', count(DISTINCT o_orderkey) FROM pcjoin),
         |apids AS (
         |  SELECT source, count(DISTINCT pid) AS n_apids
         |  FROM allacts GROUP BY 1)
@@ -593,6 +892,57 @@ object HarmonizeQueries extends QueryModule {
     "h12_incremental_brick" -> (actsCte +
       """SELECT source, count(*) AS n_acts,
         |  count(DISTINCT sid) AS n_sids, count(DISTINCT pid) AS n_pids
-        |FROM allacts GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM allacts GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "h13_toxvaldb_staging" -> (actsCte +
+      """SELECT 'toxvaldb-' || md5(sid || '|' || pid) AS aid,
+        |  sid, pid, inchi, value, numvalue FROM (
+        |  SELECT md5('tval:' || CAST(user_id AS VARCHAR)) AS sid,
+        |    md5('tvprop:' || event_type || '|' || CAST(kbucket AS VARCHAR))
+        |      AS pid,
+        |    inchi, value, numvalue
+        |  FROM tvfin)
+        |ORDER BY aid""".stripMargin),
+
+    "h14_tox21_staging" -> (actsCte +
+      """SELECT 'tox21-' || md5(sid || '|' || pid) AS aid,
+        |  sid, pid, inchi, value, CAST(NULL AS DOUBLE) AS numvalue FROM (
+        |  SELECT md5('t21:' || CAST(l_partkey AS VARCHAR)) AS sid,
+        |    md5('t21prop:' || o_orderpriority || '|' || l_linestatus ||
+        |      '|' || assay) AS pid,
+        |    'InChI=1S/P' || CAST(l_partkey AS VARCHAR) AS inchi, value
+        |  FROM t21two)
+        |ORDER BY aid""".stripMargin),
+
+    "h15_toxcast_staging" -> (actsCte +
+      """SELECT 'toxcast-' || md5(sid || '|' || pid) AS aid,
+        |  sid, pid, inchi, value, CAST(consensus AS DOUBLE) AS numvalue
+        |FROM (
+        |  SELECT md5('tcast:' || CAST(user_id AS VARCHAR)) AS sid,
+        |    md5('aeid:' || event_type) AS pid, inchi, value, consensus
+        |  FROM tctwo)
+        |ORDER BY aid""".stripMargin),
+
+    "h16_reach_staging" -> (actsCte +
+      """SELECT 'reach-' || md5(sid || '|' || pid || '|' ||
+        |    CAST(mrn AS VARCHAR)) AS aid,
+        |  sid, pid, inchi, value, CAST(l_quantity AS DOUBLE) AS numvalue
+        |FROM (
+        |  SELECT md5('reach:' || ecnumber) AS sid,
+        |    md5('ghs:' || hazard) AS pid, inchi, value, l_quantity,
+        |    row_number() OVER (PARTITION BY ecnumber
+        |      ORDER BY l_quantity, l_suppkey) AS mrn
+        |  FROM rsup)
+        |ORDER BY aid""".stripMargin),
+
+    "h17_pubchem_staging" -> (actsCte +
+      """SELECT 'pubchem-' || md5(sid || '|' || pid || '|' || inchi || '|' ||
+        |    value) AS aid,
+        |  sid, pid, inchi, value, CAST(NULL AS DOUBLE) AS numvalue FROM (
+        |  SELECT DISTINCT md5('pc:' || CAST(l_partkey AS VARCHAR)) AS sid,
+        |    md5('pcassay:' || CAST(o_orderkey AS VARCHAR)) AS pid,
+        |    inchi, value
+        |  FROM pcjoin)
+        |ORDER BY aid""".stripMargin)
   )
 }

@@ -116,10 +116,16 @@ object JoinQueries extends QueryModule {
 
     // J8b: left-anti join — the complement (reference's closest form is the
     // J5 null-fill; anti completes the engine's join surface).
+    // Anti against a FILTERED right side (customers with no urgent
+    // order): every customer has SOME order in the testdata, so the
+    // unfiltered anti is vacuously empty at every sf — the priority
+    // slice keeps the result non-empty (and non-total) at every sf,
+    // which is what makes the oracle row actually prove anti semantics.
     "j8_anti_join" -> ((s, d) => {
       Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
-          "left_anti")
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
     }),
@@ -314,7 +320,8 @@ object JoinQueries extends QueryModule {
 
     "j8_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
 
     "j9_join_count" ->

@@ -571,9 +571,17 @@ object RelationalQueries extends QueryModule {
       val perPart = Tables.lineitem(s, d).groupBy(col("l_partkey"))
         .agg(dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount"))
           .as("part_value"))
-      val total = perPart.agg(dsum(col("part_value")).as("total_value"))
+      // threshold = 1.25× the MEAN per-part value, not a fixed fraction
+      // of the total: part cardinality scales with sf, so a fixed
+      // fraction returns everything at small sf and nothing at large —
+      // the mean-relative cut keeps the result non-empty and non-total
+      // at every sf. Same multiply-then-divide order as the oracle so
+      // near-threshold doubles compare identically.
+      val total = perPart.agg(dsum(col("part_value")).as("total_value"),
+        count(lit(1)).as("n_parts"))
       perPart.crossJoin(broadcast(total))
-        .filter(col("part_value") > col("total_value") * 0.001)
+        .filter(col("part_value") >
+          (col("total_value") * 1.25) / col("n_parts"))
         .select(col("l_partkey"), col("part_value"))
         .orderBy(col("part_value").desc, col("l_partkey"))
     }),
@@ -1131,11 +1139,11 @@ object RelationalQueries extends QueryModule {
         |  FROM lineitem GROUP BY 1),
         |total AS (
         |  SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,4))) AS DOUBLE)
-        |    AS total_value
+        |    AS total_value, count(*) AS n_parts
         |  FROM per_part)
         |SELECT l_partkey, part_value
         |FROM per_part CROSS JOIN total
-        |WHERE part_value > total_value * 0.001
+        |WHERE part_value > (total_value * 1.25) / n_parts
         |ORDER BY part_value DESC, l_partkey""".stripMargin,
 
     "q18_large_volume" ->

@@ -46,9 +46,15 @@ object SetReshapeQueries extends QueryModule {
     }),
 
     // Extra: except — nations with customers but no suppliers.
+    // EXCEPT against a SLICED supplier side: at sf >= 0.01 suppliers
+    // cover all 25 nations, so the unfiltered difference is vacuously
+    // empty — restricting the subtrahend to every-third nation keeps the
+    // result non-empty (and non-total) at every sf.
     "u5_except" -> ((s, d) => {
       val cn = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
-      val sn = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      val sn = Tables.supplier(s, d)
+        .filter(col("s_nationkey") % 3 === 0)
+        .select(col("s_nationkey").as("nationkey"))
       cn.except(sn).orderBy(col("nationkey"))
     }),
 
@@ -165,7 +171,7 @@ object SetReshapeQueries extends QueryModule {
     "u5_except" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT
-        |SELECT s_nationkey FROM supplier
+        |SELECT s_nationkey FROM supplier WHERE s_nationkey % 3 = 0
         |ORDER BY nationkey""".stripMargin,
 
     "r1_unpivot" ->

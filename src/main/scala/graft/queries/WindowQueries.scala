@@ -20,14 +20,19 @@ import graft.functions.Numeric.dsum
 object WindowQueries extends QueryModule {
 
   val queries: Map[String, Q] = Map(
-    // W1: count over partition, keep singleton ids
-    // (ref: src/09_integrate_pubchem.py:28-29).
+    // W1: count over partition, keep small groups
+    // (ref: src/09_integrate_pubchem.py:28-29; the true single-entry
+    // form runs in PubchemAdapter). Partitioned by (user, day): per-user
+    // totals grow with sf, so a per-user cut is vacuously empty at gate
+    // scale — the (user, day) grain keeps both kept and dropped groups
+    // at every sf.
     "w1_count_over" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id"))
+      val w = Window.partitionBy(col("user_id"), col("day"))
       Tables.events(s, d)
-        .withColumn("n_user_events", count(lit(1)).over(w))
-        .filter(col("n_user_events") <= 5)
-        .select(col("event_id"), col("user_id"), col("n_user_events"))
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("n_user_day_events", count(lit(1)).over(w))
+        .filter(col("n_user_day_events") <= 2)
+        .select(col("event_id"), col("user_id"), col("n_user_day_events"))
         .orderBy(col("event_id"))
     }),
 
@@ -189,11 +194,12 @@ object WindowQueries extends QueryModule {
 
   val oracle: Map[String, String] = Map(
     "w1_count_over" ->
-      """SELECT event_id, user_id, n_user_events FROM (
+      """SELECT event_id, user_id, n_user_day_events FROM (
         |  SELECT event_id, user_id,
-        |    count(*) OVER (PARTITION BY user_id) AS n_user_events
+        |    count(*) OVER (PARTITION BY user_id, CAST(ts AS DATE))
+        |      AS n_user_day_events
         |  FROM events)
-        |WHERE n_user_events <= 5 ORDER BY event_id""".stripMargin,
+        |WHERE n_user_day_events <= 2 ORDER BY event_id""".stripMargin,
 
     "w2_median_joinback" ->
       """WITH med AS (

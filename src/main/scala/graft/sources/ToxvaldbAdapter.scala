@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Ops
+
+/** Composite toxvaldb-shaped integrator
+  * (ref: src/01_integrate_toxvaldb.R:12-33) over the events stream:
+  *
+  *   1. record-quality filters: only '=' qualifier measurements with
+  *      qa_status 1 survive (R:17 `toxval_numeric_qualifier == "=",
+  *      qa_status==1` → here `props.k` even + non-error events)
+  *   2. structure resolution: inner join the shared comptox dim and drop
+  *      records whose identifier row has no InChI (R:10-11)
+  *   3. property key from the descriptive-column combination (R:13-15
+  *      `props` vector → here (event_type, kbucket))
+  *   4. per-(substance, property) exact-median collapse to one row per
+  *      pair (R:22 `group_by(sid,pid) mutate(value=median(value))` +
+  *      `distinct`)
+  *   5. per-property support filter (R:23 `filter(n() > 500)`, scaled to
+  *      the testdata: n >= 6)
+  *   6. per-property median binarization: pair medians >= the property's
+  *      median-of-medians are positive (R:24-25)
+  *
+  * Scale notes: the pair collapse is a hash aggregate on the composite
+  * key (bounded groups → percentile buffer is fine); the support filter
+  * is one window count; the median-of-medians groups ALL pairs per
+  * property — the unbounded-group shape — so it uses the spillable
+  * sort-based median; the split joins back as a broadcast (property
+  * cardinality is tiny). No collect, no global sort.
+  */
+object ToxvaldbAdapter extends SourceAdapter {
+  val name = "toxvaldb"
+
+  def staging(s: SparkSession, d: String): StagingTriplet = {
+    val ev = Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .filter(col("k") % 2 === 0)            // qualifier '=' (R:17)
+      .filter(col("event_type") =!= "error") // qa_status == 1 (R:17)
+      .withColumn("kbucket", col("k") % 10)
+
+    val joined = ev.join(broadcast(ComptoxDim(s, d)),
+        col("user_id") === col("dtxsid_key"))
+      .filter(col("inchi").isNotNull)        // R:11 !is.na(inchi)
+
+    // one row per (substance, property): exact pair median (R:22).
+    // Bounded groups (one entity's measurements) → percentile.
+    val pair = joined
+      .groupBy(col("user_id"), col("inchi"), col("event_type"),
+        col("kbucket"))
+      .agg(expr("percentile(value, 0.5)").as("numvalue"))
+
+    // R:23's n() > 500 support floor, scaled to the testdata pair counts
+    val supported = Ops.groupSupportFilter(pair,
+      Seq("event_type", "kbucket"), 6L)
+
+    // R:24-25: binarize each pair median against the property's
+    // median-of-medians (unbounded group → sort-based median)
+    val med = Ops.groupedMedianBySort(supported,
+      Seq("event_type", "kbucket"), "numvalue", "med")
+    val binarized = supported
+      .join(broadcast(med), Seq("event_type", "kbucket"))
+      .withColumn("value",
+        when(col("numvalue") >= col("med"), "positive").otherwise("negative"))
+
+    val sid = md5(concat(lit("tval:"), col("user_id").cast("string")))
+    val pid = md5(concat(lit("tvprop:"), col("event_type"), lit("|"),
+      col("kbucket").cast("string")))
+
+    val subs = binarized.select(col("user_id"), col("inchi")).distinct()
+      .withColumn("data", to_json(struct(col("inchi"), col("user_id"))))
+      .withColumn("sid", sid)
+      .select("sid", "data")
+
+    val props = binarized.select(col("event_type"), col("kbucket")).distinct()
+      .withColumn("data", to_json(struct(col("event_type"), col("kbucket"))))
+      .withColumn("pid", pid)
+      .select("pid", "data")
+
+    val acts = binarized
+      .withColumn("sid", sid)
+      .withColumn("pid", pid)
+      .withColumn("aid",
+        concat(lit("toxvaldb-"), md5(concat_ws("|", col("sid"), col("pid")))))
+      .select("aid", "sid", "pid", "inchi", "value", "numvalue")
+
+    StagingTriplet(subs, props, acts)
+  }
+}

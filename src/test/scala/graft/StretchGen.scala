@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic ~sf1 stretch of the driver's sf0.1 testdata (VERDICT r4 #4:
+  * "run BrickProfile and CurationProfile at sf1, or a 10× synthetic
+  * stretch if /root/testdata lacks sf1" — it does, so this builds one).
+  *
+  * Each fact/entity table is replicated `factor` times with every
+  * ENTITY KEY remapped `key * factor + replica` — join integrity is
+  * preserved (an order's lineitems follow it into the same replica,
+  * a customer keeps its orders, a part its lineitems), entity
+  * cardinality scales with the data (as the real generator does), and
+  * replica 0 is the original data unchanged. Dimension tables with
+  * fixed real-world cardinality (region, nation) are NOT replicated —
+  * exactly like TPC-H's fixed nation/region at every sf. Text/payload
+  * columns repeat across replicas; the macro profiles measure
+  * shuffle/aggregate scaling, not entropy.
+  *
+  * Usage: `Test/runMain graft.StretchGen [factor] [outDir]`
+  * (defaults: 10, /root/repo/target/sf1-stretch)
+  */
+object StretchGen {
+  // every column that participates in a join or is an entity id
+  private val keyCols = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+  private val passthrough = Seq("region", "nation")
+
+  def stretch(spark: SparkSession, inDir: String, outDir: String,
+      factor: Int): Unit = {
+    passthrough.foreach { t =>
+      spark.read.parquet(s"$inDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    keyCols.foreach { case (t, keys) =>
+      val base = spark.read.parquet(s"$inDir/$t.parquet")
+      // one explode per row instead of N unioned scans: a single pass
+      // over the input producing factor× output, fully parallel
+      val replicated = base
+        .withColumn("__rep", explode(sequence(lit(0), lit(factor - 1))))
+      val remapped = keys.foldLeft(replicated) { (df, k) =>
+        df.withColumn(k, col(k) * factor + col("__rep"))
+      }
+      remapped.drop("__rep")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val outDir = args.lift(1).getOrElse("/root/repo/target/sf1-stretch")
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "graft-stretch")
+    spark.sparkContext.setLogLevel("WARN")
+    stretch(spark, "/root/testdata/sf0.1", outDir, factor)
+    println(s"STRETCH_DONE $outDir x$factor")
+    spark.stop()
+  }
+}
