@@ -184,7 +184,24 @@ object Harmonize {
 
     // activities: composite-key re-key joins (py:76-78). The union is
     // consumed twice (re-key chain + the distinct-inchi scan below).
-    val actsStaging = materialize(unionWithSource(_.activities))
+    //
+    // PRE-COLLAPSE below the joins, INSIDE the materialization: a
+    // wide-assay source (bindingdb shape) stages many measurements per
+    // (sid, pid, value) — 6.8× at the testdata — and every duplicate
+    // would otherwise be checkpointed raw and ride through BOTH id-map
+    // shuffle joins only to be collapsed at the end. Grouping on the
+    // OLD ids first is a pure refinement of the final collapse (the
+    // old→new mapping is per-(source, old-id) functional, so groups
+    // can only merge downstream and min-of-min = min): bit-identical
+    // output, with the checkpoint, both join shuffles, AND the
+    // distinct-inchi scan carrying the collapsed row count instead of
+    // the raw staging count (the collapse preserves the inchi set).
+    // This is the partial-aggregation-below-join pushdown Catalyst
+    // can't infer across the union + join + hash re-key chain.
+    val actsStaging = materialize(unionWithSource(_.activities)
+      .groupBy(col("source"), col("sid"), col("pid"), col("inchi"),
+        col("value"))
+      .agg(min(col("numvalue")).as("numvalue")))
     val rekeyed = actsStaging
       .withColumnRenamed("sid", "old_sid")
       .withColumnRenamed("pid", "old_pid")

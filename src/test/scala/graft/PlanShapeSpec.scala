@@ -99,4 +99,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
     assert(!plan.contains("ObjectHashAggregate"), plan)
   }
+
+  private def stagingPlan(a: graft.sources.SourceAdapter): String =
+    a.staging(spark, sf()).activities.queryExecution.executedPlan.toString
+
+  test("new integrator stagings: dims broadcast, no cartesian, no global window") {
+    // the five round-6 adapters each carry a dim join (comptox / GHS
+    // TSV / assay slice) that must broadcast, and several window passes
+    // that must all be PARTITIONED (a Window with an empty partition
+    // spec is the single-partition shape that dies at corpus scale)
+    Seq(graft.sources.ToxvaldbAdapter, graft.sources.Tox21Adapter,
+      graft.sources.ToxcastAdapter, graft.sources.ReachAdapter,
+      graft.sources.PubchemAdapter).foreach { a =>
+      val plan = stagingPlan(a)
+      assert(!plan.contains("CartesianProduct"), s"${a.name}:\n$plan")
+      // every windowspec in the plan names at least one partition col:
+      // "Window [..], [part cols], [order]" — an unpartitioned window
+      // prints "Window [..], [order]" with no partition list between
+      assert(!plan.linesIterator.exists(l =>
+        l.trim.startsWith("Window ") && l.contains("], []")),
+        s"${a.name} has an unpartitioned window:\n$plan")
+    }
+    // the structure/lookup dims actually broadcast
+    assert(stagingPlan(graft.sources.ToxvaldbAdapter)
+      .contains("BroadcastHashJoin"))
+    assert(stagingPlan(graft.sources.ReachAdapter)
+      .contains("BroadcastHashJoin"))
+  }
+
+  test("tox21 expansion is a Generate (map-side explode), not a join") {
+    val plan = stagingPlan(graft.sources.Tox21Adapter)
+    assert(plan.contains("Generate"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("pubchem single-entry filter is one partitioned window over the slice") {
+    val plan = stagingPlan(graft.sources.PubchemAdapter)
+    // the count-over-id window partitions by the compound id
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -49,7 +49,20 @@ object StretchGen {
       val remapped = keys.foldLeft(replicated) { (df, k) =>
         df.withColumn(k, col(k) * factor + col("__rep"))
       }
-      remapped.drop("__rep")
+      // c_name is an IDENTITY string (the ctdbase-shaped adapter keys
+      // its structure lookup on the CAS name, as the reference does):
+      // leaving it duplicated across replicas creates 10×10 homonym
+      // fan-outs in the brick that real growth doesn't have. Replica 0
+      // keeps the original name; document TEXT is deliberately NOT
+      // remapped — the duplicate burst is a harder dedup-path test.
+      val renamed =
+        if (t == "customer")
+          remapped.withColumn("c_name",
+            when(col("__rep") === 0, col("c_name"))
+              .otherwise(concat(col("c_name"), lit("-r"),
+                col("__rep").cast("string"))))
+        else remapped
+      renamed.drop("__rep")
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
   }
