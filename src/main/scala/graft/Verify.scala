@@ -10,13 +10,23 @@ object Verify {
     val spark = GraftSession.local(cpus, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query failures are caught so one bad query can't zero the
+    // round, but they must be LOUD: in round 5 a testdata-type change
+    // made 38 queries throw and the gate silently shrank from 176 to
+    // 138 all-green rows. The final count line goes to stdout so the
+    // driver's log shows the shrink even when stderr is discarded.
+    var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    println(s"[verify] dumped ${SparkEntry.queries.size - failed.size}/" +
+      s"${SparkEntry.queries.size} queries" +
+      (if (failed.isEmpty) "" else s"; FAILED: ${failed.sorted.mkString(", ")}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
