@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through RAW (no "[info] " prefix): the
+// driver's bench harness scans stdout for a line that parses as JSON,
+// and sbt's default BufferedOutput prefix makes every line start with
+// "[info] " — six rounds of BENCH_rNN.json had parsed:null because of
+// exactly that prefix.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's own "[success] Total time: ..." trailer, which
+// otherwise lands AFTER the bench JSON and becomes the final stdout
+// line. With both settings the raw JSON summary is the last line the
+// driver sees.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -30,6 +30,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
+  /** The COMMITTED size of the correctness surface. Round-5 lesson: a
+    * testdata change made 38 queries throw inside Verify and the gate
+    * silently shrank 176 → 138 all-green rows for a full round. This
+    * constant is the tripwire — SparkEntrySpec asserts
+    * `queries.size == expectedQueryCount` and that every query carries
+    * an oracle, so any unintentional surface shrink (or an added query
+    * missing its oracle) fails `sbt test` instead of riding a round.
+    * Intentionally changing the surface REQUIRES touching this number.
+    */
+  val expectedQueryCount: Int = 182
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.flatMap(_.queries).toMap

@@ -9,18 +9,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word-3-shingles per doc; stop-shingles with document
-    * frequency > maxDf pruned (hot-key guard for the self-join and noise
-    * reduction for MinHash).
+  /** Distinct word-k-shingles per doc (k = 3 default); stop-shingles
+    * with document frequency > maxDf pruned (hot-key guard for the
+    * self-join and noise reduction for MinHash). k is a real knob:
+    * smaller k = higher recall / noisier candidates, larger k = sharper
+    * fingerprints — DedupFuzzSpec drives it across the generated plans.
     */
-  def shingles(docs: DataFrame, maxDf: Long = 100): DataFrame = {
+  def shingles(docs: DataFrame, maxDf: Long = 100, k: Int = 3): DataFrame = {
+    require(k >= 1, s"shingle k must be >= 1, got $k")
     val sh = docs
       .withColumn("ts", split(col("text"), " "))
-      .filter(size(col("ts")) >= 3)
+      .filter(size(col("ts")) >= k)
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(expr(
-          "transform(sequence(1, size(ts)-2), " +
-            "g -> concat_ws(' ', ts[g-1], ts[g], ts[g+1]))"))).as("sh"))
+          s"transform(sequence(0, size(ts)-$k), " +
+            s"g -> concat_ws(' ', slice(ts, g + 1, $k)))"))).as("sh"))
     // Prune via the HOT set, not the keep set: shingles with df > maxDf
     // are by construction few (each costs > maxDf rows), so the anti join
     // is against a small side instead of the (huge) keep list. No
@@ -181,19 +184,29 @@ object Dedup {
           "cast(0 AS bigint), (a, v) -> a + v)"))
       .select("doc_id", "simhash")
 
-  /** SimHash candidates via 4×16-bit pigeonhole blocks (any pair with
-    * hamming ≤ 3 shares an exact block) → (da, db, hamming).
+  /** SimHash candidates via nBlocks-way pigeonhole blocks over the
+    * 64-bit signature (any pair with hamming ≤ nBlocks-1 shares an
+    * exact block) → (da, db, hamming). nBlocks = 4 (16-bit blocks) by
+    * default; more blocks = wider hamming guarantee but more candidate
+    * collisions — the recall/cost knob DedupFuzzSpec drives.
     */
-  def simhashCandidates(docs: DataFrame): DataFrame =
-    simhashCandidatesFromSignatures(simhashSignatures(docs))
+  def simhashCandidates(docs: DataFrame, nBlocks: Int = 4): DataFrame =
+    simhashCandidatesFromSignatures(simhashSignatures(docs), nBlocks)
 
   /** SimHash candidate generation from a signature frame — freshly
     * built or read back from a written index.
     */
-  private def simhashCandidatesFromSignatures(sim: DataFrame): DataFrame = {
+  private def simhashCandidatesFromSignatures(sim: DataFrame,
+      nBlocks: Int = 4): DataFrame = {
+    require(nBlocks >= 1 && 64 % nBlocks == 0,
+      s"nBlocks must divide 64, got $nBlocks")
+    val bits = 64 / nBlocks
+    // mask covers the block's bits, so the arithmetic shiftright's sign
+    // fill never reaches the compared value
+    val mask = if (bits == 64) -1L else (1L << bits) - 1L
     val blocks = sim.select(col("doc_id"), explode(expr(
-        "transform(sequence(0, 3), b -> named_struct(" +
-          "'blk', b, 'bval', shiftright(simhash, b * 16) & 65535))"))
+        s"transform(sequence(0, ${nBlocks - 1}), b -> named_struct(" +
+          s"'blk', b, 'bval', shiftright(simhash, b * $bits) & $mask))"))
         .as("x"))
       .select(col("doc_id"), col("x.blk").as("blk"), col("x.bval").as("bval"))
     val b2 = blocks.select(col("doc_id").as("db"), col("blk"), col("bval"))

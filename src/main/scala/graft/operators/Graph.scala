@@ -173,10 +173,10 @@ object Graph {
     * full history — `GraphSpec` pins incremental ≡ one-shot exactly.
     */
   def incrementalComponents(assign: DataFrame, newEdges: DataFrame,
-      aCol: String, bCol: String): DataFrame =
+      aCol: String, bCol: String, maxIters: Int = 20): DataFrame =
     connectedComponents(
       assign.select(col("id").as("a"), col("component").as("b"))
         .union(newEdges.select(col(aCol).cast("long").as("a"),
           col(bCol).cast("long").as("b"))),
-      "a", "b")
+      "a", "b", maxIters)
 }

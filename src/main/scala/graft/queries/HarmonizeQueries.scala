@@ -200,6 +200,16 @@ object HarmonizeQueries extends QueryModule {
     "h17_pubchem_staging" -> ((s, d) => {
       SourceAdapter.cachedStaging(PubchemAdapter, s, d)
         .activities.orderBy(col("aid"))
+    }),
+
+    // The sider/tox21_12-shaped multi-label integrator end-to-end: wide
+    // binary matrix → smiles/inchi filters → schema-driven unpivot →
+    // lit-pid per discovered label → 0→negative/otherwise→positive
+    // (ref: src/15_integrate_sider.py:28-83,
+    // src/17_integrate_tox21_12.py:28-104).
+    "h18_sider_staging" -> ((s, d) => {
+      SourceAdapter.cachedStaging(SiderAdapter, s, d)
+        .activities.orderBy(col("aid"))
     })
   )
 
@@ -626,6 +636,51 @@ object HarmonizeQueries extends QueryModule {
       |    inchi, value, CAST(NULL AS DOUBLE) AS numvalue,
       |    'pubchem' AS source
       |  FROM pcjoin),
+      |swide AS (
+      |  SELECT 'TOX-' || CAST(p_partkey AS VARCHAR) AS mol_id,
+      |    CASE WHEN p_partkey % 97 = 0 THEN NULL
+      |         ELSE 'S' || CAST(p_partkey AS VARCHAR) END AS smiles,
+      |    CASE WHEN (p_partkey * 7 + 1) % 53 = 0 THEN NULL
+      |         WHEN p_size > 25 THEN 1 ELSE 0 END AS nr_large,
+      |    CASE WHEN (p_partkey * 7 + 2) % 53 = 0 THEN NULL
+      |         WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END AS nr_brass,
+      |    CASE WHEN (p_partkey * 7 + 3) % 53 = 0 THEN NULL
+      |         WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS sr_promo,
+      |    CASE WHEN (p_partkey * 7 + 4) % 53 = 0 THEN NULL
+      |         WHEN p_type LIKE '%STEEL%' THEN 1 ELSE 0 END AS sr_steel,
+      |    CASE WHEN (p_partkey * 7 + 5) % 53 = 0 THEN NULL
+      |         WHEN p_retailprice < 1400 THEN 1 ELSE 0 END AS sr_economy
+      |  FROM part),
+      |sfin AS (
+      |  SELECT * FROM (
+      |    SELECT *, CASE WHEN smiles LIKE '%7' THEN ''
+      |      ELSE 'InChI=1S/' || smiles END AS inchi
+      |    FROM swide WHERE smiles IS NOT NULL)
+      |  WHERE inchi <> ''),
+      |slong AS (
+      |  SELECT mol_id, smiles, inchi, 'nr_large' AS label,
+      |    nr_large AS rawvalue FROM sfin
+      |  UNION ALL SELECT mol_id, smiles, inchi, 'nr_brass', nr_brass
+      |    FROM sfin
+      |  UNION ALL SELECT mol_id, smiles, inchi, 'sr_promo', sr_promo
+      |    FROM sfin
+      |  UNION ALL SELECT mol_id, smiles, inchi, 'sr_steel', sr_steel
+      |    FROM sfin
+      |  UNION ALL SELECT mol_id, smiles, inchi, 'sr_economy', sr_economy
+      |    FROM sfin),
+      |sacts AS (
+      |  SELECT md5('{"inchi": "' || inchi || '", "mol_id": "' || mol_id ||
+      |      '", "smiles": "' || smiles || '"}') AS sid,
+      |    md5('{"active_label": "Active", "active_value": 1, ' ||
+      |      '"description": "' || upper(label) ||
+      |      ' indicator over the parts catalog", ' ||
+      |      '"inactive_label": "Inactive", "inactive_value": 0, ' ||
+      |      '"property": "' || label || '"}') AS pid,
+      |    inchi,
+      |    CASE WHEN rawvalue = 0 THEN 'negative' ELSE 'positive' END
+      |      AS value,
+      |    CAST(rawvalue AS DOUBLE) AS numvalue, 'sider' AS source
+      |  FROM slong),
       |allacts AS (
       |  -- the brick's final collapse: reference distinct (py:84) over the
       |  -- numvalue-free columns, generalized to min(numvalue)
@@ -643,7 +698,7 @@ object HarmonizeQueries extends QueryModule {
       |      UNION ALL SELECT * FROM cacts UNION ALL SELECT * FROM tacts
       |      UNION ALL SELECT * FROM tvacts UNION ALL SELECT * FROM t21acts
       |      UNION ALL SELECT * FROM tcacts UNION ALL SELECT * FROM racts
-      |      UNION ALL SELECT * FROM pcacts))
+      |      UNION ALL SELECT * FROM pcacts UNION ALL SELECT * FROM sacts))
       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8)
       |""".stripMargin
 
@@ -711,7 +766,12 @@ object HarmonizeQueries extends QueryModule {
         |  SELECT DISTINCT 'pubchem',
         |    '{"inchi": "' || inchi || '", "pubchem_cid": ' ||
         |      CAST(l_partkey AS VARCHAR) || '}'
-        |  FROM pcjoin)
+        |  FROM pcjoin
+        |  UNION ALL
+        |  SELECT DISTINCT 'sider',
+        |    '{"inchi": "' || inchi || '", "mol_id": "' || mol_id ||
+        |      '", "smiles": "' || smiles || '"}'
+        |  FROM sfin)
         |ORDER BY sid, source""".stripMargin),
 
     "h2_properties_brick" -> (actsCte +
@@ -774,7 +834,15 @@ object HarmonizeQueries extends QueryModule {
         |    '{"assay_id": ' || CAST(o_orderkey AS VARCHAR) ||
         |      ', "o_orderpriority": "' || o_orderpriority ||
         |      '", "o_orderstatus": "' || o_orderstatus || '"}'
-        |  FROM pcjoin)
+        |  FROM pcjoin
+        |  UNION ALL
+        |  SELECT DISTINCT 'sider',
+        |    '{"active_label": "Active", "active_value": 1, ' ||
+        |      '"description": "' || upper(label) ||
+        |      ' indicator over the parts catalog", ' ||
+        |      '"inactive_label": "Inactive", "inactive_value": 0, ' ||
+        |      '"property": "' || label || '"}'
+        |  FROM slong)
         |ORDER BY pid, source""".stripMargin),
 
     "h3_activities_qc" -> (actsCte +
@@ -829,7 +897,9 @@ object HarmonizeQueries extends QueryModule {
         |  UNION ALL
         |  SELECT 'reach', count(DISTINCT hazard) FROM rsup
         |  UNION ALL
-        |  SELECT 'pubchem', count(DISTINCT o_orderkey) FROM pcjoin),
+        |  SELECT 'pubchem', count(DISTINCT o_orderkey) FROM pcjoin
+        |  UNION ALL
+        |  SELECT 'sider', count(DISTINCT label) FROM slong),
         |apids AS (
         |  SELECT source, count(DISTINCT pid) AS n_apids
         |  FROM allacts GROUP BY 1)
@@ -943,6 +1013,17 @@ object HarmonizeQueries extends QueryModule {
         |    md5('pcassay:' || CAST(o_orderkey AS VARCHAR)) AS pid,
         |    inchi, value
         |  FROM pcjoin)
+        |ORDER BY aid""".stripMargin),
+
+    "h18_sider_staging" -> (actsCte +
+      """SELECT 'sider-' || md5(sid || '|' || pid) AS aid,
+        |  sid, pid, inchi, value, numvalue FROM (
+        |  SELECT md5('sider:' || smiles) AS sid,
+        |    md5('sidlab:' || label) AS pid, inchi,
+        |    CASE WHEN rawvalue = 0 THEN 'negative' ELSE 'positive' END
+        |      AS value,
+        |    CAST(rawvalue AS DOUBLE) AS numvalue
+        |  FROM slong)
         |ORDER BY aid""".stripMargin)
   )
 }

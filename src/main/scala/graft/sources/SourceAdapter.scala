@@ -39,15 +39,16 @@ object SourceAdapter {
     * (the reference unions ~15 staging dirs, src/80_harmonize.py:33):
     * the three simple assay shapes plus every composite pattern the
     * reference's dvc.yaml actually runs (chembl-, ICE-, bindingdb-,
-    * ctdbase-, toxrefdb-, toxvaldb-, tox21-, toxcast-, reach-, and
-    * pubchem-shaped). HIV and skinsensdb exist in the reference tree but
-    * are not wired into dvc.yaml — the reference never runs them.
+    * ctdbase-, toxrefdb-, toxvaldb-, tox21-, toxcast-, reach-,
+    * pubchem-, and sider/tox21_12-shaped). HIV and skinsensdb exist in
+    * the reference tree but are not wired into dvc.yaml — the reference
+    * never runs them.
     */
   val all: Seq[SourceAdapter] = Seq(
     EventsAdapter, OrdersAdapter, DocumentsAdapter, LineitemAdapter,
     IceAdapter, BindingdbAdapter, CtdbaseAdapter, ToxrefdbAdapter,
     ToxvaldbAdapter, Tox21Adapter, ToxcastAdapter, ReachAdapter,
-    PubchemAdapter)
+    PubchemAdapter, SiderAdapter)
 
   /** Session-scoped memo of staged triplets, localCheckpoint-ed — same
     * policy (and same rationale) as Harmonize.cachedBrick. The composite

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.harmonize.Harmonize
+import graft.sources.SourceAdapter
+
+/** Dev tool: SUB-stage attribution for the brick assembly — the one
+  * macro stage BrickProfile times as a single line and the round-6
+  * scale-step flagged as superlinear (9.3s → 102.8s at 10× data).
+  * `sbt "Test/runMain graft.AssemblyProfile [sfDir]"` stages everything
+  * first (cached, untimed here — BrickProfile covers it), then runs the
+  * exact production assembly (`Harmonize.brickFromStaged` with the
+  * localCheckpoint materialize hook, same as cachedBrick) with each
+  * materialization and each final-table checkpoint timed separately:
+  *
+  *   subs.union+canon   the substances staging union + canonicalize UDF
+  *                      + md5 re-key, checkpointed
+  *   props.union+canon  same for properties
+  *   acts.union+precollapse  the activities union + (source, old-id)
+  *                      pre-collapse groupBy, checkpointed
+  *   substances.ckpt    distinct over subs staging → checkpoint
+  *   properties.ckpt    distinct over props staging → checkpoint
+  *   activities.ckpt    both (source, old-id) re-key joins + inchi
+  *                      distinct/convert/join-back + final collapse →
+  *                      checkpoint
+  *
+  * Each line also reports the JVM-wide GC-time delta for the stage: in
+  * a single-JVM local run, superlinear wall-clock with a matching GC
+  * blow-up means storage-memory pressure (checkpoint blocks evicting),
+  * not shuffle work — two different fixes.
+  */
+object AssemblyProfile {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.local(cpus, "assembly-profile")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def time[T](n: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val g0 = gcMs
+      val r = f
+      println(f"[aprof] $n%-24s ${(System.nanoTime() - t0) / 1e9}%7.2fs  gc=${gcMs - g0}%5dms")
+      r
+    }
+
+    // stage everything first (what BrickProfile attributes per adapter)
+    val t0 = System.nanoTime()
+    val staged = SourceAdapter.all.map(a =>
+      a.name -> SourceAdapter.cachedStaging(a, spark, d))
+    staged.foreach(_._2.activities.count())
+    println(f"[aprof] stagings(all, cached)    ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+
+    // the production assembly with each materialization timed; the hook
+    // fires in brickFromStaged's fixed order: subs, props, acts
+    val labels = Iterator("subs.union+canon", "props.union+canon",
+      "acts.union+precollapse")
+    val inter = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val tAll = System.nanoTime()
+    val b = Harmonize.brickFromStaged(staged,
+      materialize = { df =>
+        val c = time(labels.next()) { df.localCheckpoint() }
+        inter += c; c
+      })
+    val subs = time("substances.ckpt") { b.substances.localCheckpoint() }
+    val props = time("properties.ckpt") { b.properties.localCheckpoint() }
+    val acts = time("activities.ckpt") { b.activities.localCheckpoint() }
+    println(f"[aprof] ASSEMBLY TOTAL           ${(System.nanoTime() - tAll) / 1e9}%7.2fs rows: subs=${subs.count()} props=${props.count()} acts=${acts.count()}")
+    inter.foreach(MemoRegistry.release)
+    spark.stop()
+  }
+}

@@ -91,7 +91,7 @@ class CompositeAdapterSpec extends SparkSpec {
     assert(tox.activities.filter(col("sid") === badSid).count() == 0)
   }
 
-  test("thirteen-source brick passes the full DataQuality suite") {
+  test("fourteen-source brick passes the full DataQuality suite") {
     val brick = Harmonize.cachedBrick(spark, sf(), SourceAdapter.all)
     val res = DataQuality.run(brick, SourceAdapter.all.map(_.name).toSet)
     assert(res.forall(_.passed), res.filterNot(_.passed).mkString("; "))

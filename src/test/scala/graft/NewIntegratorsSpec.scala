@@ -125,7 +125,40 @@ class NewIntegratorsSpec extends SparkSpec {
     coverExactly(pc)
   }
 
-  test("thirteen-source brick: new sources harmonize and pass DataQuality") {
+  private lazy val sider = SourceAdapter.cachedStaging(SiderAdapter, spark, sf())
+
+  test("sider: multi-label unpivot retains matrix nulls; filters hold") {
+    val acts = sider.activities
+    assert(acts.count() > 0)
+    // exactly the 5 discovered label columns become properties
+    assert(sider.properties.count() == 5)
+    // the unpivot must RETAIN null matrix cells (the load-bearing
+    // Dataset.unpivot-vs-SQL-UNPIVOT distinction): every surviving
+    // compound yields exactly |labels| activity rows
+    assert(acts.groupBy("sid").count()
+      .filter(col("count") =!= 5).isEmpty)
+    // the null→positive reference wart (15:79): missing cells carry
+    // value=positive with a NULL numvalue
+    val missing = acts.filter(col("numvalue").isNull)
+    assert(missing.count() > 0)
+    assert(missing.filter(col("value") =!= "positive").isEmpty)
+    // measured cells: 0→negative, 1→positive, numvalue ∈ {0.0, 1.0}
+    val measured = acts.filter(col("numvalue").isNotNull)
+    assert(measured.filter(!col("numvalue").isin(0.0, 1.0)).isEmpty)
+    assert(measured.filter(
+      (col("numvalue") === 0.0 && col("value") =!= "negative") ||
+      (col("numvalue") === 1.0 && col("value") =!= "positive")).isEmpty)
+    // filter 1: null-smiles compounds (partkey % 97 == 0) dropped
+    assert(acts.filter(col("sid") === md5(lit("sider:S97"))).isEmpty)
+    // filter 2: failed conversions (smiles ending in '7') dropped —
+    // every surviving inchi is non-empty and well-formed
+    assert(acts.filter(!col("inchi").startsWith("InChI=1S/S")).isEmpty)
+    assert(acts.filter(col("inchi").endsWith("7")).isEmpty)
+    assert(acts.count() == acts.select("aid").distinct().count())
+    coverExactly(sider)
+  }
+
+  test("fourteen-source brick: new sources harmonize and pass DataQuality") {
     val brick = Harmonize.cachedBrick(spark, sf(), SourceAdapter.all)
     val sources = brick.activities.select("source").distinct()
       .collect().map(_.getString(0)).toSet

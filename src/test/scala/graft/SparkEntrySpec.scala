@@ -50,4 +50,21 @@ class SparkEntrySpec extends AnyFunSuite {
   test("the flagship entry query is registered") {
     assert(SparkEntry.queries.contains("q1_pricing_summary"))
   }
+
+  // The round-5 gate-shrink tripwire (VERDICT r6 #7): the correctness
+  // surface has a COMMITTED size, and every query must carry a DuckDB
+  // oracle — the driver records a weaker rows-only check otherwise, and
+  // a query silently dropping out of either map would otherwise ride a
+  // full round unnoticed (round 5 shipped 176 → 138 exactly that way).
+  test("gate integrity: surface size matches the committed count") {
+    assert(SparkEntry.queries.size == SparkEntry.expectedQueryCount,
+      s"queries.size=${SparkEntry.queries.size} != committed " +
+        s"${SparkEntry.expectedQueryCount}; if the surface change is " +
+        "intentional, update SparkEntry.expectedQueryCount")
+  }
+
+  test("gate integrity: every query has an oracle (full-strength gate)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
 }
