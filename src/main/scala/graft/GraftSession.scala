@@ -22,7 +22,17 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Apply graft extensions + recommended confs to an arbitrary builder. */
+  /** Apply graft extensions + recommended confs to an arbitrary builder.
+    *
+    * (Round-7 note: lowering spark.memory.storageFraction to let the
+    * brick assembly evict resident staging blocks was tried and
+    * REJECTED — mid-stage eviction trades aggregation spill for disk
+    * churn that the join stages then re-pay reading the blocks back;
+    * measured slower than the default floor at the 10× stretch. The
+    * working levers are serialized checkpoint blocks for fact-scale
+    * memos — MemoRegistry.checkpointLarge — and a heap sized to the
+    * data for single-JVM macro runs; see BENCH_LOCAL.md round 7.)
+    */
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")

@@ -26,6 +26,25 @@ object MemoRegistry {
   def evictAll(spark: SparkSession): Unit =
     hooks.synchronized { hooks.toSeq }.foreach(_(spark))
 
+  /** Eager localCheckpoint at MEMORY_AND_DISK_SER — the storage level
+    * for LARGE memoized fact frames (staging triplets, brick assembly
+    * intermediates, brick tables). The default deserialized level keeps
+    * one UnsafeRow copy + object header per row resident; serialized
+    * blocks are one compact buffer per partition, several times
+    * smaller. That footprint is the difference between the brick
+    * assembly aggregating with free execution memory and spilling:
+    * at the 10× stretch on a 16 GB heap the resident staging blocks
+    * starved the pre-collapse aggregation into 4 GB of spill and a 44×
+    * sub-stage blow-up (AssemblyProfile/AggProbe, round 7) — with
+    * serialized blocks the same stage is near-linear at the same heap.
+    * Small frames (per-round component labels, centroid tables, query
+    * slices) stay on the default level where per-read deserialization
+    * would cost more than the footprint saves.
+    */
+  def checkpointLarge(df: DataFrame): DataFrame =
+    df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   /** Release one memoized frame: drop its CacheManager entry AND any
     * localCheckpoint blocks backing its plan leaves (unpersist alone
     * leaves those to the garbage collector).

@@ -103,15 +103,20 @@ object Harmonize {
       // canonicalize UDF — twice. Materializing the intermediates once
       // makes the three table checkpoints cheap projections of shared
       // scans (BrickProfile: assembly 30.8s → ~17s at sf0.1).
+      // checkpointLarge (serialized blocks) for the staging unions and
+      // the three tables: these are the fact-scale frames whose
+      // deserialized footprint starved the assembly's aggregation into
+      // spill at the 10× stretch (see MemoRegistry.checkpointLarge)
       val inter = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       val b = brickFromStaged(
         adapters.map(a =>
           a.name -> SourceAdapter.cachedStaging(a, spark, sfDir)),
         converter,
-        materialize = { df => val c = df.localCheckpoint(); inter += c; c })
-      val out = Brick(b.substances.localCheckpoint(),
-        b.properties.localCheckpoint(),
-        b.activities.localCheckpoint())
+        materialize = { df =>
+          val c = graft.MemoRegistry.checkpointLarge(df); inter += c; c })
+      val out = Brick(graft.MemoRegistry.checkpointLarge(b.substances),
+        graft.MemoRegistry.checkpointLarge(b.properties),
+        graft.MemoRegistry.checkpointLarge(b.activities))
       // the staging-union checkpoints only serve the assembly above; the
       // three final tables carry their own blocks, so free the
       // intermediates now instead of waiting for the ContextCleaner

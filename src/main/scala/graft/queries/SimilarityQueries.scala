@@ -214,9 +214,11 @@ object SimilarityQueries extends QueryModule {
       // project-collapse inline each layer 64× per element); search
       // ranks by the dot of DECODED midpoints, which cancels the
       // affine Σnb-popularity bias.
+      // Decoded midpoints come from the session artifact memo
+      // (quantize once per (session, sfDir), search many — the ann9
+      // pattern); the oracle still replays quantize+decode end-to-end.
       val e = Tables.embeddings(s, d)
-      val (sqStats, sqCodes) = graft.operators.ScalarQuantIndex.build(e)
-      val rvec = graft.operators.ScalarQuantIndex.reconstruct(sqCodes, sqStats)
+      val rvec = graft.operators.ScalarQuantIndex.cachedDecoded(s, d, e)
       val quant = rvec.join(e, Seq("vec_id"))
 
       val q = quant.filter(col("vec_id") < 10)

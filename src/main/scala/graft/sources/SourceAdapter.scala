@@ -79,9 +79,12 @@ object SourceAdapter {
       sfDir: String): StagingTriplet = memo.synchronized {
     memo.getOrElseUpdate((spark, sfDir, a.name), {
       val t = a.staging(spark, sfDir)
-      StagingTriplet(t.substances.localCheckpoint(),
-        t.properties.localCheckpoint(),
-        t.activities.localCheckpoint())
+      // serialized blocks (checkpointLarge): 14 resident triplets are
+      // the biggest storage tenant in a macro run, and their footprint
+      // is what starves the downstream assembly's execution memory
+      StagingTriplet(graft.MemoRegistry.checkpointLarge(t.substances),
+        graft.MemoRegistry.checkpointLarge(t.properties),
+        graft.MemoRegistry.checkpointLarge(t.activities))
     })
   }
 }

@@ -67,7 +67,47 @@ object StretchGen {
     }
   }
 
+  /** Documents-only stretch for the dedup/curation scale step (VERDICT
+    * r6 #5): replicate ONLY documents.parquet by `factor`, remapping
+    * doc_id like the full stretch, but PERTURB each replica's text with
+    * one appended replica-unique token (replica 0 stays the original).
+    * Rationale: byte-identical replicas collapse in the exact-dedup
+    * stage before LSH ever works (the round-6 finding), so a full-dup
+    * stretch measures the exact-dedup path, not banding. One appended
+    * token shifts the shingle set by ≤3 shingles (Jaccard within a
+    * replica group stays ≳0.9) while defeating the content-hash exact
+    * dedup — every replica group becomes a factor-sized clique of TRUE
+    * near-duplicates that the banded path must discover and components
+    * must collapse.
+    */
+  def stretchDocs(spark: SparkSession, inDir: String, outDir: String,
+      factor: Int): Unit = {
+    val base = spark.read.parquet(s"$inDir/documents.parquet")
+    base
+      .withColumn("__rep", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("doc_id", col("doc_id") * factor + col("__rep"))
+      .withColumn("text",
+        when(col("__rep") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" qz"),
+            col("__rep").cast("string"))))
+      .withColumn("n_chars", length(col("text")))
+      .drop("__rep")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("docs")) {
+      val factor = args.lift(1).map(_.toInt).getOrElse(100)
+      val outDir = args.lift(2).getOrElse(
+        s"/root/repo/target/docs-stretch-x$factor")
+      val spark = GraftSession.local(
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "graft-stretch")
+      spark.sparkContext.setLogLevel("WARN")
+      stretchDocs(spark, "/root/testdata/sf0.1", outDir, factor)
+      println(s"STRETCH_DONE docs $outDir x$factor")
+      spark.stop()
+      return
+    }
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val outDir = args.lift(1).getOrElse("/root/repo/target/sf1-stretch")
     val spark = GraftSession.local(
