@@ -110,7 +110,8 @@ class PlanShapeSpec extends SparkSpec {
     // spec is the single-partition shape that dies at corpus scale)
     Seq(graft.sources.ToxvaldbAdapter, graft.sources.Tox21Adapter,
       graft.sources.ToxcastAdapter, graft.sources.ReachAdapter,
-      graft.sources.PubchemAdapter).foreach { a =>
+      graft.sources.PubchemAdapter, graft.sources.SiderAdapter)
+      .foreach { a =>
       val plan = stagingPlan(a)
       assert(!plan.contains("CartesianProduct"), s"${a.name}:\n$plan")
       // every windowspec in the plan names at least one partition col:
@@ -131,6 +132,16 @@ class PlanShapeSpec extends SparkSpec {
     val plan = stagingPlan(graft.sources.Tox21Adapter)
     assert(plan.contains("Generate"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("sider multi-label staging is exchange-free (scan→filter→unpivot)") {
+    // the reference loops one slice per label column and unions them
+    // (N scans); the Spark-first form is ONE native unpivot — an Expand
+    // over a single scan with no shuffle anywhere in the activities
+    // staging, the best possible shape for a melt at 100 TB
+    val plan = stagingPlan(graft.sources.SiderAdapter)
+    assert(plan.contains("Expand"), plan)
+    assert(!plan.contains("Exchange"), plan)
   }
 
   test("pubchem single-entry filter is one partitioned window over the slice") {
