@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Round-over-round bench comparison that knows about broken artifacts.
+
+Usage: python3 tools/bench_compare.py OLD.json NEW.json [threshold]
+
+Accepts either artifact shape:
+  - the full per-query map Bench writes to BENCH_LATEST.json, or
+  - a driver BENCH_rNN.json wrapper ({"tail": ..., "parsed": ...}) —
+    the per-query map is taken from "parsed" if present. (BENCH_r01-06
+    wrappers all have parsed:null; historical per-query maps live in
+    BENCH_LATEST.json at each round's end-of-round commit:
+    `git show <commit>:BENCH_LATEST.json > /tmp/rN.json`.)
+
+Queries listed in BENCH_r05_BROKEN.json (fail-fast rows recorded during
+the round-5 gate breakage) are excluded automatically whenever the OLD
+side carries their fail-fast signature (most of them present at <0.1s)
+— comparing against ~0.06s fail-fast times reports phantom regressions
+(the round-6 ADVICE finding).
+"""
+import json
+import os
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    if "queries" in d:
+        return d["queries"]
+    if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
+        return d["parsed"]["queries"]
+    raise SystemExit(f"{path}: no per-query map found (driver wrappers "
+                     "with parsed:null carry only a truncated stdout "
+                     "tail; use the round commit's BENCH_LATEST.json)")
+
+
+def main():
+    old_path, new_path = sys.argv[1], sys.argv[2]
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    old, new = load(old_path), load(new_path)
+
+    excluded = set()
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "..", "BENCH_r05_BROKEN.json")
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            broken = set(json.load(f)["broken_queries"])
+        hits = [q for q in broken if q in old and old[q] < 0.1]
+        if len(hits) >= 0.9 * len(broken):
+            excluded = broken
+            print(f"[excluding {len(excluded)} round-5 fail-fast queries "
+                  f"per BENCH_r05_BROKEN.json — old side matches the "
+                  f"fail-fast signature]")
+
+    shared = sorted((set(old) & set(new)) - excluded)
+    gone, added = sorted(set(old) - set(new)), sorted(set(new) - set(old))
+    regressions, wins = [], []
+    for q in shared:
+        o, n = old[q], new[q]
+        if o <= 0:
+            continue
+        r = n / o
+        if r >= threshold and n - o > 0.2:
+            regressions.append((r, q, o, n))
+        elif r <= 1 / threshold and o - n > 0.2:
+            wins.append((r, q, o, n))
+
+    tot_o = sum(old[q] for q in shared)
+    tot_n = sum(new[q] for q in shared)
+    print(f"shared={len(shared)} removed={len(gone)} added={len(added)}")
+    print(f"shared-total {tot_o:.1f}s -> {tot_n:.1f}s "
+          f"({tot_n / tot_o:.2f}x)" if tot_o else "")
+    for title, rows in (("REGRESSIONS", sorted(regressions, reverse=True)),
+                        ("wins", sorted(wins))):
+        if rows:
+            print(f"-- {title} (>= {threshold}x and >0.2s abs) --")
+            for r, q, o, n in rows:
+                print(f"  {q:34s} {o:7.2f}s -> {n:7.2f}s  ({r:.2f}x)")
+    if added:
+        print("-- added --", ", ".join(added))
+    if gone:
+        print("-- removed --", ", ".join(gone))
+    sys.exit(1 if regressions else 0)
+
+
+if __name__ == "__main__":
+    main()
