@@ -26,11 +26,17 @@ class MemoSoakSpec extends SparkSpec {
 
   test("five evict/rebuild cycles: flat storage, identical results") {
     val d = sf()
-    def build(): (Long, Long, Long) = {
+    // ann8/ann9 exercise the quantizer artifact memos
+    // (ScalarQuantIndex.cachedDecoded, ProductQuantIndex.cached) AND the
+    // eager release of PQ training-intermediate checkpoints inside
+    // build() — a leak there shows up as a rising post-evict census
+    def build(): (Long, Long, Long, Long, Long) = {
       val b = Harmonize.cachedBrick(spark, d, SourceAdapter.all)
       (b.activities.count(),
         b.substances.count(),
-        SparkEntry.queries("dd3_minhash_lsh")(spark, d).count())
+        SparkEntry.queries("dd3_minhash_lsh")(spark, d).count(),
+        SparkEntry.queries("ann8_scalar_quant")(spark, d).count(),
+        SparkEntry.queries("ann9_product_quant")(spark, d).count())
     }
     // cycle 0 establishes the baselines
     val expected = build()
