@@ -1,0 +1,32 @@
+package graft
+
+/** Dev tool: time a SUBSET of SparkEntry queries at an arbitrary data
+  * dir — `sbt "Test/runMain graft.QueryProbe <sfDir> <query> [query…]"`.
+  * Each query runs one unmeasured cold pass (builds whatever session
+  * memos it relies on) and two measured warm passes (min reported next
+  * to both) — the Bench protocol, scoped so macro scale-steps (e.g. the
+  * sf1 stretch, where a full 182-query Bench cold pass costs many
+  * minutes of brick building) can probe one operator family.
+  */
+object QueryProbe {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.drop(1).toSeq
+    require(names.nonEmpty, "usage: QueryProbe <sfDir> <query> [query...]")
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "query-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      fn(spark, d).count()                       // cold (memo build)
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, d).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[qprof] $n%-30s warm=${times.min}%6.2fs (passes ${times.map(t => f"$t%.2f").mkString("/")})")
+    }
+    spark.stop()
+  }
+}
