@@ -95,9 +95,10 @@ object TextQueries extends QueryModule {
     * spec — a pure per-row generator (explode of a sequence), so it is
     * stateless and applies unchanged to a readStream frame.
     */
-  private[graft] def chunked(docs: org.apache.spark.sql.DataFrame)
+  private[graft] def chunked(docs: org.apache.spark.sql.DataFrame,
+      w: Int = 32, stride: Int = 24)
       : org.apache.spark.sql.DataFrame = {
-    val w = 32; val stride = 24
+    require(w >= 1 && stride >= 1, s"bad chunking params w=$w stride=$stride")
     docs
       .withColumn("ts", split(lower(col("text")), " "))
       .withColumn("st",
