@@ -63,6 +63,15 @@ object GraftSession {
           spark.experimental.extraOptimizations :+
             plans.PushDistinctThroughUnion
       }
+      // Best effort only: an existing session has no analyzer hook, and
+      // by the user-provided-optimizers batch column pruning may have
+      // specialised the union branches (the rule then no-ops). The full
+      // rewrite needs the extensions path or plans.Melt.rewrite(df).
+      if (!spark.experimental.extraOptimizations
+          .contains(plans.MeltUnionToExpand)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ plans.MeltUnionToExpand
+      }
       functions.GraftFunctions.register(spark)
     }
     spark

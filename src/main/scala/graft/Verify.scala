@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: query-name prefix filter, local iteration only
+    // (the driver always calls with exactly two args → full surface)
+    val (sfDir, outDir, only) = args match {
+      case Array(a, b)    => (a, b, None)
+      case Array(a, b, c) => (a, b, Some(c))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
@@ -16,7 +21,9 @@ object Verify {
     // 138 all-green rows. The final count line goes to stdout so the
     // driver's log shows the shrink even when stderr is discarded.
     var failed = List.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(name.startsWith) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -24,8 +31,8 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    println(s"[verify] dumped ${SparkEntry.queries.size - failed.size}/" +
-      s"${SparkEntry.queries.size} queries" +
+    println(s"[verify] dumped ${selected.size - failed.size}/" +
+      s"${selected.size} queries" +
       (if (failed.isEmpty) "" else s"; FAILED: ${failed.sorted.mkString(", ")}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -150,6 +150,10 @@ class GraftExtensions
       e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.cosineSimDescriptor)
     e.injectOptimizerRule(_ => graft.plans.PushDistinctThroughUnion)
+    // Analyzer-stage (post-hoc resolution), NOT optimizer: the melt
+    // rewrite must see union branches before column pruning specialises
+    // each slice's scan to its own label column.
+    e.injectPostHocResolutionRule(_ => graft.plans.MeltUnionToExpand)
     e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
   }
 }

@@ -1,0 +1,140 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
+  AttributeMap, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.optimizer.CollapseProject
+import org.apache.spark.sql.catalyst.plans.logical.{Expand, LogicalPlan,
+  Project, Union}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DataType
+
+/** Rewrite a union of literal-tagged slices of ONE source into a single
+  * `Expand` — the reference's melt-by-loop anti-pattern compiled to the
+  * plan `unpivot` would have produced.
+  *
+  * The shape (ref: src/15_integrate_sider.py:61-70, SURVEY §2.8 R2): the
+  * integrator discovers label columns at runtime and builds one slice per
+  * label —
+  *
+  * {{{
+  *   for label in labels:
+  *       slices.append(df.select(ids, lit(label).as("label"),
+  *                               col(label).as("value")))
+  *   out = union_all(slices)
+  * }}}
+  *
+  * Executed literally that is |labels| scans of the same source plus a
+  * union; `Expand` (what `Dataset.unpivot` compiles to) emits the same
+  * multiset of rows from ONE scan with zero exchanges. `SiderAdapter`
+  * hand-writes the good plan; this rule gives naive user code the same
+  * plan automatically.
+  *
+  * Match conditions, all required:
+  *   - flat union (bag semantics, not byName) of ≥2 branches, each a
+  *     single `Project` (after `CollapseProject`, so analyzer-inserted
+  *     coercion projects collapse) or an `Expand` already produced by
+  *     this rule (the incremental `acc = acc.union(slice)` loop analyzes
+  *     each step eagerly, so later steps see the previous rewrite);
+  *   - every branch child is canonically the SAME plan (the analyzer's
+  *     relation dedup re-aliases exprIds per branch; canonical equality
+  *     sees through that), and fully deterministic — collapsing N scans
+  *     of a nondeterministic source into one is not semantics-preserving;
+  *   - at least one output position is a `Literal` in every branch with
+  *     ≥2 distinct values — the label/discriminator column that makes
+  *     this a melt and not an arbitrary self-union.
+  *
+  * The rewrite re-bases each branch's projection onto the first branch's
+  * child (positional attribute map, justified by canonical equality) and
+  * emits `Expand(projections, union.output, base)`. Union output keeps
+  * the head branch's exprIds with merged nullability, so every parent
+  * reference stays valid. Per input row Expand emits one row per
+  * projection — exactly the union-of-slices multiset; no ordering
+  * guarantee is lost because union never had one.
+  *
+  * Injection: `GraftExtensions.injectPostHocResolutionRule` — the rule
+  * must run BEFORE column pruning, which would otherwise specialise each
+  * branch's scan to its own label column and break canonical equality of
+  * the children. The `GraftSession.local` fallback path (pre-existing
+  * session, no analyzer hook) adds it to `extraOptimizations` as best
+  * effort: it still fires when the branches survive the main optimizer
+  * batches unspecialised (e.g. local relations), and silently no-ops
+  * otherwise — the rewrite is a plan improvement, never a correctness
+  * requirement. `Melt.rewrite(df)` applies it explicitly for callers on
+  * an un-extended session.
+  */
+object MeltUnionToExpand extends Rule[LogicalPlan] {
+
+  private def flatten(p: LogicalPlan): Seq[LogicalPlan] = p match {
+    case Union(cs, false, false) => cs.flatMap(flatten)
+    case other => Seq(other)
+  }
+
+  private def stripAlias(e: NamedExpression): Expression = e match {
+    case a: Alias => a.child
+    case other => other
+  }
+
+  /** One (projection, child) per emitted row-shape of the branch. */
+  private def slices(p: LogicalPlan): Option[Seq[(Seq[Expression], LogicalPlan)]] =
+    CollapseProject(p) match {
+      case Project(list, child) => Some(Seq((list.map(stripAlias), child)))
+      case Expand(projs, _, child) => Some(projs.map(es => (es, child)))
+      case _ => None
+    }
+
+  private def deterministicPlan(p: LogicalPlan): Boolean =
+    p.find(n => n.expressions.exists(e =>
+      e.find(!_.deterministic).isDefined)).isEmpty
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case u @ Union(_, false, false) =>
+      val branches = flatten(u)
+      val extracted =
+        if (branches.size < 2) None
+        else {
+          val sls = branches.map(slices)
+          if (sls.contains(None)) None else Some(sls.flatMap(_.get))
+        }
+      extracted match {
+        case Some(all) if all.size >= 2 =>
+          val n = u.output.length
+          val base = all.head._2
+          val shapeOk = all.forall { case (es, c) =>
+            es.length == n && c.canonicalized == base.canonicalized
+          } && deterministicPlan(base) &&
+            all.forall(_._1.forall(_.deterministic))
+          if (!shapeOk) u
+          else {
+            val rebased = all.map { case (es, c) =>
+              if (c.output == base.output) es
+              else {
+                val m = AttributeMap(c.output.zip(base.output))
+                es.map(_.transform { case a: Attribute => m.getOrElse(a, a) })
+              }
+            }
+            val hasLabel = (0 until n).exists { i =>
+              val pos = rebased.map(_(i))
+              pos.forall(_.isInstanceOf[Literal]) && pos.distinct.size >= 2
+            }
+            val typesOk = rebased.forall(_.zip(u.output).forall {
+              case (e, a) => DataType.equalsStructurally(
+                e.dataType, a.dataType, ignoreNullability = true)
+            })
+            if (hasLabel && typesOk) Expand(rebased, u.output, base) else u
+          }
+        case _ => u
+      }
+  }
+}
+
+/** Explicit entry point for sessions without the analyzer hook (e.g. a
+  * pre-existing session GraftExtensions could not retrofit): applies
+  * [[MeltUnionToExpand]] to the frame's analyzed plan. No-op (returns an
+  * equivalent frame) when the plan doesn't match.
+  */
+object Melt {
+  def rewrite(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(
+      df.sparkSession, MeltUnionToExpand(df.queryExecution.analyzed))
+}

@@ -138,6 +138,31 @@ object SetReshapeQueries extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // R2 as the USER writes it: the reference's per-label loop-union melt
+    // (ref: src/15_integrate_sider.py:61-70) built naively — one
+    // lit-tagged slice per discovered label column, reduced with union.
+    // Under a GraftExtensions session (Verify/Bench) the analyzer rule
+    // plans.MeltUnionToExpand rewrites the whole union into ONE Expand
+    // over ONE scan (the plan r1_unpivot's `.unpivot` gets); on a plain
+    // session it still returns the identical multiset through the union,
+    // so the oracle is plan-independent. MeltRuleSpec pins the rewrite.
+    "r5_melt_union" -> ((s, d) => {
+      val wide = Tables.part(s, d).select(
+        col("p_partkey"),
+        (col("p_size") > 25).cast("int").as("nr_large"),
+        col("p_type").like("%BRASS%").cast("int").as("nr_brass"),
+        col("p_type").like("PROMO%").cast("int").as("sr_promo"))
+      val labels = wide.columns.toSeq.filterNot(_ == "p_partkey")
+      val slices = labels.map(l => wide.select(
+        col("p_partkey"), lit(l).as("label"),
+        col(l).cast("double").as("value")))
+      slices.reduce(_ union _)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value")).cast("long").as("n_active"))
+        .orderBy(col("label"))
+    }),
+
     // R4: nest-to-JSON struct pack — the staging `data` blob construction
     // (ref: src/09_integrate_pubchem.py:34, to_json(struct(...))).
     "r4_nest_json" -> ((s, d) => {
@@ -173,6 +198,23 @@ object SetReshapeQueries extends QueryModule {
         |EXCEPT
         |SELECT s_nationkey FROM supplier WHERE s_nationkey % 3 = 0
         |ORDER BY nationkey""".stripMargin,
+
+    "r5_melt_union" ->
+      """WITH wide AS (
+        |  SELECT p_partkey,
+        |    CAST(p_size > 25 AS INT) AS nr_large,
+        |    CAST(p_type LIKE '%BRASS%' AS INT) AS nr_brass,
+        |    CAST(p_type LIKE 'PROMO%' AS INT) AS sr_promo
+        |  FROM part),
+        |m AS (
+        |  SELECT p_partkey, 'nr_large' AS label,
+        |    CAST(nr_large AS DOUBLE) AS value FROM wide
+        |  UNION ALL
+        |  SELECT p_partkey, 'nr_brass', CAST(nr_brass AS DOUBLE) FROM wide
+        |  UNION ALL
+        |  SELECT p_partkey, 'sr_promo', CAST(sr_promo AS DOUBLE) FROM wide)
+        |SELECT label, count(*) AS n, CAST(sum(value) AS BIGINT) AS n_active
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
 
     "r1_unpivot" ->
       """SELECT metric, count(*) AS n, max(value) AS max_value FROM (

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{Expand, LogicalPlan, Union}
+import org.apache.spark.sql.functions._
+import graft.plans.{Melt, MeltUnionToExpand}
+
+/** plans.MeltUnionToExpand — the R2 loop-union melt rewritten to one
+  * Expand (the plan `.unpivot` produces). Pins: the rewrite itself, its
+  * equivalence to unpivot (values AND plan shape), the incremental
+  * acc-union-slice path, the analyzer injection through GraftExtensions,
+  * and the negative guards (no literal discriminator, nondeterministic
+  * source, different sources).
+  */
+class MeltRuleSpec extends SparkSpec {
+
+  private def wide = spark.read.parquet(s"${sf()}/part.parquet").select(
+    col("p_partkey"),
+    (col("p_size") > 25).cast("int").as("nr_large"),
+    col("p_type").like("%BRASS%").cast("int").as("nr_brass"),
+    col("p_type").like("PROMO%").cast("int").as("sr_promo"),
+    (col("p_retailprice") < 1400).cast("int").as("sr_economy"))
+
+  private def slice(df: DataFrame, l: String): DataFrame =
+    df.select(col("p_partkey"), lit(l).as("label"),
+      col(l).cast("double").as("value"))
+
+  private def count(p: LogicalPlan, cls: Class[_]): Int =
+    p.collect { case n if cls.isInstance(n) => n }.size
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  test("loop-union melt rewrites to exactly one Expand, zero Union") {
+    val labels = Seq("nr_large", "nr_brass", "sr_promo")
+    val naive = labels.map(slice(wide, _)).reduce(_ union _)
+    val rewritten = Melt.rewrite(naive)
+    val plan = rewritten.queryExecution.analyzed
+    assert(count(plan, classOf[Expand]) == 1, plan)
+    assert(count(plan, classOf[Union]) == 0, plan)
+    // Expand carries one projection per slice
+    val e = plan.collect { case x: Expand => x }.head
+    assert(e.projections.size == labels.size)
+    assert(sortedRows(rewritten) == sortedRows(naive))
+  }
+
+  test("rewritten plan matches .unpivot: same values, same Expand shape") {
+    val labels = Seq("nr_large", "nr_brass", "sr_promo", "sr_economy")
+    val naive = labels.map(slice(wide, _)).reduce(_ union _)
+    val viaRule = Melt.rewrite(naive)
+    val viaUnpivot = wide
+      .unpivot(Array(col("p_partkey")), labels.map(col).toArray,
+        "label", "value")
+      .select(col("p_partkey"), col("label"), col("value").cast("double"))
+    assert(sortedRows(viaRule) == sortedRows(viaUnpivot))
+    // both optimize to a single Expand over a single scan, no Union —
+    // the h18/sider plan shape
+    for (df <- Seq(viaRule, viaUnpivot)) {
+      val opt = df.queryExecution.optimizedPlan
+      assert(count(opt, classOf[Expand]) == 1, opt)
+      assert(count(opt, classOf[Union]) == 0, opt)
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("Union"), phys)
+    }
+  }
+
+  test("fuzz: N-slice unions for N in 2..4 with shuffled label order") {
+    val all = Seq("nr_large", "nr_brass", "sr_promo", "sr_economy")
+    for (n <- 2 to all.size; rot <- 0 until 2) {
+      val labels = (all.drop(rot) ++ all.take(rot)).take(n)
+      val naive = labels.map(slice(wide, _)).reduce(_ union _)
+      val rewritten = Melt.rewrite(naive)
+      val plan = rewritten.queryExecution.analyzed
+      assert(count(plan, classOf[Expand]) == 1, s"n=$n rot=$rot: $plan")
+      assert(count(plan, classOf[Union]) == 0, s"n=$n rot=$rot")
+      assert(sortedRows(rewritten) == sortedRows(naive), s"n=$n rot=$rot")
+    }
+  }
+
+  test("incremental acc-union-slice folds into the existing Expand") {
+    // the eager-analysis path: each union step is rewritten as it is
+    // built, so step k sees Union(Expand-from-step-k-1, newSlice)
+    val s1 = slice(wide, "nr_large"); val s2 = slice(wide, "nr_brass")
+    val s3 = slice(wide, "sr_promo")
+    val step1 = Melt.rewrite(s1 union s2)
+    val step2 = Melt.rewrite(step1 union s3)
+    val plan = step2.queryExecution.analyzed
+    assert(count(plan, classOf[Expand]) == 1, plan)
+    assert(count(plan, classOf[Union]) == 0, plan)
+    val e = plan.collect { case x: Expand => x }.head
+    assert(e.projections.size == 3)
+    val naive = (s1 union s2) union s3
+    assert(sortedRows(step2) == sortedRows(naive))
+  }
+
+  test("guards: no-lit, nondeterministic, and mixed-source unions survive") {
+    // no literal discriminator — a plain self-union is NOT a melt
+    val a = wide.select(col("p_partkey"), col("nr_large"))
+    val noLit = Melt.rewrite(a union a)
+    assert(count(noLit.queryExecution.analyzed, classOf[Union]) == 1)
+    // nondeterministic source — collapsing two scans into one changes
+    // semantics, must not fire
+    val nd = wide.withColumn("r", rand(7))
+    val ndU = Melt.rewrite(
+      nd.select(col("p_partkey"), lit("a").as("label"), col("r"))
+        union
+        nd.select(col("p_partkey"), lit("b").as("label"), col("r") + 1))
+    assert(count(ndU.queryExecution.analyzed, classOf[Union]) == 1)
+    // different sources with identical schemas — children not
+    // canonically equal, must not fire
+    val other = spark.read.parquet(s"${sf()}/supplier.parquet").select(
+      col("s_suppkey").as("p_partkey"),
+      (col("s_acctbal") > 0).cast("int").as("nr_large"),
+      lit(0).as("nr_brass"), lit(0).as("sr_promo"),
+      lit(0).as("sr_economy"))
+    val mixed = Melt.rewrite(slice(wide, "nr_large") union slice(other, "nr_brass"))
+    assert(count(mixed.queryExecution.analyzed, classOf[Union]) == 1)
+  }
+
+  test("GraftExtensions injects the rule: naive union plans as Expand") {
+    // a fresh SparkSession over the SAME SparkContext with the graft
+    // extensions applied — the driver's Verify/Bench sessions get the
+    // same wiring via the spark.sql.extensions conf at context creation
+    // (conf-based injection can't retrofit this JVM's pre-existing
+    // context, so the test injects through withExtensions explicitly)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(e => new graft.functions.GraftExtensions()(e))
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      assert(s ne spark, "expected a fresh session with extensions")
+      val w = s.read.parquet(s"${sf()}/part.parquet").select(
+        col("p_partkey"),
+        (col("p_size") > 25).cast("int").as("nr_large"),
+        col("p_type").like("%BRASS%").cast("int").as("nr_brass"))
+      val naive = Seq("nr_large", "nr_brass").map(slice(w, _))
+        .reduce(_ union _)
+      val analyzed = naive.queryExecution.analyzed
+      assert(count(analyzed, classOf[Expand]) == 1, analyzed)
+      assert(count(analyzed, classOf[Union]) == 0, analyzed)
+      // and the physical plan reads the source once
+      val phys = naive.queryExecution.executedPlan.toString
+      assert(!phys.contains("Union"), phys)
+      assert(phys.contains("Expand"), phys)
+      // r5_melt_union through the extensions session = Expand plan
+      val r5 = SparkEntry.queries("r5_melt_union")(s, sf())
+      val r5a = r5.queryExecution.analyzed
+      assert(count(r5a, classOf[Expand]) == 1, r5a)
+      assert(count(r5a, classOf[Union]) == 0, r5a)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
