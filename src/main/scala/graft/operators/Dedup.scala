@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection primitives over a (doc_id, lang, text) frame.
@@ -230,4 +230,58 @@ object Dedup {
   def simhashCandidatesFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
     simhashCandidatesFromSignatures(spark.read.parquet(path))
+
+  /** Ground-truth near-duplicate pair count for recall denominators —
+    * EXACT below `maxExact` vectors, seeded-SAMPLED above (VERDICT r7
+    * #2: the brute denominator was the one quadratic leg on the
+    * surface — 400M pairs at 10× vectors; production validators must
+    * not scale with N²).
+    *
+    * Sampled mode: a deterministic hash-subsample of ~`sampleVecs`
+    * vectors (xxhash64(vec_id, seed) mod p == 0 — reproducible across
+    * runs and engines, no RNG state), exhaustive pairs WITHIN the
+    * sample (≈ sampleVecs²/2, BOUNDED regardless of corpus size), and
+    * the binomial rate scaled to the true N·(N−1)/2 pair space with a
+    * normal-approximation 95% interval. Row-subsampling is the
+    * estimator of choice here because the dup-pair event depends only
+    * on the two endpoints — a uniform vector subsample induces a
+    * uniform sample of its pair space.
+    *
+    * Output: one row (n_dup_brute, brute_mode, brute_ci95). Exact mode
+    * emits ("exact", 0.0) so the schema — and therefore the DuckDB
+    * oracle at the gate scales, which sit far below `maxExact` — is
+    * identical in both modes.
+    *
+    * One driver-side `count()` picks the mode: a metadata-scale
+    * decision (parquet row-count statistics), not a data collect.
+    */
+  def bruteNearDupStats(vecs: DataFrame, simExpr: Column,
+      threshold: Double, maxExact: Long = 10000L,
+      sampleVecs: Long = 2000L, seed: Long = 42L): DataFrame = {
+    val e = vecs
+    val nVec = e.count()
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("x"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("y"))
+    if (nVec <= maxExact) {
+      a.crossJoin(b).filter(col("va") < col("vb"))
+        .agg(count(when(simExpr >= threshold, 1)).as("n_dup_brute"))
+        .withColumn("brute_mode", lit("exact"))
+        .withColumn("brute_ci95", lit(0.0))
+    } else {
+      val p = math.max(1L, nVec / sampleVecs)
+      def keep(c: Column) = pmod(xxhash64(c, lit(seed)), lit(p)) === 0
+      val totalPairs = nVec.toDouble * (nVec - 1).toDouble / 2.0
+      a.filter(keep(col("va"))).crossJoin(b.filter(keep(col("vb"))))
+        .filter(col("va") < col("vb"))
+        .agg(count(lit(1)).as("n_pairs_s"),
+          count(when(simExpr >= threshold, 1)).as("n_dup_s"))
+        .select(
+          round(col("n_dup_s") / col("n_pairs_s") * lit(totalPairs))
+            .cast("long").as("n_dup_brute"),
+          lit("sampled").as("brute_mode"),
+          (lit(1.96) * sqrt(col("n_dup_s") / col("n_pairs_s") *
+            (lit(1.0) - col("n_dup_s") / col("n_pairs_s")) /
+            col("n_pairs_s")) * lit(totalPairs)).as("brute_ci95"))
+    }
+  }
 }

@@ -326,15 +326,26 @@ object SimilarityQueries extends QueryModule {
     // shows exactly what widening the probe set buys.
     "dd10_blocked_near_dup" -> ((s, d) => {
       GraftFunctions.register(s)
-      val wProbe = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("clabel"))
-      val probes = Tables.embeddings(s, d)
-        .crossJoin(broadcast(centroids(s, d)))
-        .withColumn("ccos", expr("cosine_sim(embedding, cv)"))
-        .withColumn("rk", row_number().over(wProbe))
-        .filter(col("rk") <= 2)
-        .select(col("vec_id"), col("clabel").as("list_id"), col("rk"))
       val e = Tables.embeddings(s, d)
+      // Posture switch (VERDICT r7 #2): at the gate scales (≤10k
+      // vectors) blocks are the 10 label-mean centroids and the
+      // ground truth is exhaustive — the oracle replays both. Above,
+      // the whole query flips to the production IVF shape: centroid
+      // count grows ~√(10·N) (bounded list occupancy → within-list
+      // pair mass ~N^1.5, never N²/|labels|) and the denominator is
+      // the seeded sample. One parquet-statistics count picks the path.
+      val nVec = e.count()
+      val probes =
+        if (nVec <= 10000L) {
+          val wProbe = Window.partitionBy(col("vec_id"))
+            .orderBy(col("ccos").desc, col("clabel"))
+          Tables.embeddings(s, d)
+            .crossJoin(broadcast(centroids(s, d)))
+            .withColumn("ccos", expr("cosine_sim(embedding, cv)"))
+            .withColumn("rk", row_number().over(wProbe))
+            .filter(col("rk") <= 2)
+            .select(col("vec_id"), col("clabel").as("list_id"), col("rk"))
+        } else refinedProbes(s, d, nVec)
       def cosPairs(cand: DataFrame): DataFrame = cand
         .join(broadcast(e.select(col("vec_id").as("va"),
           col("embedding").as("x"))), Seq("va"))
@@ -358,12 +369,12 @@ object SimilarityQueries extends QueryModule {
           .select(col("va"), col("vb")).distinct())
         .agg(count(lit(1)).as("n_cand_p2"),
           count(when(col("c") >= 0.4, 1)).as("n_dup_p2"))
-      val brute = e
-        .select(col("vec_id").as("va"), col("embedding").as("x"))
-        .crossJoin(e.select(col("vec_id").as("vb"), col("embedding").as("y")))
-        .filter(col("va") < col("vb"))
-        .agg(count(when(expr("cosine_sim(x, y)") >= 0.4, 1))
-          .as("n_dup_brute"))
+      // ground-truth denominator: exact below 10k vectors (both gate
+      // scales), seeded-sampled with a 95% CI above — the validator
+      // stays honest at any corpus size without the N²/2 pair scan
+      // (VERDICT r7 #2); BruteSampleSpec pins estimate-vs-exhaustive
+      val brute = graft.operators.Dedup.bruteNearDupStats(
+        e, expr("cosine_sim(x, y)"), 0.4)
       pairs1.crossJoin(broadcast(pairs2)).crossJoin(broadcast(brute))
     }),
 
@@ -454,9 +465,55 @@ object SimilarityQueries extends QueryModule {
     }
 
   graft.MemoRegistry.register { spark =>
-    Seq(centMemo, assignMemo).foreach(m =>
+    Seq(centMemo, assignMemo, refinedMemo).foreach(m =>
       graft.MemoRegistry.evictMap(spark, m)(_._1)(Seq(_)))
   }
+
+  private val refinedMemo = scala.collection.mutable
+    .Map.empty[(SparkSession, String), DataFrame]
+
+  /** dd10's above-threshold blocking: 2-probe assignment against
+    * sample-trained k-means centroids with k = ⌈√(10·N)⌉ — the IVF
+    * nlist-grows-with-corpus posture. List occupancy stays ~√(N/10)·2,
+    * so within-list candidate pairs scale ~N^1.5 instead of N²/10
+    * (the fixed-label blocks' fate at any real corpus). Deterministic
+    * end-to-end: seeded hash-min init (k lowest xxhash64 ids via
+    * TakeOrderedAndProject — no global window), a seeded ~10·k-vector
+    * training sample for ONE Lloyd round, total-order tie-breaks. The
+    * probe projection narrows to (vec_id, cid, ccos) BEFORE the
+    * per-vector window so the N×k exchange never carries embeddings.
+    * Memoized + persisted per (session, sfDir) like the other index
+    * artifacts — build once, search many.
+    */
+  private def refinedProbes(s: SparkSession, d: String,
+      nVec: Long): DataFrame =
+    refinedMemo.synchronized {
+      refinedMemo.getOrElseUpdate((s, d), {
+        GraftFunctions.register(s)
+        val e = Tables.embeddings(s, d)
+        val k = math.ceil(math.sqrt(10.0 * nVec)).toInt
+        val init = e
+          .orderBy(xxhash64(col("vec_id"), lit(7L)), col("vec_id"))
+          .limit(k)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val pTrain = math.max(1L, nVec / (10L * k))
+        val train = e
+          .filter(pmod(xxhash64(col("vec_id"), lit(11L)), lit(pTrain)) === 0)
+          .select(col("vec_id"), col("embedding"))
+        val cents = graft.operators.KMeans
+          .lloyd(train, init, "vec_id", "embedding", iters = 1)
+        val wProbe = Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("cid"))
+        e.select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cid"),
+            expr("cosine_sim(embedding, cv)").as("ccos"))
+          .withColumn("rk", row_number().over(wProbe))
+          .filter(col("rk") <= 2)
+          .select(col("vec_id"), col("cid").as("list_id"), col("rk"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+    }
 
   /** Per-subspace CTE block for the ann9 oracle: slice → init → one
     * Lloyd round (assign by cosine, decimal-exact means — the ann7
@@ -806,7 +863,9 @@ object SimilarityQueries extends QueryModule {
         |  (SELECT count(CASE WHEN c >= 0.4 THEN 1 END) FROM cos2)
         |    AS n_dup_p2,
         |  (SELECT count(CASE WHEN c >= 0.4 THEN 1 END) FROM brute)
-        |    AS n_dup_brute""".stripMargin,
+        |    AS n_dup_brute,
+        |  'exact' AS brute_mode,
+        |  0.0 AS brute_ci95""".stripMargin,
 
     "ann10_eval_decontam" ->
       s"""WITH sig AS (
