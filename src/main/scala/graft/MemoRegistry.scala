@@ -41,17 +41,85 @@ object MemoRegistry {
     * slices) stay on the default level where per-read deserialization
     * would cost more than the footprint saves.
     */
-  def checkpointLarge(df: DataFrame): DataFrame =
-    df.localCheckpoint(true,
+  def checkpointLarge(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (spark.conf.getOption(CkptModeKey).contains("reliable")) {
+      // Cluster/fault-tolerant posture: a parquet handoff instead of
+      // executor-local blocks. localCheckpoint ties every downstream
+      // stage to the liveness of the executors holding the blocks —
+      // acceptable in a single-JVM run, wrong on a 1000-executor
+      // cluster where one lost node would fail the whole brick.
+      // Parquet (vs RDD .checkpoint()) keeps the handoff columnar:
+      // re-reads prune columns/filters like any table, and the
+      // artifact is debuggable. Cost is one write+read of the frame
+      // per materialization — measured in BENCH_LOCAL.md round 8.
+      val base = spark.conf.getOption(CkptDirKey).getOrElse(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-ckpt")
+      val path = s"$base/ckpt-${java.util.UUID.randomUUID()}"
+      df.write.mode("overwrite").parquet(path)
+      val out = spark.read.parquet(path)
+      reliablePaths.put(out, path)
+      out
+    } else df.localCheckpoint(true,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+  }
+
+  /** Build-outside-the-lock memo access (ADVICE r7): the synchronized
+    * section only touches the map, so a long multi-job Spark build
+    * never serializes unrelated keys/sessions — or a concurrent
+    * `evictAll` — behind it. One builder per key is elected through an
+    * in-flight future (the cachedBrick pattern); concurrent callers of
+    * the SAME key block on that key's future only. A build that
+    * overlaps an eviction of its own key lands in the map afterwards
+    * and is released at the next eviction — same contract as
+    * cachedBrick.
+    */
+  def memoGet[K, V](memo: scala.collection.mutable.Map[K, V],
+      inflight: java.util.concurrent.ConcurrentHashMap[
+        K, java.util.concurrent.CompletableFuture[V]],
+      key: K)(build: => V): V =
+    memo.synchronized(memo.get(key)) match {
+      case Some(v) => v
+      case None =>
+        val fresh = new java.util.concurrent.CompletableFuture[V]()
+        val prior = inflight.putIfAbsent(key, fresh)
+        if (prior != null) prior.join()
+        else try {
+          val v = build
+          memo.synchronized { memo.update(key, v) }
+          fresh.complete(v)
+          v
+        } catch {
+          case t: Throwable => fresh.completeExceptionally(t); throw t
+        } finally inflight.remove(key, fresh)
+    }
+
+  /** Conf knobs for the materialization posture: `local` (default —
+    * executor-local checkpoint blocks, fastest, no fault tolerance) or
+    * `reliable` (parquet handoff under `spark.graft.checkpoint.dir`,
+    * survives executor loss; the dir should be durable storage on a
+    * real cluster).
+    */
+  val CkptModeKey = "spark.graft.checkpoint.mode"
+  val CkptDirKey = "spark.graft.checkpoint.dir"
+
+  private val reliablePaths = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, String]())
 
   /** Release one memoized frame: drop its CacheManager entry AND any
     * localCheckpoint blocks backing its plan leaves (unpersist alone
     * leaves those to the garbage collector).
     */
   def release(df: DataFrame): Unit = {
-    df.unpersist(blocking = false)
-    org.apache.spark.sql.graftbridge.Bridge.freeCheckpointBlocks(df)
+    Option(reliablePaths.remove(df)) match {
+      case Some(path) =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      case None =>
+        df.unpersist(blocking = false)
+        org.apache.spark.sql.graftbridge.Bridge.freeCheckpointBlocks(df)
+    }
   }
 
   /** Evict a session's entries from one memo map: remove every key whose

@@ -108,9 +108,15 @@ object ProductQuantIndex {
     * the artifact, which is exactly the production posture: quantize
     * once, search many. Eviction via MemoRegistry rebuilds identically.
     */
+  private val inflight = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    java.util.concurrent.CompletableFuture[(DataFrame, DataFrame)]]()
+
   def cached(s: SparkSession, d: String, e: => DataFrame)
       : (DataFrame, DataFrame) =
-    memo.synchronized { memo.getOrElseUpdate((s, d), build(e)) }
+    // build OUTSIDE the map lock (ADVICE r7): training runs multiple
+    // Spark jobs; only same-key callers wait on it
+    graft.MemoRegistry.memoGet(memo, inflight, (s, d))(build(e))
 
   graft.MemoRegistry.register { spark =>
     graft.MemoRegistry.evictMap(spark, memo)(_._1)(v => Seq(v._1, v._2))

@@ -84,12 +84,15 @@ object ScalarQuantIndex {
     * frame is vector-count-sized (one row per vec), so the checkpoint
     * is small at any sf. Eviction via MemoRegistry rebuilds identically.
     */
+  private val inflight = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    java.util.concurrent.CompletableFuture[DataFrame]]()
+
   def cachedDecoded(s: SparkSession, d: String, e: => DataFrame): DataFrame =
-    memo.synchronized {
-      memo.getOrElseUpdate((s, d), {
-        val (stats, codes) = build(e)
-        reconstruct(codes, stats).coalesce(4).localCheckpoint()
-      })
+    // build OUTSIDE the map lock (ADVICE r7) — see MemoRegistry.memoGet
+    graft.MemoRegistry.memoGet(memo, inflight, (s, d)) {
+      val (stats, codes) = build(e)
+      reconstruct(codes, stats).coalesce(4).localCheckpoint()
     }
 
   graft.MemoRegistry.register { spark =>

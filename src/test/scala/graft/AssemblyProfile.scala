@@ -39,16 +39,41 @@ object AssemblyProfile {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus, "assembly-profile")
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_CKPT_MODE=reliable measures the fault-tolerant
+    // parquet-handoff posture (round-8 table in BENCH_LOCAL.md)
+    sys.env.get("SPARK_GRAFT_CKPT_MODE").foreach { m =>
+      spark.conf.set(MemoRegistry.CkptModeKey, m)
+      spark.conf.set(MemoRegistry.CkptDirKey,
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_DIR",
+          "/root/repo/target/graft-ckpt"))
+      println(s"[aprof] checkpoint mode: $m")
+    }
 
     def gcMs: Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
+    // spill + shuffle-write listener totals per stage: superlinear wall
+    // WITH spill means memory starvation; without, real work growth
+    @volatile var spill = 0L
+    @volatile var shufW = 0L
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            spill += m.memoryBytesSpilled + m.diskBytesSpilled
+            shufW += m.shuffleWriteMetrics.bytesWritten
+          }
+        }
+      })
     def time[T](n: String)(f: => T): T = {
       val t0 = System.nanoTime(); val g0 = gcMs
+      val s0 = spill; val w0 = shufW
       val r = f
-      println(f"[aprof] $n%-24s ${(System.nanoTime() - t0) / 1e9}%7.2fs  gc=${gcMs - g0}%5dms")
+      println(f"[aprof] $n%-24s ${(System.nanoTime() - t0) / 1e9}%7.2fs  gc=${gcMs - g0}%5dms  spill=${(spill - s0) / 1e6}%8.1fMB shufW=${(shufW - w0) / 1e6}%8.1fMB")
       r
     }
 

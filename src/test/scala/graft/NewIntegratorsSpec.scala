@@ -130,6 +130,10 @@ class NewIntegratorsSpec extends SparkSpec {
   test("sider: multi-label unpivot retains matrix nulls; filters hold") {
     val acts = sider.activities
     assert(acts.count() > 0)
+    // the reference's BBBP-style non-empty staging assertion (13:66-68)
+    // — here, not in staging(), which runs under the global memo lock
+    assert(!sider.substances.isEmpty, "sider substances staging is empty")
+    assert(!sider.properties.isEmpty, "sider properties staging is empty")
     // exactly the 5 discovered label columns become properties
     assert(sider.properties.count() == 5)
     // the unpivot must RETAIN null matrix cells (the load-bearing

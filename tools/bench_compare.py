@@ -35,8 +35,17 @@ def load(path):
 
 
 def main():
+    if len(sys.argv) < 3:
+        raise SystemExit(
+            "usage: python3 tools/bench_compare.py OLD.json NEW.json "
+            "[threshold]\n\n" + __doc__.strip())
     old_path, new_path = sys.argv[1], sys.argv[2]
-    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    try:
+        threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    except ValueError:
+        raise SystemExit(
+            f"threshold must be a number, got {sys.argv[3]!r} — usage: "
+            "python3 tools/bench_compare.py OLD.json NEW.json [threshold]")
     old, new = load(old_path), load(new_path)
 
     excluded = set()
