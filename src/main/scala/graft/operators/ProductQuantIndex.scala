@@ -172,4 +172,49 @@ object ProductQuantIndex {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
+
+  /** IVF-PQ search tail: ADC top-k over a PRE-GENERATED candidate set
+    * `cands(query_id, neighbor_id)` — the inverted-file + product-
+    * quantization composition (IVFADC), where the coarse probe bounds
+    * the pairs and ADC only ever scores those. Plan shape for scale:
+    * candidates hash-join the 4-int code table by neighbor_id (the one
+    * corpus-sized exchange, proportional to probed-list occupancy, not
+    * the corpus), then four 8-row broadcast codebook joins and one
+    * broadcast of the query slices keep the whole score pipeline a
+    * single narrow stage; the per-query window ranks only candidates.
+    * Arithmetic is identical to [[searchFrames]]: sequential-fold dots
+    * of the exact normalized query slices vs decoded subspace
+    * centroids, fixed-order dp0+dp1+dp2+dp3, ties to the lowest
+    * neighbor_id — so the DuckDB replay (ann11) reuses ann9's
+    * per-subspace CTEs verbatim, restricted to the candidate pairs.
+    */
+  def searchCandidates(codebooks: DataFrame, codes: DataFrame,
+      e: DataFrame, isQuery: org.apache.spark.sql.Column,
+      cands: DataFrame, k: Int): DataFrame = {
+    val q = ScalarQuantIndex.normalizedScalar(e.filter(isQuery))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, nvv))), " +
+        "x -> x.nvv)").as("qv"))
+      .select(col("vec_id").as("query_id"), col("qv"))
+    val withCode = cands
+      .join(codes.select(col("vec_id").as("neighbor_id"), col("code")),
+        Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+    val scored = (0 until Subspaces).foldLeft(withCode) { (df, b) =>
+      df.join(broadcast(codebooks.filter(col("b") === b)
+          .select(col("cid").as(s"__cid$b"), col("cv").as(s"__cv$b"))),
+          expr(s"cast(code[$b] AS bigint)") === col(s"__cid$b"))
+        .withColumn(s"dp$b", expr(
+          s"aggregate(zip_with(slice(qv, ${b * SubDim + 1}, $SubDim), " +
+            s"__cv$b, (x, y) -> x * y), 0D, (a, b) -> a + b)"))
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    scored
+      .withColumn("adc",
+        col("dp0") + col("dp1") + col("dp2") + col("dp3"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
 }

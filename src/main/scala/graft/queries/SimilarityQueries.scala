@@ -312,6 +312,63 @@ object SimilarityQueries extends QueryModule {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-PQ composite — the production ANN shape at corpus scale
+    // (inverted-file probe + asymmetric-distance PQ scoring, the IVFADC
+    // composition of Jégou et al. 2011 that Faiss defaults to): the
+    // coarse 2-probe list assignment (shared memo with ann4/ann5/ann6)
+    // bounds the candidate set, and the PQ artifact (shared memo with
+    // ann9) ADC-scores ONLY those candidates — search touches the
+    // probed lists' 4-int codes, never the corpus vectors and never the
+    // full code table. At 100 TB: candidates hash-join the code table
+    // by neighbor (the one corpus-sized exchange, proportional to
+    // probed-list occupancy), codebooks (32 rows) and query slices
+    // broadcast. Same recall audit as ann8/ann9 vs the exact top-3.
+    "ann11_ivf_pq" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("ccos").desc, col("clabel"))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+        .crossJoin(broadcast(centroids(s, d)))
+        .withColumn("ccos", expr("cosine_sim(embedding, cv)"))
+        .withColumn("prk", row_number().over(wProbe))
+        .filter(col("prk") <= 2)
+        .select(col("query_id"), col("clabel").as("list_id"))
+      // each vector lives in exactly ONE list (rk=1 assignment), so the
+      // probe join yields every (query, neighbor) pair at most once —
+      // no distinct needed, no extra shuffle
+      // probes is queries×2 rows — broadcast it so the corpus-sized
+      // assignment never shuffles on list_id (map-side probe join)
+      val cands = broadcast(probes)
+        .join(cachedAssigned(s, d)
+            .select(col("vec_id").as("neighbor_id"), col("list_id")),
+          Seq("list_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"))
+      val (books, codes) =
+        graft.operators.ProductQuantIndex.cached(s, d, e)
+      val approx = graft.operators.ProductQuantIndex.searchCandidates(
+        books, codes, e, col("vec_id") < 10, cands, 3)
+      val wx = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val exact3 = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .join(e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ne")),
+          col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", expr("cosine_sim(qe, ne)"))
+        .withColumn("rn", row_number().over(wx))
+        .filter(col("rn") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val overlap = approx.join(exact3, Seq("query_id", "neighbor_id"),
+          "left_semi")
+        .agg(count(lit(1)).as("ivfpq_overlap_top3"))
+      approx.crossJoin(broadcast(overlap))
+        .withColumn("ivfpq_beats_chance", col("ivfpq_overlap_top3") >= 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Cluster-blocked embedding near-dup — the sub-quadratic production
     // counterpart of dd5's brute pair scan (which stays as the labeled
     // ground-truth baseline). Vectors are blocked by their nearest
@@ -594,6 +651,80 @@ object SimilarityQueries extends QueryModule {
          |  JOIN exact3 USING (query_id, neighbor_id))
          |SELECT query_id, rank, neighbor_id, pq_overlap_top3,
          |  pq_overlap_top3 >= 4 AS pq_beats_chance
+         |FROM approx CROSS JOIN ov ORDER BY query_id, rank""".stripMargin,
+
+    // ann9's per-subspace PQ CTEs verbatim, with the rank restricted to
+    // the coarse-probe candidate pairs (2-probe lists vs rk=1 lists —
+    // the ann6 probe text) before the top-3 window
+    "ann11_ivf_pq" ->
+      s"""WITH expl AS (
+         |  SELECT label, unnest(embedding) AS e,
+         |    unnest(range(0, len(embedding))) AS pos
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label, pos,
+         |    CAST(sum(CAST(e AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c
+         |  FROM expl GROUP BY 1, 2),
+         |cvec AS (
+         |  SELECT label AS clabel, list(c ORDER BY pos) AS cv
+         |  FROM cent GROUP BY 1),
+         |assigned AS (
+         |  SELECT vec_id, clabel AS list_id FROM (
+         |    SELECT v.vec_id, c.clabel,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.embedding::DOUBLE[], c.cv) /
+         |          (sqrt(list_dot_product(v.embedding::DOUBLE[],
+         |             v.embedding::DOUBLE[])) *
+         |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.clabel) AS rk
+         |    FROM embeddings v CROSS JOIN cvec c)
+         |  WHERE rk = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, clabel AS list_id FROM (
+         |    SELECT v.vec_id, c.clabel,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.embedding::DOUBLE[], c.cv) /
+         |          (sqrt(list_dot_product(v.embedding::DOUBLE[],
+         |             v.embedding::DOUBLE[])) *
+         |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.clabel) AS prk
+         |    FROM embeddings v CROSS JOIN cvec c WHERE v.vec_id < 10)
+         |  WHERE prk <= 2),
+         |cand AS (
+         |  SELECT p.query_id, b.vec_id AS neighbor_id
+         |  FROM probes p JOIN assigned b ON p.list_id = b.list_id
+         |    AND p.query_id <> b.vec_id),
+         |v AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |nr AS (
+         |  SELECT vec_id, ev, sqrt(list_dot_product(ev, ev)) AS n FROM v),
+         |nvt AS (
+         |  SELECT vec_id, CASE WHEN n = 0
+         |    THEN list_transform(ev, x -> 0.0)
+         |    ELSE list_transform(ev, x -> x / n) END AS nv FROM nr),
+         |${(0 until 4).map(pqSubCte).mkString(",\n")},
+         |approx AS (
+         |  SELECT query_id, rank, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY dp0 + dp1 + dp2 + dp3 DESC, neighbor_id) AS rank
+         |    FROM p0
+         |    JOIN p1 USING (query_id, neighbor_id)
+         |    JOIN p2 USING (query_id, neighbor_id)
+         |    JOIN p3 USING (query_id, neighbor_id)
+         |    JOIN cand USING (query_id, neighbor_id))
+         |  WHERE rank <= 3),
+         |exact3 AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY $duckCos DESC, b.vec_id) AS rn
+         |    FROM embeddings a JOIN embeddings b
+         |      ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+         |  WHERE rn <= 3),
+         |ov AS (
+         |  SELECT count(*) AS ivfpq_overlap_top3 FROM approx
+         |  JOIN exact3 USING (query_id, neighbor_id))
+         |SELECT query_id, rank, neighbor_id, ivfpq_overlap_top3,
+         |  ivfpq_overlap_top3 >= 4 AS ivfpq_beats_chance
          |FROM approx CROSS JOIN ov ORDER BY query_id, rank""".stripMargin,
 
     "ann8_scalar_quant" ->

@@ -84,4 +84,26 @@ class AnnIndexSpec extends SparkSpec {
     assert(a.count() == 30)
     assert(a.collect().toSet == b.collect().toSet)
   }
+
+  test("candidate-restricted ADC over all pairs equals the full search") {
+    // searchCandidates (the IVF-PQ tail, ann11) must be ARITHMETICALLY
+    // identical to searchFrames — same sequential-fold slice dots, same
+    // fixed-order adc sum, same tiebreaks. Feeding it the complete
+    // query×corpus candidate set makes the two paths comparable
+    // end-to-end: any drift in the slice extraction, codebook join, or
+    // ranking shows up as a row diff here.
+    import graft.operators.ProductQuantIndex
+    val (books, codes) = ProductQuantIndex.build(emb)
+    val allPairs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"))
+      .crossJoin(emb.select(col("vec_id").as("neighbor_id")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val viaCands = ProductQuantIndex.searchCandidates(
+      books, codes, emb, col("vec_id") < 10, allPairs, 3)
+    val full = ProductQuantIndex.searchFrames(
+      books, codes, emb, col("vec_id") < 10, 3)
+    assert(viaCands.exceptAll(full).count() == 0)
+    assert(full.exceptAll(viaCands).count() == 0)
+    assert(viaCands.count() == 30)
+  }
 }
