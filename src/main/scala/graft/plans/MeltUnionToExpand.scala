@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
-  AttributeMap, Expression, Literal, NamedExpression}
+  AttributeMap, Expression, NamedExpression}
 import org.apache.spark.sql.catalyst.optimizer.CollapseProject
 import org.apache.spark.sql.catalyst.plans.logical.{Expand, LogicalPlan,
   Project, Union}
@@ -38,10 +38,15 @@ import org.apache.spark.sql.types.DataType
   *   - every branch child is canonically the SAME plan (the analyzer's
   *     relation dedup re-aliases exprIds per branch; canonical equality
   *     sees through that), and fully deterministic — collapsing N scans
-  *     of a nondeterministic source into one is not semantics-preserving;
-  *   - at least one output position is a `Literal` in every branch with
-  *     ≥2 distinct values — the label/discriminator column that makes
-  *     this a melt and not an arbitrary self-union.
+  *     of a nondeterministic source into one is not semantics-preserving.
+  *
+  * No literal-discriminator position is required: the rewrite is
+  * semantics-preserving for ANY deterministic same-child Project union
+  * (Expand emits the identical multiset), and the no-label shape is a
+  * real workload — pooling several measure columns into one value
+  * column (`r6_stacked_measures`) unions slices that differ only in the
+  * projected column. Collapsing those N passes over the fact table into
+  * one Expand scan reads each referenced column once in a single stage.
   *
   * The rewrite re-bases each branch's projection onto the first branch's
   * child (positional attribute map, justified by canonical equality) and
@@ -112,15 +117,11 @@ object MeltUnionToExpand extends Rule[LogicalPlan] {
                 es.map(_.transform { case a: Attribute => m.getOrElse(a, a) })
               }
             }
-            val hasLabel = (0 until n).exists { i =>
-              val pos = rebased.map(_(i))
-              pos.forall(_.isInstanceOf[Literal]) && pos.distinct.size >= 2
-            }
             val typesOk = rebased.forall(_.zip(u.output).forall {
               case (e, a) => DataType.equalsStructurally(
                 e.dataType, a.dataType, ignoreNullability = true)
             })
-            if (hasLabel && typesOk) Expand(rebased, u.output, base) else u
+            if (typesOk) Expand(rebased, u.output, base) else u
           }
         case _ => u
       }

@@ -163,6 +163,25 @@ object SetReshapeQueries extends QueryModule {
         .orderBy(col("label"))
     }),
 
+    // The NO-discriminator melt: pooling several measure columns into
+    // one value column for distribution profiling (all quantities,
+    // prices, and scaled discounts as one sample pool). Naively one
+    // slice per measure reduced with union — three passes over the fact
+    // table. MeltUnionToExpand fires here too (no literal label
+    // position required — any deterministic same-child Project union is
+    // semantics-preserving as one Expand), so under a GraftExtensions
+    // session this plans as ONE scan reading the three columns once.
+    // Integer-bucket histogram output keeps the oracle float-proof.
+    "r6_stacked_measures" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val pool = l.select(col("l_quantity").as("v"))
+        .union(l.select(col("l_extendedprice").as("v")))
+        .union(l.select((col("l_discount") * lit(100)).as("v")))
+      pool.groupBy(floor(col("v") / 1000).as("kbucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("kbucket"))
+    }),
+
     // R4: nest-to-JSON struct pack — the staging `data` blob construction
     // (ref: src/09_integrate_pubchem.py:34, to_json(struct(...))).
     "r4_nest_json" -> ((s, d) => {
@@ -215,6 +234,16 @@ object SetReshapeQueries extends QueryModule {
         |  SELECT p_partkey, 'sr_promo', CAST(sr_promo AS DOUBLE) FROM wide)
         |SELECT label, count(*) AS n, CAST(sum(value) AS BIGINT) AS n_active
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
+
+    "r6_stacked_measures" ->
+      """WITH pool AS (
+        |  SELECT l_quantity AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_discount * 100 FROM lineitem)
+        |SELECT CAST(floor(v / 1000) AS BIGINT) AS kbucket, count(*) AS n
+        |FROM pool GROUP BY 1 ORDER BY kbucket""".stripMargin,
 
     "r1_unpivot" ->
       """SELECT metric, count(*) AS n, max(value) AS max_value FROM (

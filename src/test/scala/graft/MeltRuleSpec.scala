@@ -8,9 +8,9 @@ import graft.plans.{Melt, MeltUnionToExpand}
 /** plans.MeltUnionToExpand — the R2 loop-union melt rewritten to one
   * Expand (the plan `.unpivot` produces). Pins: the rewrite itself, its
   * equivalence to unpivot (values AND plan shape), the incremental
-  * acc-union-slice path, the analyzer injection through GraftExtensions,
-  * and the negative guards (no literal discriminator, nondeterministic
-  * source, different sources).
+  * acc-union-slice path, the no-label pooled-measures shape, the
+  * analyzer injection through GraftExtensions, and the negative guards
+  * (nondeterministic source, different sources).
   */
 class MeltRuleSpec extends SparkSpec {
 
@@ -93,11 +93,24 @@ class MeltRuleSpec extends SparkSpec {
     assert(sortedRows(step2) == sortedRows(naive))
   }
 
-  test("guards: no-lit, nondeterministic, and mixed-source unions survive") {
-    // no literal discriminator — a plain self-union is NOT a melt
-    val a = wide.select(col("p_partkey"), col("nr_large"))
-    val noLit = Melt.rewrite(a union a)
-    assert(count(noLit.queryExecution.analyzed, classOf[Union]) == 1)
+  test("no-label same-child unions collapse too (pooled measures)") {
+    // no literal discriminator, branches differ only in the projected
+    // column — the r6_stacked_measures shape. Semantics-preserving for
+    // any deterministic same-child Project union, so it fires.
+    val a = wide.select(col("nr_large").cast("double").as("v"))
+    val b = wide.select(col("nr_brass").cast("double").as("v"))
+    val pooled = Melt.rewrite(a union b)
+    val plan = pooled.queryExecution.analyzed
+    assert(count(plan, classOf[Expand]) == 1, plan)
+    assert(count(plan, classOf[Union]) == 0, plan)
+    assert(sortedRows(pooled) == sortedRows(a union b))
+    // pure self-union (identical projections) is also just 2 Expand rows
+    val dup = Melt.rewrite(a union a)
+    assert(count(dup.queryExecution.analyzed, classOf[Union]) == 0)
+    assert(sortedRows(dup) == sortedRows(a union a))
+  }
+
+  test("guards: nondeterministic and mixed-source unions survive") {
     // nondeterministic source — collapsing two scans into one changes
     // semantics, must not fire
     val nd = wide.withColumn("r", rand(7))
