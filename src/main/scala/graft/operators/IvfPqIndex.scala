@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ index — the artifact form of the ann11 composite
+  * (coarse inverted lists + product-quantized codes), completing the
+  * persisted-index family (minhash/simhash band tables,
+  * ScalarQuantIndex, ProductQuantIndex). Layout under `path`:
+  *
+  *   coarse/ (cid, cv)      — k-means coarse centroids, broadcast-sized
+  *   lists/  (vec_id, cid)  — inverted-list assignment, one row/vector
+  *   pq/     codebooks + codes — the ProductQuantIndex artifact
+  *
+  * Search off the artifact: the coarse table broadcasts to probe each
+  * query's top-`nprobe` lists, candidates come from an equi-join of the
+  * (broadcast, queries×nprobe-row) probe set against `lists` — the one
+  * corpus-sized exchange, proportional to probed-list occupancy — and
+  * ADC scores ONLY those candidates via
+  * [[ProductQuantIndex.searchCandidates]]. Probing every list
+  * degenerates to the exhaustive ADC search (spec-pinned identity in
+  * `IvfPqIndexSpec`), which is what makes `nprobe` a pure
+  * recall-vs-cost knob rather than a different algorithm.
+  *
+  * Training is deterministic end-to-end (seeded hash-min init, Lloyd
+  * rounds with decimal-exact means, total-order tie-breaks): same
+  * corpus in, bit-identical artifact out. Requires
+  * `GraftFunctions.register` on the session (native `cosine_sim`).
+  */
+object IvfPqIndex {
+
+  /** Seeded hash-min init + `iters` Lloyd rounds → (cid, cv). The same
+    * init discipline as dd10's scale-grown blocking: the k lowest
+    * xxhash64(vec_id) rows seed, so no global sort and no RNG state.
+    */
+  def trainCoarse(e: DataFrame, k: Int, iters: Int = 1): DataFrame = {
+    val init = e
+      .orderBy(xxhash64(col("vec_id"), lit(7L)), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    KMeans.lloyd(e.select(col("vec_id"), col("embedding")), init,
+      "vec_id", "embedding", iters)
+  }
+
+  def write(e: DataFrame, path: String, k: Int, iters: Int = 1): Unit = {
+    trainCoarse(e, k, iters)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+    val coarse = e.sparkSession.read.parquet(s"$path/coarse")
+    KMeans.assign(e.select(col("vec_id"), col("embedding")), coarse,
+        "vec_id", "embedding")
+      .select(col("vec_id"), col("cid"))
+      .write.mode("overwrite").parquet(s"$path/lists")
+    ProductQuantIndex.write(e, s"$path/pq")
+  }
+
+  /** ADC top-k over the probed lists, entirely off the artifact plus
+    * the query rows' originals — the corpus vectors are never read.
+    */
+  def search(spark: SparkSession, path: String, e: DataFrame,
+      isQuery: Column, k: Int, nprobe: Int): DataFrame = {
+    val coarse = spark.read.parquet(s"$path/coarse")
+    val lists = spark.read.parquet(s"$path/lists")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ccos").desc, col("cid"))
+    val probes = e.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("__ccos", expr("cosine_sim(embedding, cv)"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= nprobe)
+      .select(col("query_id"), col("cid"))
+    val cands = broadcast(probes)
+      .join(lists.withColumnRenamed("vec_id", "neighbor_id"), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    ProductQuantIndex.searchCandidates(
+      spark.read.parquet(s"$path/pq/codebooks"),
+      spark.read.parquet(s"$path/pq/codes"), e, isQuery, cands, k)
+  }
+}

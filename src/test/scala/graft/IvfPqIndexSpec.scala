@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.{IvfPqIndex, ProductQuantIndex}
+
+/** The persisted IVF-PQ artifact: integrity of the inverted lists,
+  * deterministic rebuild, the all-lists-probed ≡ exhaustive-ADC
+  * identity, and nprobe as a monotone candidate knob.
+  */
+class IvfPqIndexSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf())
+
+  private def freshIndex(k: Int = 6): String = {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = Files.createTempDirectory("graft-ivfpq").toString + "/idx"
+    IvfPqIndex.write(emb, dir, k)
+    dir
+  }
+
+  test("artifact integrity: every vector in exactly one valid list") {
+    val dir = freshIndex()
+    val lists = spark.read.parquet(s"$dir/lists")
+    val coarse = spark.read.parquet(s"$dir/coarse")
+    assert(lists.count() == emb.count())
+    assert(lists.select("vec_id").distinct().count() == emb.count())
+    val orphan = lists.join(coarse.select("cid"), Seq("cid"), "left_anti")
+    assert(orphan.count() == 0, "list id referencing a missing centroid")
+    // the PQ leg is the standard artifact
+    assert(spark.read.parquet(s"$dir/pq/codes").count() == emb.count())
+  }
+
+  test("deterministic rebuild: training twice yields the same artifact") {
+    val d1 = freshIndex(); val d2 = freshIndex()
+    for (leg <- Seq("coarse", "lists")) {
+      val a = spark.read.parquet(s"$d1/$leg")
+      val b = spark.read.parquet(s"$d2/$leg")
+      assert(a.exceptAll(b).count() == 0, s"$leg diverged")
+      assert(b.exceptAll(a).count() == 0, s"$leg diverged")
+    }
+  }
+
+  test("probing every list equals the exhaustive ADC search") {
+    val dir = freshIndex()
+    val nLists = spark.read.parquet(s"$dir/coarse").count().toInt
+    val viaIvf = IvfPqIndex.search(
+      spark, dir, emb, col("vec_id") < 10, 3, nprobe = nLists)
+    val exhaustive = ProductQuantIndex.search(
+      spark, s"$dir/pq", emb, col("vec_id") < 10, 3)
+    assert(viaIvf.exceptAll(exhaustive).count() == 0)
+    assert(exhaustive.exceptAll(viaIvf).count() == 0)
+    assert(viaIvf.count() == 30)
+  }
+
+  test("nprobe=1 searches a subset of lists, deterministically") {
+    val dir = freshIndex()
+    val one = IvfPqIndex.search(spark, dir, emb, col("vec_id") < 10, 3, 1)
+    val again = IvfPqIndex.search(spark, dir, emb, col("vec_id") < 10, 3, 1)
+    assert(one.collect().toSet == again.collect().toSet)
+    assert(one.count() <= 30 && one.count() > 0)
+    // each query's top hits rank 1..n densely
+    val badRank = one.groupBy(col("query_id"))
+      .agg(max(col("rank")).as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n"))
+    assert(badRank.count() == 0)
+  }
+}
