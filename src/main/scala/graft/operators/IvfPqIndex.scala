@@ -54,6 +54,29 @@ object IvfPqIndex {
     ProductQuantIndex.write(e, s"$path/pq")
   }
 
+  /** Incremental maintenance with FROZEN quantizers — the standard
+    * production operation for a live corpus: new vectors are assigned
+    * to the EXISTING coarse lists and encoded with the EXISTING
+    * codebooks (no retraining, so every previously-written code and
+    * list row stays valid), then appended to `lists/` and `pq/codes`.
+    * Retrain (a fresh `write`) only when drift degrades recall — the
+    * same contract as `Dedup.appendMinhashIndex`. Scale shape: one
+    * scan of the new slice, broadcast assignments, append-only writes
+    * — nothing existing is read or rewritten except the tiny coarse
+    * and codebook tables.
+    */
+  def append(eNew: DataFrame, path: String): Unit = {
+    val spark = eNew.sparkSession
+    val coarse = spark.read.parquet(s"$path/coarse")
+    KMeans.assign(eNew.select(col("vec_id"), col("embedding")), coarse,
+        "vec_id", "embedding")
+      .select(col("vec_id"), col("cid"))
+      .write.mode("append").parquet(s"$path/lists")
+    ProductQuantIndex.encode(eNew,
+        spark.read.parquet(s"$path/pq/codebooks"))
+      .write.mode("append").parquet(s"$path/pq/codes")
+  }
+
   /** ADC top-k over the probed lists, entirely off the artifact plus
     * the query rows' originals — the corpus vectors are never read.
     */

@@ -96,6 +96,33 @@ object ProductQuantIndex {
     (codebooks, codes)
   }
 
+  /** Encode vectors against FROZEN codebooks — no training. The
+    * incremental-append path (`IvfPqIndex.append`): per-subspace
+    * normalized slices L2-assigned to the EXISTING centroids, exactly
+    * the build's own encode pass, so encoding the training corpus with
+    * its own codebooks reproduces the build's code table bit-for-bit
+    * (spec-pinned in `IvfPqIndexSpec`). At scale this is a scan + four
+    * broadcast assignments — no shuffle beyond the per-vector slice
+    * aggregation.
+    */
+  def encode(e: DataFrame, codebooks: DataFrame): DataFrame = {
+    val nvd = ScalarQuantIndex.normalizedScalar(e)
+    val perSub = (0 until Subspaces).map { b =>
+      val sub = nvd
+        .filter(col("pos") >= b * SubDim && col("pos") < (b + 1) * SubDim)
+        .groupBy(col("vec_id"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, nvv))), " +
+          "x -> x.nvv)").as("sv"))
+      assignL2(sub, codebooks.filter(col("b") === b)
+          .select(col("cid"), col("cv")))
+        .select(col("vec_id"), lit(b).as("b"), col("cid"))
+    }
+    perSub.reduce(_ unionByName _)
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(b, cid))), " +
+        "s -> cast(s.cid AS int))").as("code"))
+  }
+
   private val memo = scala.collection.mutable
     .Map.empty[(SparkSession, String), (DataFrame, DataFrame)]
 

@@ -53,6 +53,43 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(viaIvf.count() == 30)
   }
 
+  test("frozen-codebook encode reproduces the build's own code table") {
+    val (books, codes) = ProductQuantIndex.build(emb)
+    val reEncoded = ProductQuantIndex.encode(emb, books)
+    val built = codes.select(col("vec_id"), col("code"))
+    assert(reEncoded.exceptAll(built).count() == 0)
+    assert(built.exceptAll(reEncoded).count() == 0)
+    assert(reEncoded.count() == emb.count())
+  }
+
+  test("append with frozen quantizers extends lists+codes; search sees both") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = Files.createTempDirectory("graft-ivfpq-app").toString + "/idx"
+    val half = emb.count() / 2
+    val a = emb.filter(col("vec_id") < half)
+    val b = emb.filter(col("vec_id") >= half)
+    IvfPqIndex.write(a, dir, k = 6)
+    IvfPqIndex.append(b, dir)
+    val lists = spark.read.parquet(s"$dir/lists")
+    val codes = spark.read.parquet(s"$dir/pq/codes")
+    assert(lists.count() == emb.count())
+    assert(codes.count() == emb.count())
+    // all-lists search over the appended index == exhaustive ADC over
+    // the SAME artifact state (a-trained codebooks, a∪b codes): the
+    // append never invalidated the existing quantizers
+    val nLists = spark.read.parquet(s"$dir/coarse").count().toInt
+    val viaIndex = IvfPqIndex.search(
+      spark, dir, emb, col("vec_id") < 10, 3, nprobe = nLists)
+    val exhaustive = ProductQuantIndex.searchFrames(
+      spark.read.parquet(s"$dir/pq/codebooks"), codes,
+      emb, col("vec_id") < 10, 3)
+    assert(viaIndex.exceptAll(exhaustive).count() == 0)
+    assert(exhaustive.exceptAll(viaIndex).count() == 0)
+    // appended vectors are actually reachable as neighbors
+    assert(viaIndex.filter(col("neighbor_id") >= half).count() > 0,
+      "no appended vector ever surfaced in search results")
+  }
+
   test("nprobe=1 searches a subset of lists, deterministically") {
     val dir = freshIndex()
     val one = IvfPqIndex.search(spark, dir, emb, col("vec_id") < 10, 3, 1)
