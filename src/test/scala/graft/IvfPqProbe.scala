@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev tool: time the persisted IVF-PQ index lifecycle at an arbitrary
+  * data dir — `sbt "Test/runMain graft.IvfPqProbe <sfDir>"`. Measures
+  * write (train+assign+encode the first half), append (frozen-quantizer
+  * assign+encode of the second half), and warm 2-probe search off the
+  * artifact. Complements the ann11 QueryProbe row: that times the
+  * memoized in-session composite; this times the on-disk artifact path
+  * a production pipeline would run.
+  */
+object IvfPqProbe {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "ivfpq-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivfpq-probe").toString + "/idx"
+    val emb = Tables.embeddings(spark, d)
+    val n = emb.count()
+    val k = math.ceil(math.sqrt(10.0 * n)).toInt
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[ivfpq] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+      r
+    }
+    val a = emb.filter(col("vec_id") < n / 2)
+    val b = emb.filter(col("vec_id") >= n / 2)
+    println(s"[ivfpq] n=$n k=$k dir=$d")
+    time("write (train half)") {
+      graft.operators.IvfPqIndex.write(a, dir, k)
+    }
+    time("append (frozen, half)") {
+      graft.operators.IvfPqIndex.append(b, dir)
+    }
+    time("search cold (nprobe=2)") {
+      graft.operators.IvfPqIndex
+        .search(spark, dir, emb, col("vec_id") < 10, 3, 2).count()
+    }
+    (1 to 2).foreach { i =>
+      time(s"search warm $i (nprobe=2)") {
+        graft.operators.IvfPqIndex
+          .search(spark, dir, emb, col("vec_id") < 10, 3, 2).count()
+      }
+    }
+    spark.stop()
+  }
+}
