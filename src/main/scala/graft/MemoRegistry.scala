@@ -23,8 +23,20 @@ object MemoRegistry {
   def register(hook: SparkSession => Unit): Unit =
     hooks.synchronized { hooks += hook }
 
-  def evictAll(spark: SparkSession): Unit =
+  def evictAll(spark: SparkSession): Unit = {
     hooks.synchronized { hooks.toSeq }.foreach(_(spark))
+    // Reliable-mode handoffs whose frames were dropped WITHOUT release
+    // (a build that failed after materializing, a race-overwritten memo
+    // entry) would otherwise orphan their parquet dirs forever — the
+    // weak frame→path map can't see them once the frame is GC'd. Every
+    // handoff belongs to some session-scoped memo, and the hooks above
+    // just evicted all of this session's memos, so any path still
+    // registered for it is dead: delete the leftovers here.
+    val leftovers = sessionPaths.synchronized {
+      sessionPaths.remove(spark).map(_.toSeq).getOrElse(Nil)
+    }
+    leftovers.foreach(deletePath(spark, _))
+  }
 
   /** Eager localCheckpoint at MEMORY_AND_DISK_SER — the storage level
     * for LARGE memoized fact frames (staging triplets, brick assembly
@@ -59,6 +71,10 @@ object MemoRegistry {
       df.write.mode("overwrite").parquet(path)
       val out = spark.read.parquet(path)
       reliablePaths.put(out, path)
+      sessionPaths.synchronized {
+        sessionPaths.getOrElseUpdate(spark,
+          scala.collection.mutable.Set.empty) += path
+      }
       out
     } else df.localCheckpoint(true,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
@@ -85,8 +101,16 @@ object MemoRegistry {
         val prior = inflight.putIfAbsent(key, fresh)
         if (prior != null) prior.join()
         else try {
-          val v = build
-          memo.synchronized { memo.update(key, v) }
+          // re-check under the lock AFTER winning the in-flight slot: a
+          // racing builder may have completed (memo.update + inflight
+          // .remove) between this thread's miss above and its
+          // putIfAbsent — without this, the key would build twice and
+          // the overwritten value's storage would leak unreleased
+          val v = memo.synchronized(memo.get(key)).getOrElse {
+            val built = build
+            memo.synchronized { memo.update(key, built) }
+            built
+          }
           fresh.complete(v)
           v
         } catch {
@@ -106,16 +130,31 @@ object MemoRegistry {
   private val reliablePaths = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[DataFrame, String]())
 
+  /** Strong per-session registry of every reliable handoff dir — the
+    * cleanup backstop `evictAll` uses for paths whose frame never saw
+    * `release` (the weak map alone would orphan those files).
+    */
+  private val sessionPaths = scala.collection.mutable
+    .Map.empty[SparkSession, scala.collection.mutable.Set[String]]
+
+  private def deletePath(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true): Unit
+  }
+
   /** Release one memoized frame: drop its CacheManager entry AND any
     * localCheckpoint blocks backing its plan leaves (unpersist alone
-    * leaves those to the garbage collector).
+    * leaves those to the garbage collector). Reliable-mode handoff
+    * frames delete their parquet dir instead.
     */
   def release(df: DataFrame): Unit = {
     Option(reliablePaths.remove(df)) match {
       case Some(path) =>
-        val p = new org.apache.hadoop.fs.Path(path)
-        p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-          .delete(p, true)
+        sessionPaths.synchronized {
+          sessionPaths.get(df.sparkSession).foreach(_ -= path)
+        }
+        deletePath(df.sparkSession, path)
       case None =>
         df.unpersist(blocking = false)
         org.apache.spark.sql.graftbridge.Bridge.freeCheckpointBlocks(df)

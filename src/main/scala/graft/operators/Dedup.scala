@@ -257,9 +257,12 @@ object Dedup {
     */
   def bruteNearDupStats(vecs: DataFrame, simExpr: Column,
       threshold: Double, maxExact: Long = 10000L,
-      sampleVecs: Long = 2000L, seed: Long = 42L): DataFrame = {
+      sampleVecs: Long = 2000L, seed: Long = 42L,
+      nVecKnown: Option[Long] = None): DataFrame = {
     val e = vecs
-    val nVec = e.count()
+    // callers that already counted the corpus (dd10 does, for its own
+    // posture switch) pass it in — no second count job
+    val nVec = nVecKnown.getOrElse(e.count())
     val a = e.select(col("vec_id").as("va"), col("embedding").as("x"))
     val b = e.select(col("vec_id").as("vb"), col("embedding").as("y"))
     if (nVec <= maxExact) {
@@ -271,17 +274,30 @@ object Dedup {
       val p = math.max(1L, nVec / sampleVecs)
       def keep(c: Column) = pmod(xxhash64(c, lit(seed)), lit(p)) === 0
       val totalPairs = nVec.toDouble * (nVec - 1).toDouble / 2.0
+      // Interval honesty: the binomial width treats sampled pairs as
+      // independent draws, but pairs sharing an endpoint are correlated
+      // (cluster sampling), so it understates variance when dups
+      // concentrate in clusters — and it degenerates to ±0 on a
+      // zero-dup sample, which would assert "exactly zero dups" about
+      // pairs the sample never saw. Two guards: a rule-of-three floor
+      // (zero observed dups still bounds the rate only to ≤3/n_pairs_s
+      // at 95%), and the no-information fallback (an empty sample's
+      // interval is the whole pair space).
+      val rate = col("n_dup_s") / col("n_pairs_s")
+      val binom = lit(1.96) *
+        sqrt(rate * (lit(1.0) - rate) / col("n_pairs_s")) * lit(totalPairs)
+      val ruleOf3 = lit(3.0) / col("n_pairs_s") * lit(totalPairs)
       a.filter(keep(col("va"))).crossJoin(b.filter(keep(col("vb"))))
         .filter(col("va") < col("vb"))
         .agg(count(lit(1)).as("n_pairs_s"),
           count(when(simExpr >= threshold, 1)).as("n_dup_s"))
         .select(
-          round(col("n_dup_s") / col("n_pairs_s") * lit(totalPairs))
-            .cast("long").as("n_dup_brute"),
+          when(col("n_pairs_s") === 0, lit(0L))
+            .otherwise(round(rate * lit(totalPairs)).cast("long"))
+            .as("n_dup_brute"),
           lit("sampled").as("brute_mode"),
-          (lit(1.96) * sqrt(col("n_dup_s") / col("n_pairs_s") *
-            (lit(1.0) - col("n_dup_s") / col("n_pairs_s")) /
-            col("n_pairs_s")) * lit(totalPairs)).as("brute_ci95"))
+          when(col("n_pairs_s") === 0, lit(totalPairs))
+            .otherwise(greatest(binom, ruleOf3)).as("brute_ci95"))
     }
   }
 }

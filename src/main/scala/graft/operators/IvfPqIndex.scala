@@ -35,10 +35,7 @@ object IvfPqIndex {
     * xxhash64(vec_id) rows seed, so no global sort and no RNG state.
     */
   def trainCoarse(e: DataFrame, k: Int, iters: Int = 1): DataFrame = {
-    val init = e
-      .orderBy(xxhash64(col("vec_id"), lit(7L)), col("vec_id"))
-      .limit(k)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val init = KMeans.hashMinInit(e, k, "vec_id", "embedding")
     KMeans.lloyd(e.select(col("vec_id"), col("embedding")), init,
       "vec_id", "embedding", iters)
   }
@@ -68,13 +65,20 @@ object IvfPqIndex {
   def append(eNew: DataFrame, path: String): Unit = {
     val spark = eNew.sparkSession
     val coarse = spark.read.parquet(s"$path/coarse")
+    // codes FIRST, lists LAST: a failure between the two appends then
+    // leaves orphan codes (harmless — never candidates without a list
+    // row) instead of list rows whose neighbors silently vanish from
+    // every search (the candidate→codes join would drop them). A retry
+    // of the same batch is safe either way: both assignments are
+    // deterministic, and search() dedupes by vec_id at read time, so
+    // re-appended rows are exact duplicates that collapse.
+    ProductQuantIndex.encode(eNew,
+        spark.read.parquet(s"$path/pq/codebooks"))
+      .write.mode("append").parquet(s"$path/pq/codes")
     KMeans.assign(eNew.select(col("vec_id"), col("embedding")), coarse,
         "vec_id", "embedding")
       .select(col("vec_id"), col("cid"))
       .write.mode("append").parquet(s"$path/lists")
-    ProductQuantIndex.encode(eNew,
-        spark.read.parquet(s"$path/pq/codebooks"))
-      .write.mode("append").parquet(s"$path/pq/codes")
   }
 
   /** ADC top-k over the probed lists, entirely off the artifact plus
@@ -83,7 +87,11 @@ object IvfPqIndex {
   def search(spark: SparkSession, path: String, e: DataFrame,
       isQuery: Column, k: Int, nprobe: Int): DataFrame = {
     val coarse = spark.read.parquet(s"$path/coarse")
+    // dedupe by vec_id: deterministic assignment/encoding makes a
+    // retried append write exact duplicate rows — collapse them here
+    // (the appendMinhashIndex read-side contract)
     val lists = spark.read.parquet(s"$path/lists")
+      .dropDuplicates("vec_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__ccos").desc, col("cid"))
     val probes = e.filter(isQuery)
@@ -99,6 +107,7 @@ object IvfPqIndex {
       .select(col("query_id"), col("neighbor_id"))
     ProductQuantIndex.searchCandidates(
       spark.read.parquet(s"$path/pq/codebooks"),
-      spark.read.parquet(s"$path/pq/codes"), e, isQuery, cands, k)
+      spark.read.parquet(s"$path/pq/codes").dropDuplicates("vec_id"),
+      e, isQuery, cands, k)
   }
 }

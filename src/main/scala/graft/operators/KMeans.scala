@@ -26,6 +26,19 @@ import org.apache.spark.sql.types.DecimalType
   */
 object KMeans {
 
+  /** Seeded hash-min init: the k rows with the lowest
+    * xxhash64(id, seed) become the initial centroids — deterministic on
+    * any partitioning, no RNG state, and the pick is a
+    * TakeOrderedAndProject (never a global sort). Shared by
+    * `IvfPqIndex.trainCoarse` and dd10's scale-grown blocking so the
+    * init discipline can't silently diverge between them.
+    */
+  def hashMinInit(vecs: DataFrame, k: Int, idCol: String,
+      vecCol: String, seed: Long = 7L): DataFrame =
+    vecs.orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+      .limit(k)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+
   /** Assign every vector to its best centroid by cosine similarity.
     * `cents`: (cid, cv: array<double>). Requires
     * `GraftFunctions.register` (native cosine_sim) on the session.

@@ -79,11 +79,20 @@ object MeltUnionToExpand extends Rule[LogicalPlan] {
     case other => other
   }
 
-  /** One (projection, child) per emitted row-shape of the branch. */
+  /** One (projection, child) per emitted row-shape of the branch. Only
+    * a branch that is already a Project/Expand at the top can collapse
+    * to one, so anything else skips the (whole-subtree) CollapseProject
+    * — every analyzed Union pays this probe, and most are not melts.
+    */
   private def slices(p: LogicalPlan): Option[Seq[(Seq[Expression], LogicalPlan)]] =
-    CollapseProject(p) match {
-      case Project(list, child) => Some(Seq((list.map(stripAlias), child)))
-      case Expand(projs, _, child) => Some(projs.map(es => (es, child)))
+    p match {
+      case _: Project | _: Expand =>
+        CollapseProject(p) match {
+          case Project(list, child) =>
+            Some(Seq((list.map(stripAlias), child)))
+          case Expand(projs, _, child) => Some(projs.map(es => (es, child)))
+          case _ => None
+        }
       case _ => None
     }
 
@@ -104,8 +113,13 @@ object MeltUnionToExpand extends Rule[LogicalPlan] {
         case Some(all) if all.size >= 2 =>
           val n = u.output.length
           val base = all.head._2
+          // schema equality is a cheap reject (a non-melt union of
+          // different sources fails here) before the expensive
+          // full-tree canonicalization
           val shapeOk = all.forall { case (es, c) =>
-            es.length == n && c.canonicalized == base.canonicalized
+            es.length == n && c.schema == base.schema
+          } && all.forall { case (_, c) =>
+            (c eq base) || c.canonicalized == base.canonicalized
           } && deterministicPlan(base) &&
             all.forall(_._1.forall(_.deterministic))
           if (!shapeOk) u

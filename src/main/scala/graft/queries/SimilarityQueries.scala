@@ -431,7 +431,7 @@ object SimilarityQueries extends QueryModule {
       // stays honest at any corpus size without the N²/2 pair scan
       // (VERDICT r7 #2); BruteSampleSpec pins estimate-vs-exhaustive
       val brute = graft.operators.Dedup.bruteNearDupStats(
-        e, expr("cosine_sim(x, y)"), 0.4)
+        e, expr("cosine_sim(x, y)"), 0.4, nVecKnown = Some(nVec))
       pairs1.crossJoin(broadcast(pairs2)).crossJoin(broadcast(brute))
     }),
 
@@ -549,10 +549,8 @@ object SimilarityQueries extends QueryModule {
         GraftFunctions.register(s)
         val e = Tables.embeddings(s, d)
         val k = math.ceil(math.sqrt(10.0 * nVec)).toInt
-        val init = e
-          .orderBy(xxhash64(col("vec_id"), lit(7L)), col("vec_id"))
-          .limit(k)
-          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val init = graft.operators.KMeans
+          .hashMinInit(e, k, "vec_id", "embedding")
         val pTrain = math.max(1L, nVec / (10L * k))
         val train = e
           .filter(pmod(xxhash64(col("vec_id"), lit(11L)), lit(pTrain)) === 0)

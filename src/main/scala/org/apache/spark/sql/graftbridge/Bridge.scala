@@ -26,4 +26,12 @@ object Bridge {
         l.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Block until the async listener bus has delivered every queued
+    * event — profilers that read SparkListener-accumulated counters
+    * (spill/shuffle totals) must drain before sampling, or a stage's
+    * last task-end events get misattributed to the next timed block.
+    */
+  def drainListenerBus(spark: SparkSession, timeoutMs: Long = 10000L): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
 }

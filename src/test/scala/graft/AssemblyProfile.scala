@@ -70,9 +70,13 @@ object AssemblyProfile {
         }
       })
     def time[T](n: String)(f: => T): T = {
+      // drain queued task-end events so the previous block's metrics
+      // can't bleed into this block's counters (the bus is async)
+      org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark)
       val t0 = System.nanoTime(); val g0 = gcMs
       val s0 = spill; val w0 = shufW
       val r = f
+      org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark)
       println(f"[aprof] $n%-24s ${(System.nanoTime() - t0) / 1e9}%7.2fs  gc=${gcMs - g0}%5dms  spill=${(spill - s0) / 1e6}%8.1fMB shufW=${(shufW - w0) / 1e6}%8.1fMB")
       r
     }

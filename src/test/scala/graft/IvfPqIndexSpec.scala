@@ -88,6 +88,14 @@ class IvfPqIndexSpec extends SparkSpec {
     // appended vectors are actually reachable as neighbors
     assert(viaIndex.filter(col("neighbor_id") >= half).count() > 0,
       "no appended vector ever surfaced in search results")
+    // retrying the SAME append (the partial-failure recovery path) is
+    // idempotent: duplicate rows land on disk but search dedupes by
+    // vec_id, so results are unchanged
+    IvfPqIndex.append(b, dir)
+    val afterRetry = IvfPqIndex.search(
+      spark, dir, emb, col("vec_id") < 10, 3, nprobe = nLists)
+    assert(afterRetry.exceptAll(viaIndex).count() == 0)
+    assert(viaIndex.exceptAll(afterRetry).count() == 0)
   }
 
   test("nprobe=1 searches a subset of lists, deterministically") {
