@@ -54,9 +54,16 @@ object ProductQuantIndex {
     * validator used to retrain per bench pass) no longer accumulate
     * persisted RDDs.
     */
-  def build(e: DataFrame): (DataFrame, DataFrame) = {
+  def build(e: DataFrame): (DataFrame, DataFrame) =
+    buildScalar(ScalarQuantIndex.normalizedScalar(e))
+
+  /** Train + encode from an arbitrary (vec_id, pos, nvv) scalar view —
+    * the residual-PQ path (ann12) trains on coarse-centroid residuals
+    * instead of the normalized vectors; `build` is the identity view.
+    */
+  def buildScalar(scalarView: DataFrame): (DataFrame, DataFrame) = {
     val spent = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val nvd = ScalarQuantIndex.normalizedScalar(e)
+    val nvd = scalarView
     val perSub = (0 until Subspaces).map { b =>
       val sub = nvd
         .filter(col("pos") >= b * SubDim && col("pos") < (b + 1) * SubDim)
@@ -218,6 +225,22 @@ object ProductQuantIndex {
   def searchCandidates(codebooks: DataFrame, codes: DataFrame,
       e: DataFrame, isQuery: org.apache.spark.sql.Column,
       cands: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    scoreCandidates(codebooks, codes, e, isQuery, cands)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** The scored form of [[searchCandidates]] — (query_id, neighbor_id,
+    * adc) with no rank cut, for callers that combine the ADC term with
+    * another score component before ranking (the residual-IVFADC
+    * composition adds dot(query, coarse centroid) — ann12).
+    */
+  def scoreCandidates(codebooks: DataFrame, codes: DataFrame,
+      e: DataFrame, isQuery: org.apache.spark.sql.Column,
+      cands: DataFrame): DataFrame = {
     val q = ScalarQuantIndex.normalizedScalar(e.filter(isQuery))
       .groupBy(col("vec_id"))
       .agg(expr("transform(sort_array(collect_list(struct(pos, nvv))), " +
@@ -235,13 +258,9 @@ object ProductQuantIndex {
           s"aggregate(zip_with(slice(qv, ${b * SubDim + 1}, $SubDim), " +
             s"__cv$b, (x, y) -> x * y), 0D, (a, b) -> a + b)"))
     }
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("neighbor_id"))
     scored
       .withColumn("adc",
         col("dp0") + col("dp1") + col("dp2") + col("dp3"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("adc"))
   }
 }

@@ -369,6 +369,80 @@ object SimilarityQueries extends QueryModule {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Residual IVFADC — ann11 with the published refinement: the PQ
+    // codebooks are trained on RESIDUALS r = x − c_list (each
+    // normalized vector minus its coarse list's centroid), and the
+    // score decomposes as dot(q, c_list) + dot(q, r̂) — the exact
+    // centroid term plus the residual ADC. Residuals are small and
+    // centered, so the same codebook budget (4×8 entries) spends its
+    // resolution on the informative part of each vector. Plan shape is
+    // ann11's (candidates hash-join the code table; centroids, query
+    // slices, and codebooks broadcast) plus one broadcast centroid-dot
+    // leg. Both engines compute score = cdot + (((dp0+dp1)+dp2)+dp3)
+    // in that exact association, so float ties can't diverge the rank.
+    "ann12_residual_pq" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("ccos").desc, col("clabel"))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+        .crossJoin(broadcast(centroids(s, d)))
+        .withColumn("ccos", expr("cosine_sim(embedding, cv)"))
+        .withColumn("prk", row_number().over(wProbe))
+        .filter(col("prk") <= 2)
+        .select(col("query_id"), col("clabel").as("list_id"))
+      val candsL = broadcast(probes)
+        .join(cachedAssigned(s, d)
+            .select(col("vec_id").as("neighbor_id"), col("list_id")),
+          Seq("list_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("list_id"))
+      val (rBooks, rCodes) = cachedResidualPq(s, d)
+      val adc = graft.operators.ProductQuantIndex.scoreCandidates(
+        rBooks, rCodes, e, col("vec_id") < 10,
+        candsL.select(col("query_id"), col("neighbor_id")))
+      val qn = graft.operators.ScalarQuantIndex
+        .normalizedScalar(e.filter(col("vec_id") < 10))
+        .groupBy(col("vec_id"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, nvv))), " +
+          "x -> x.nvv)").as("qv"))
+        .select(col("vec_id").as("query_id"), col("qv"))
+      val cterm = candsL
+        .join(broadcast(qn), Seq("query_id"))
+        .join(broadcast(centroids(s, d)),
+          col("list_id") === col("clabel"))
+        .withColumn("cdot", expr(
+          "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, " +
+            "(a, b) -> a + b)"))
+        .select(col("query_id"), col("neighbor_id"), col("cdot"))
+      val wr = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      val approx = adc.join(cterm, Seq("query_id", "neighbor_id"))
+        .withColumn("score", col("cdot") + col("adc"))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+      val wx = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val exact3 = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .join(e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ne")),
+          col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", expr("cosine_sim(qe, ne)"))
+        .withColumn("rn", row_number().over(wx))
+        .filter(col("rn") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val overlap = approx.join(exact3, Seq("query_id", "neighbor_id"),
+          "left_semi")
+        .agg(count(lit(1)).as("ivfadc_overlap_top3"))
+      approx.crossJoin(broadcast(overlap))
+        .withColumn("ivfadc_beats_chance",
+          col("ivfadc_overlap_top3") >= 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Cluster-blocked embedding near-dup — the sub-quadratic production
     // counterpart of dd5's brute pair scan (which stays as the labeled
     // ground-truth baseline). Vectors are blocked by their nearest
@@ -524,7 +598,38 @@ object SimilarityQueries extends QueryModule {
   graft.MemoRegistry.register { spark =>
     Seq(centMemo, assignMemo, refinedMemo).foreach(m =>
       graft.MemoRegistry.evictMap(spark, m)(_._1)(Seq(_)))
+    graft.MemoRegistry.evictMap(spark, resMemo)(_._1)(v =>
+      Seq(v._1, v._2))
   }
+
+  private val resMemo = scala.collection.mutable
+    .Map.empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private val resInflight = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    java.util.concurrent.CompletableFuture[(DataFrame, DataFrame)]]()
+
+  /** Residual-PQ artifact per (session, sfDir) — codebooks trained on
+    * the coarse-centroid RESIDUALS (r = normalized vector − its list's
+    * centroid), the IVFADC encoding: residual magnitudes are small and
+    * centered, so the same 8-entry-per-subspace budget quantizes them
+    * with less error than raw vectors. Deterministic like the raw PQ
+    * memo (decimal-exact centroid means, total-order ties).
+    */
+  private def cachedResidualPq(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) =
+    graft.MemoRegistry.memoGet(resMemo, resInflight, (s, d)) {
+      val nvd = graft.operators.ScalarQuantIndex
+        .normalizedScalar(Tables.embeddings(s, d))
+      val centScalar = centroids(s, d)
+        .select(col("clabel"), posexplode(col("cv")).as(Seq("pos", "cval")))
+      val assignedL = cachedAssigned(s, d)
+        .select(col("vec_id"), col("list_id").as("clabel"))
+      val rvd = nvd.join(assignedL, Seq("vec_id"))
+        .join(broadcast(centScalar), Seq("clabel", "pos"))
+        .select(col("vec_id"), col("pos"),
+          (col("nvv") - col("cval")).as("nvv"))
+      graft.operators.ProductQuantIndex.buildScalar(rvd)
+    }
 
   private val refinedMemo = scala.collection.mutable
     .Map.empty[(SparkSession, String), DataFrame]
@@ -612,6 +717,51 @@ object SimilarityQueries extends QueryModule {
        |  SELECT q.vec_id AS query_id, g.vec_id AS neighbor_id,
        |    list_dot_product(q.sv, c.cv) AS dp$b
        |  FROM sb$b q JOIN g$b g ON q.vec_id < 10 AND q.vec_id <> g.vec_id
+       |  JOIN t2$b c ON c.cid = g.cid)""".stripMargin
+  }
+
+  /** Residual variant of [[pqSubCte]] for the ann12 oracle: training,
+    * encoding, and the neighbor decode all run on the residual table
+    * `rvt(vec_id, rv)`, while the PAIRING's query side stays the exact
+    * normalized slices from `nvt` — IVFADC keeps the query exact.
+    */
+  private def pqResSubCte(b: Int): String = {
+    val lo = b * 16 + 1
+    val hi = (b + 1) * 16
+    def d2(svRef: String, cvRef: String): String =
+      s"(list_dot_product($svRef, $svRef) - " +
+        s"2 * list_dot_product($svRef, $cvRef)) + " +
+        s"list_dot_product($cvRef, $cvRef)"
+    def assignCte(name: String, cents: String,
+        from: String = s"rb$b"): String =
+      s"""$name AS (
+         |  SELECT vec_id, sv, cid FROM (
+         |    SELECT s.vec_id, s.sv, c.cid,
+         |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+         |        ${d2("s.sv", "c.cv")} ASC, c.cid) AS rk
+         |    FROM $from s CROSS JOIN $cents c) WHERE rk = 1)""".stripMargin
+    def meanCte(from: String, u: String, m: String, t: String): String =
+      s"""$u AS (
+         |  SELECT cid, unnest(sv) AS e,
+         |    unnest(range(0, len(sv))) AS pos FROM $from),
+         |$m AS (
+         |  SELECT cid, pos,
+         |    CAST(sum(CAST(e AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c
+         |  FROM $u GROUP BY 1, 2),
+         |$t AS (SELECT cid, list(c ORDER BY pos) AS cv FROM $m GROUP BY 1)""".stripMargin
+    s"""rb$b AS (SELECT vec_id, rv[$lo:$hi] AS sv FROM rvt),
+       |qb$b AS (SELECT vec_id, nv[$lo:$hi] AS sv FROM nvt WHERE vec_id < 10),
+       |tb$b AS (SELECT vec_id, sv FROM rb$b WHERE vec_id < 256),
+       |i$b AS (SELECT vec_id AS cid, sv AS cv FROM rb$b WHERE vec_id < 8),
+       |${assignCte(s"x$b", s"i$b", s"tb$b")},
+       |${meanCte(s"x$b", s"u$b", s"m$b", s"t$b")},
+       |${assignCte(s"x2$b", s"t$b", s"tb$b")},
+       |${meanCte(s"x2$b", s"u2$b", s"m2$b", s"t2$b")},
+       |${assignCte(s"g$b", s"t2$b")},
+       |p$b AS (
+       |  SELECT q.vec_id AS query_id, g.vec_id AS neighbor_id,
+       |    list_dot_product(q.sv, c.cv) AS dp$b
+       |  FROM qb$b q JOIN g$b g ON q.vec_id <> g.vec_id
        |  JOIN t2$b c ON c.cid = g.cid)""".stripMargin
   }
 
@@ -723,6 +873,95 @@ object SimilarityQueries extends QueryModule {
          |  JOIN exact3 USING (query_id, neighbor_id))
          |SELECT query_id, rank, neighbor_id, ivfpq_overlap_top3,
          |  ivfpq_overlap_top3 >= 4 AS ivfpq_beats_chance
+         |FROM approx CROSS JOIN ov ORDER BY query_id, rank""".stripMargin,
+
+    // ann11's coarse/candidate CTEs + residual-PQ training (pqResSubCte:
+    // residual table for train/encode/decode, exact nvt for the query
+    // side) + the centroid-dot term; the rank's score uses the same
+    // float association as the Spark side: cdot + (((dp0+dp1)+dp2)+dp3)
+    "ann12_residual_pq" ->
+      s"""WITH expl AS (
+         |  SELECT label, unnest(embedding) AS e,
+         |    unnest(range(0, len(embedding))) AS pos
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label, pos,
+         |    CAST(sum(CAST(e AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c
+         |  FROM expl GROUP BY 1, 2),
+         |cvec AS (
+         |  SELECT label AS clabel, list(c ORDER BY pos) AS cv
+         |  FROM cent GROUP BY 1),
+         |assigned AS (
+         |  SELECT vec_id, clabel AS list_id FROM (
+         |    SELECT v.vec_id, c.clabel,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.embedding::DOUBLE[], c.cv) /
+         |          (sqrt(list_dot_product(v.embedding::DOUBLE[],
+         |             v.embedding::DOUBLE[])) *
+         |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.clabel) AS rk
+         |    FROM embeddings v CROSS JOIN cvec c)
+         |  WHERE rk = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, clabel AS list_id FROM (
+         |    SELECT v.vec_id, c.clabel,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.embedding::DOUBLE[], c.cv) /
+         |          (sqrt(list_dot_product(v.embedding::DOUBLE[],
+         |             v.embedding::DOUBLE[])) *
+         |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.clabel) AS prk
+         |    FROM embeddings v CROSS JOIN cvec c WHERE v.vec_id < 10)
+         |  WHERE prk <= 2),
+         |cand AS (
+         |  SELECT p.query_id, b.vec_id AS neighbor_id, b.list_id
+         |  FROM probes p JOIN assigned b ON p.list_id = b.list_id
+         |    AND p.query_id <> b.vec_id),
+         |v AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |nr AS (
+         |  SELECT vec_id, ev, sqrt(list_dot_product(ev, ev)) AS n FROM v),
+         |nvt AS (
+         |  SELECT vec_id, CASE WHEN n = 0
+         |    THEN list_transform(ev, x -> 0.0)
+         |    ELSE list_transform(ev, x -> x / n) END AS nv FROM nr),
+         |rsc AS (
+         |  SELECT n.vec_id, g AS pos, n.nv[g] - c.cv[g] AS rvv
+         |  FROM nvt n JOIN assigned a USING (vec_id)
+         |  JOIN cvec c ON c.clabel = a.list_id
+         |  CROSS JOIN range(1, 65) AS r(g)),
+         |rvt AS (
+         |  SELECT vec_id, list(rvv ORDER BY pos) AS rv
+         |  FROM rsc GROUP BY 1),
+         |${(0 until 4).map(pqResSubCte).mkString(",\n")},
+         |ct AS (
+         |  SELECT cd.query_id, cd.neighbor_id,
+         |    list_dot_product(n.nv, c.cv) AS cdot
+         |  FROM cand cd JOIN nvt n ON n.vec_id = cd.query_id
+         |  JOIN cvec c ON c.clabel = cd.list_id),
+         |approx AS (
+         |  SELECT query_id, rank, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cdot + (((dp0 + dp1) + dp2) + dp3) DESC,
+         |          neighbor_id) AS rank
+         |    FROM p0
+         |    JOIN p1 USING (query_id, neighbor_id)
+         |    JOIN p2 USING (query_id, neighbor_id)
+         |    JOIN p3 USING (query_id, neighbor_id)
+         |    JOIN ct USING (query_id, neighbor_id))
+         |  WHERE rank <= 3),
+         |exact3 AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY $duckCos DESC, b.vec_id) AS rn
+         |    FROM embeddings a JOIN embeddings b
+         |      ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+         |  WHERE rn <= 3),
+         |ov AS (
+         |  SELECT count(*) AS ivfadc_overlap_top3 FROM approx
+         |  JOIN exact3 USING (query_id, neighbor_id))
+         |SELECT query_id, rank, neighbor_id, ivfadc_overlap_top3,
+         |  ivfadc_overlap_top3 >= 4 AS ivfadc_beats_chance
          |FROM approx CROSS JOIN ov ORDER BY query_id, rank""".stripMargin,
 
     "ann8_scalar_quant" ->
