@@ -28,14 +28,29 @@ object MemoRegistry {
     // Reliable-mode handoffs whose frames were dropped WITHOUT release
     // (a build that failed after materializing, a race-overwritten memo
     // entry) would otherwise orphan their parquet dirs forever — the
-    // weak frame→path map can't see them once the frame is GC'd. Every
-    // handoff belongs to some session-scoped memo, and the hooks above
-    // just evicted all of this session's memos, so any path still
-    // registered for it is dead: delete the leftovers here.
-    val leftovers = sessionPaths.synchronized {
-      sessionPaths.remove(spark).map(_.toSeq).getOrElse(Nil)
+    // weak frame→path map can't see them once the frame is GC'd. The
+    // sweep is TWO-PHASE: a path is deleted only when it is still
+    // unreleased at a SECOND consecutive evictAll. A build in flight
+    // during one eviction (builds run outside every lock by design)
+    // keeps its handoff; by the next eviction it has either memoized —
+    // the hooks above just released it — or died, and only then is the
+    // dir reclaimed. This is exactly memoGet's documented contract
+    // ("released at the next eviction").
+    val toDelete = pathsLock.synchronized {
+      import scala.jdk.CollectionConverters._
+      val current = Option(sessionPaths.get(spark))
+        .map(_.asScala.toSet).getOrElse(Set.empty[String])
+      val pending = Option(pendingSweep.get(spark))
+        .map(_.asScala.toSet).getOrElse(Set.empty[String])
+      val dead = current intersect pending
+      Option(sessionPaths.get(spark)).foreach(s => dead.foreach(s.remove))
+      val grace = new java.util.HashSet[String]()
+      (current diff dead).foreach(grace.add)
+      if (grace.isEmpty) pendingSweep.remove(spark)
+      else pendingSweep.put(spark, grace)
+      dead
     }
-    leftovers.foreach(deletePath(spark, _))
+    toDelete.foreach(deletePath(spark, _))
   }
 
   /** Eager localCheckpoint at MEMORY_AND_DISK_SER — the storage level
@@ -71,9 +86,13 @@ object MemoRegistry {
       df.write.mode("overwrite").parquet(path)
       val out = spark.read.parquet(path)
       reliablePaths.put(out, path)
-      sessionPaths.synchronized {
-        sessionPaths.getOrElseUpdate(spark,
-          scala.collection.mutable.Set.empty) += path
+      pathsLock.synchronized {
+        var s = sessionPaths.get(spark)
+        if (s == null) {
+          s = new java.util.HashSet[String]()
+          sessionPaths.put(spark, s): Unit
+        }
+        s.add(path): Unit
       }
       out
     } else df.localCheckpoint(true,
@@ -130,12 +149,19 @@ object MemoRegistry {
   private val reliablePaths = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[DataFrame, String]())
 
-  /** Strong per-session registry of every reliable handoff dir — the
-    * cleanup backstop `evictAll` uses for paths whose frame never saw
-    * `release` (the weak map alone would orphan those files).
+  /** Per-session registry of every reliable handoff dir — the cleanup
+    * backstop `evictAll` uses for paths whose frame never saw `release`
+    * (the weak frame→path map alone would orphan those files). Keys are
+    * WEAK: a session that stops without ever calling evictAll doesn't
+    * pin itself (or its path strings) in memory for the JVM's lifetime.
+    * `pendingSweep` holds each session's once-seen leftovers for the
+    * two-phase eviction sweep. All access under `pathsLock`.
     */
-  private val sessionPaths = scala.collection.mutable
-    .Map.empty[SparkSession, scala.collection.mutable.Set[String]]
+  private val pathsLock = new Object
+  private val sessionPaths =
+    new java.util.WeakHashMap[SparkSession, java.util.HashSet[String]]()
+  private val pendingSweep =
+    new java.util.WeakHashMap[SparkSession, java.util.HashSet[String]]()
 
   private def deletePath(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -151,8 +177,9 @@ object MemoRegistry {
   def release(df: DataFrame): Unit = {
     Option(reliablePaths.remove(df)) match {
       case Some(path) =>
-        sessionPaths.synchronized {
-          sessionPaths.get(df.sparkSession).foreach(_ -= path)
+        pathsLock.synchronized {
+          Option(sessionPaths.get(df.sparkSession)).foreach(_.remove(path))
+          Option(pendingSweep.get(df.sparkSession)).foreach(_.remove(path))
         }
         deletePath(df.sparkSession, path)
       case None =>

@@ -65,18 +65,27 @@ object IvfPqIndex {
   def append(eNew: DataFrame, path: String): Unit = {
     val spark = eNew.sparkSession
     val coarse = spark.read.parquet(s"$path/coarse")
-    // codes FIRST, lists LAST: a failure between the two appends then
-    // leaves orphan codes (harmless — never candidates without a list
-    // row) instead of list rows whose neighbors silently vanish from
-    // every search (the candidate→codes join would drop them). A retry
-    // of the same batch is safe either way: both assignments are
-    // deterministic, and search() dedupes by vec_id at read time, so
-    // re-appended rows are exact duplicates that collapse.
-    ProductQuantIndex.encode(eNew,
+    // Each leg anti-joins the batch against what that leg already
+    // holds, so the index never contains two rows for one vec_id:
+    // a retried batch (the partial-failure recovery path) re-appends
+    // only the leg that failed, and a re-append of a vec_id whose
+    // embedding CHANGED is ignored — the artifact is frozen per
+    // vec_id; updates require a rebuild (document contract, same as
+    // the minhash index). Codes FIRST, lists LAST: a failure between
+    // the appends leaves orphan codes (harmless — never candidates
+    // without a list row, and healed by the retry's anti-join) rather
+    // than list rows whose neighbors silently vanish from search.
+    val newForCodes = eNew.join(
+      spark.read.parquet(s"$path/pq/codes").select(col("vec_id")),
+      Seq("vec_id"), "left_anti")
+    ProductQuantIndex.encode(newForCodes,
         spark.read.parquet(s"$path/pq/codebooks"))
       .write.mode("append").parquet(s"$path/pq/codes")
-    KMeans.assign(eNew.select(col("vec_id"), col("embedding")), coarse,
-        "vec_id", "embedding")
+    val newForLists = eNew.join(
+      spark.read.parquet(s"$path/lists").select(col("vec_id")),
+      Seq("vec_id"), "left_anti")
+    KMeans.assign(newForLists.select(col("vec_id"), col("embedding")),
+        coarse, "vec_id", "embedding")
       .select(col("vec_id"), col("cid"))
       .write.mode("append").parquet(s"$path/lists")
   }
@@ -87,11 +96,9 @@ object IvfPqIndex {
   def search(spark: SparkSession, path: String, e: DataFrame,
       isQuery: Column, k: Int, nprobe: Int): DataFrame = {
     val coarse = spark.read.parquet(s"$path/coarse")
-    // dedupe by vec_id: deterministic assignment/encoding makes a
-    // retried append write exact duplicate rows — collapse them here
-    // (the appendMinhashIndex read-side contract)
+    // append()'s anti-join guards keep vec_ids unique in both legs, so
+    // search reads them raw — no corpus-wide dedup on the hot path
     val lists = spark.read.parquet(s"$path/lists")
-      .dropDuplicates("vec_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__ccos").desc, col("cid"))
     val probes = e.filter(isQuery)
@@ -107,7 +114,6 @@ object IvfPqIndex {
       .select(col("query_id"), col("neighbor_id"))
     ProductQuantIndex.searchCandidates(
       spark.read.parquet(s"$path/pq/codebooks"),
-      spark.read.parquet(s"$path/pq/codes").dropDuplicates("vec_id"),
-      e, isQuery, cands, k)
+      spark.read.parquet(s"$path/pq/codes"), e, isQuery, cands, k)
   }
 }

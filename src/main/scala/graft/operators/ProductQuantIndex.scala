@@ -61,15 +61,23 @@ object ProductQuantIndex {
     * the residual-PQ path (ann12) trains on coarse-centroid residuals
     * instead of the normalized vectors; `build` is the identity view.
     */
+  /** (vec_id, sv): subspace `b`'s 16-element slice of a (vec_id, pos,
+    * nvv) scalar view — THE slice builder. buildScalar, encode, and
+    * searchFrames all go through it: the encode-reproduces-build and
+    * candidate≡full-search guarantees depend on the slice arithmetic
+    * being literally shared, not textually copied.
+    */
+  private def subSlice(nvd: DataFrame, b: Int): DataFrame =
+    nvd.filter(col("pos") >= b * SubDim && col("pos") < (b + 1) * SubDim)
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, nvv))), " +
+        "x -> x.nvv)").as("sv"))
+
   def buildScalar(scalarView: DataFrame): (DataFrame, DataFrame) = {
     val spent = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val nvd = scalarView
     val perSub = (0 until Subspaces).map { b =>
-      val sub = nvd
-        .filter(col("pos") >= b * SubDim && col("pos") < (b + 1) * SubDim)
-        .groupBy(col("vec_id"))
-        .agg(expr("transform(sort_array(collect_list(struct(pos, nvv))), " +
-          "x -> x.nvv)").as("sv"))
+      val sub = subSlice(nvd, b)
         .coalesce(4)
         .localCheckpoint()
       spent += sub
@@ -115,12 +123,7 @@ object ProductQuantIndex {
   def encode(e: DataFrame, codebooks: DataFrame): DataFrame = {
     val nvd = ScalarQuantIndex.normalizedScalar(e)
     val perSub = (0 until Subspaces).map { b =>
-      val sub = nvd
-        .filter(col("pos") >= b * SubDim && col("pos") < (b + 1) * SubDim)
-        .groupBy(col("vec_id"))
-        .agg(expr("transform(sort_array(collect_list(struct(pos, nvv))), " +
-          "x -> x.nvv)").as("sv"))
-      assignL2(sub, codebooks.filter(col("b") === b)
+      assignL2(subSlice(nvd, b), codebooks.filter(col("b") === b)
           .select(col("cid"), col("cv")))
         .select(col("vec_id"), lit(b).as("b"), col("cid"))
     }
@@ -180,12 +183,8 @@ object ProductQuantIndex {
     val nvd = ScalarQuantIndex.normalizedScalar(e.filter(isQuery))
       .coalesce(1).localCheckpoint()
     val subDots = (0 until Subspaces).map { b =>
-      val q = nvd
-        .filter(col("pos") >= b * SubDim && col("pos") < (b + 1) * SubDim)
-        .groupBy(col("vec_id"))
-        .agg(expr("transform(sort_array(collect_list(struct(pos, nvv))), " +
-          "x -> x.nvv)").as("qs"))
-        .select(col("vec_id").as("query_id"), col("qs"))
+      val q = subSlice(nvd, b)
+        .select(col("vec_id").as("query_id"), col("sv").as("qs"))
       val n = codes
         .select(col("vec_id").as("neighbor_id"),
           expr(s"code[$b]").cast("long").as("cid"))
@@ -238,14 +237,22 @@ object ProductQuantIndex {
     * another score component before ranking (the residual-IVFADC
     * composition adds dot(query, coarse centroid) — ann12).
     */
-  def scoreCandidates(codebooks: DataFrame, codes: DataFrame,
-      e: DataFrame, isQuery: org.apache.spark.sql.Column,
-      cands: DataFrame): DataFrame = {
-    val q = ScalarQuantIndex.normalizedScalar(e.filter(isQuery))
+  /** (query_id, qv): the full normalized query vectors scoreCandidates
+    * scores against — shared with ann12's centroid-dot term so the two
+    * constructions can't drift.
+    */
+  def queryVectors(e: DataFrame,
+      isQuery: org.apache.spark.sql.Column): DataFrame =
+    ScalarQuantIndex.normalizedScalar(e.filter(isQuery))
       .groupBy(col("vec_id"))
       .agg(expr("transform(sort_array(collect_list(struct(pos, nvv))), " +
         "x -> x.nvv)").as("qv"))
       .select(col("vec_id").as("query_id"), col("qv"))
+
+  def scoreCandidates(codebooks: DataFrame, codes: DataFrame,
+      e: DataFrame, isQuery: org.apache.spark.sql.Column,
+      cands: DataFrame): DataFrame = {
+    val q = queryVectors(e, isQuery)
     val withCode = cands
       .join(codes.select(col("vec_id").as("neighbor_id"), col("code")),
         Seq("neighbor_id"))

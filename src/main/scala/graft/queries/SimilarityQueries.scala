@@ -402,12 +402,8 @@ object SimilarityQueries extends QueryModule {
       val adc = graft.operators.ProductQuantIndex.scoreCandidates(
         rBooks, rCodes, e, col("vec_id") < 10,
         candsL.select(col("query_id"), col("neighbor_id")))
-      val qn = graft.operators.ScalarQuantIndex
-        .normalizedScalar(e.filter(col("vec_id") < 10))
-        .groupBy(col("vec_id"))
-        .agg(expr("transform(sort_array(collect_list(struct(pos, nvv))), " +
-          "x -> x.nvv)").as("qv"))
-        .select(col("vec_id").as("query_id"), col("qv"))
+      val qn = graft.operators.ProductQuantIndex
+        .queryVectors(e, col("vec_id") < 10)
       val cterm = candsL
         .join(broadcast(qn), Seq("query_id"))
         .join(broadcast(centroids(s, d)),

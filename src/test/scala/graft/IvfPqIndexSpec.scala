@@ -89,9 +89,11 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(viaIndex.filter(col("neighbor_id") >= half).count() > 0,
       "no appended vector ever surfaced in search results")
     // retrying the SAME append (the partial-failure recovery path) is
-    // idempotent: duplicate rows land on disk but search dedupes by
-    // vec_id, so results are unchanged
+    // idempotent: the anti-join guards append nothing the second time —
+    // no duplicate rows on disk, results unchanged
     IvfPqIndex.append(b, dir)
+    assert(spark.read.parquet(s"$dir/lists").count() == emb.count())
+    assert(spark.read.parquet(s"$dir/pq/codes").count() == emb.count())
     val afterRetry = IvfPqIndex.search(
       spark, dir, emb, col("vec_id") < 10, 3, nprobe = nLists)
     assert(afterRetry.exceptAll(viaIndex).count() == 0)

@@ -53,6 +53,34 @@ class ReliableCheckpointSpec extends SparkSpec {
     }
   }
 
+  test("evictAll reclaims an orphaned handoff on the SECOND sweep only") {
+    // a handoff whose frame never saw release (a build that died after
+    // materializing) must not be deleted by the first evictAll — the
+    // path could belong to a build still in flight (builds run outside
+    // every lock) — but a second consecutive eviction proves it dead
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-reliable-orph").toString
+    spark.conf.set(MemoRegistry.CkptModeKey, "reliable")
+    spark.conf.set(MemoRegistry.CkptDirKey, dir)
+    try {
+      val df = MemoRegistry.checkpointLarge(spark.range(50).toDF("id"))
+      assert(df.count() == 50)
+      MemoRegistry.evictAll(spark)
+      val afterFirst = new java.io.File(dir).listFiles()
+      assert(afterFirst != null && afterFirst.length == 1,
+        "first sweep must spare a possibly-in-flight handoff")
+      MemoRegistry.evictAll(spark)
+      val afterSecond = new java.io.File(dir).listFiles()
+      assert(afterSecond == null || afterSecond.isEmpty,
+        "second sweep must reclaim the orphan")
+    } finally {
+      spark.conf.unset(MemoRegistry.CkptModeKey)
+      spark.conf.unset(MemoRegistry.CkptDirKey)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("release() deletes a reliable handoff's files") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-reliable-rel").toString
