@@ -232,10 +232,13 @@ object ProductQuantIndex {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
-  /** The scored form of [[searchCandidates]] — (query_id, neighbor_id,
-    * adc) with no rank cut, for callers that combine the ADC term with
-    * another score component before ranking (the residual-IVFADC
-    * composition adds dot(query, coarse centroid) — ann12).
+  /** The scored form of [[searchCandidates]] — the candidate frame's
+    * columns plus `adc`, no rank cut, for callers that combine the ADC
+    * term with another score component before ranking (the
+    * residual-IVFADC composition adds dot(query, coarse centroid) —
+    * ann12). Extra candidate columns (e.g. the probe's list_id) pass
+    * through, so the caller's follow-up terms can ride broadcast joins
+    * on the SAME stream instead of re-joining pair-keyed frames.
     */
   /** (query_id, qv): the full normalized query vectors scoreCandidates
     * scores against — shared with ann12's centroid-dot term so the two
@@ -268,6 +271,6 @@ object ProductQuantIndex {
     scored
       .withColumn("adc",
         col("dp0") + col("dp1") + col("dp2") + col("dp3"))
-      .select(col("query_id"), col("neighbor_id"), col("adc"))
+      .select(cands.columns.map(col).toSeq :+ col("adc"): _*)
   }
 }

@@ -399,22 +399,22 @@ object SimilarityQueries extends QueryModule {
         .filter(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"), col("list_id"))
       val (rBooks, rCodes) = cachedResidualPq(s, d)
-      val adc = graft.operators.ProductQuantIndex.scoreCandidates(
-        rBooks, rCodes, e, col("vec_id") < 10,
-        candsL.select(col("query_id"), col("neighbor_id")))
+      // ONE scoring stream: list_id rides through scoreCandidates, so
+      // the centroid term is two broadcast joins on the same pipeline —
+      // never a pair-keyed join between two corpus-sized legs
+      val scored = graft.operators.ProductQuantIndex.scoreCandidates(
+        rBooks, rCodes, e, col("vec_id") < 10, candsL)
       val qn = graft.operators.ProductQuantIndex
         .queryVectors(e, col("vec_id") < 10)
-      val cterm = candsL
+      val wr = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      val approx = scored
         .join(broadcast(qn), Seq("query_id"))
         .join(broadcast(centroids(s, d)),
           col("list_id") === col("clabel"))
         .withColumn("cdot", expr(
           "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, " +
             "(a, b) -> a + b)"))
-        .select(col("query_id"), col("neighbor_id"), col("cdot"))
-      val wr = Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("neighbor_id"))
-      val approx = adc.join(cterm, Seq("query_id", "neighbor_id"))
         .withColumn("score", col("cdot") + col("adc"))
         .withColumn("rank", row_number().over(wr))
         .filter(col("rank") <= 3)
