@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
-  AttributeMap, Expression, NamedExpression}
+  AttributeMap, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.optimizer.CollapseProject
 import org.apache.spark.sql.catalyst.plans.logical.{Expand, LogicalPlan,
   Project, Union}
@@ -40,13 +40,19 @@ import org.apache.spark.sql.types.DataType
   *     sees through that), and fully deterministic — collapsing N scans
   *     of a nondeterministic source into one is not semantics-preserving.
   *
-  * No literal-discriminator position is required: the rewrite is
-  * semantics-preserving for ANY deterministic same-child Project union
-  * (Expand emits the identical multiset), and the no-label shape is a
-  * real workload — pooling several measure columns into one value
-  * column (`r6_stacked_measures`) unions slices that differ only in the
-  * projected column. Collapsing those N passes over the fact table into
-  * one Expand scan reads each referenced column once in a single stage.
+  * A union WITHOUT a literal discriminator also rewrites, but only
+  * when the branches reference pairwise-DISJOINT child columns — the
+  * pooled-measures shape (`r6_stacked_measures`: one slice per measure
+  * column), where collapsing N passes over the fact table into one
+  * Expand scan reads each referenced column once. The disjointness
+  * guard tracks the actual benefit: overlapping-reference self-unions
+  * (edge symmetrization `e.select(a,b) union e.select(b,a)`, plain
+  * `df union df`) re-read the SAME columns, so there is no scan to
+  * save — and rewriting them blocks downstream union optimizations
+  * (`PushDistinctThroughUnion`), measured as a 2.6× regression on the
+  * graph-components path before this guard existed. The rewrite stays
+  * semantics-preserving in all these cases; the guard is purely a
+  * cost decision.
   *
   * The rewrite re-bases each branch's projection onto the first branch's
   * child (positional attribute map, justified by canonical equality) and
@@ -131,11 +137,26 @@ object MeltUnionToExpand extends Rule[LogicalPlan] {
                 es.map(_.transform { case a: Attribute => m.getOrElse(a, a) })
               }
             }
+            val hasLabel = (0 until n).exists { i =>
+              val pos = rebased.map(_(i))
+              pos.forall(_.isInstanceOf[Literal]) && pos.distinct.size >= 2
+            }
+            // no-label unions only when branches slice DISJOINT child
+            // columns (the pooled-measures shape) — see the scaladoc's
+            // cost rationale
+            val disjointRefs = {
+              val sets = rebased.map(_.flatMap(_.collect {
+                case a: Attribute => a.exprId
+              }).toSet)
+              sets.map(_.size).sum == sets.reduce(_ union _).size
+            }
             val typesOk = rebased.forall(_.zip(u.output).forall {
               case (e, a) => DataType.equalsStructurally(
                 e.dataType, a.dataType, ignoreNullability = true)
             })
-            if (typesOk) Expand(rebased, u.output, base) else u
+            if ((hasLabel || disjointRefs) && typesOk)
+              Expand(rebased, u.output, base)
+            else u
           }
         case _ => u
       }

@@ -93,10 +93,10 @@ class MeltRuleSpec extends SparkSpec {
     assert(sortedRows(step2) == sortedRows(naive))
   }
 
-  test("no-label same-child unions collapse too (pooled measures)") {
-    // no literal discriminator, branches differ only in the projected
-    // column — the r6_stacked_measures shape. Semantics-preserving for
-    // any deterministic same-child Project union, so it fires.
+  test("no-label same-child unions collapse when slices are disjoint") {
+    // no literal discriminator, branches reference DISJOINT child
+    // columns — the r6_stacked_measures pooled-measures shape, where
+    // one Expand scan replaces N passes over the source. Fires.
     val a = wide.select(col("nr_large").cast("double").as("v"))
     val b = wide.select(col("nr_brass").cast("double").as("v"))
     val pooled = Melt.rewrite(a union b)
@@ -104,10 +104,21 @@ class MeltRuleSpec extends SparkSpec {
     assert(count(plan, classOf[Expand]) == 1, plan)
     assert(count(plan, classOf[Union]) == 0, plan)
     assert(sortedRows(pooled) == sortedRows(a union b))
-    // pure self-union (identical projections) is also just 2 Expand rows
-    val dup = Melt.rewrite(a union a)
-    assert(count(dup.queryExecution.analyzed, classOf[Union]) == 0)
-    assert(sortedRows(dup) == sortedRows(a union a))
+  }
+
+  test("no-label unions with OVERLAPPING references do NOT rewrite") {
+    // same-child unions re-reading the same columns have no scan to
+    // save, and rewriting them blocks PushDistinctThroughUnion —
+    // measured 2.6x slower on the graph-components sym union. The
+    // edge-symmetrization shape and the pure self-union must survive.
+    val e = wide.select(col("p_partkey").as("a"),
+      col("nr_large").cast("long").as("b"))
+    val sym = Melt.rewrite(
+      e union e.select(col("b").as("a"), col("a").as("b")))
+    assert(count(sym.queryExecution.analyzed, classOf[Union]) == 1)
+    assert(count(sym.queryExecution.analyzed, classOf[Expand]) == 0)
+    val dup = Melt.rewrite(e union e)
+    assert(count(dup.queryExecution.analyzed, classOf[Union]) == 1)
   }
 
   test("guards: nondeterministic and mixed-source unions survive") {
