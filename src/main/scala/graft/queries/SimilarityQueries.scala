@@ -369,6 +369,69 @@ object SimilarityQueries extends QueryModule {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Two-stage retrieval — the standard production SERVING shape:
+    // a compressed-domain shortlist (ann11's IVF-PQ ADC, R=10 per
+    // query, shared memoized artifacts) followed by EXACT cosine
+    // re-ranking of only those Q×R pairs. The corpus is touched in
+    // compressed form (4-int codes); exact math runs on ≤10 rows per
+    // query — one broadcast of the query originals and one id-join for
+    // the shortlisted neighbors' originals. Recall can only improve on
+    // the shortlist's own top-3 (exact ordering of a superset).
+    "ann13_shortlist_rerank" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("ccos").desc, col("clabel"))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+        .crossJoin(broadcast(centroids(s, d)))
+        .withColumn("ccos", expr("cosine_sim(embedding, cv)"))
+        .withColumn("prk", row_number().over(wProbe))
+        .filter(col("prk") <= 2)
+        .select(col("query_id"), col("clabel").as("list_id"))
+      val cands = broadcast(probes)
+        .join(cachedAssigned(s, d)
+            .select(col("vec_id").as("neighbor_id"), col("list_id")),
+          Seq("list_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"))
+      val (books, codes) =
+        graft.operators.ProductQuantIndex.cached(s, d, e)
+      val shortlist = graft.operators.ProductQuantIndex.searchCandidates(
+        books, codes, e, col("vec_id") < 10, cands, 10)
+      val wr = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val approx = shortlist
+        .join(e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ne")), Seq("neighbor_id"))
+        .join(broadcast(e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"),
+              col("embedding").as("qe"))), Seq("query_id"))
+        .withColumn("cos", expr("cosine_sim(qe, ne)"))
+        .withColumn("rrank", row_number().over(wr))
+        .filter(col("rrank") <= 3)
+        .select(col("query_id"), col("rrank").as("rank"),
+          col("neighbor_id"))
+      val wx = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val exact3 = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .join(e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ne")),
+          col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", expr("cosine_sim(qe, ne)"))
+        .withColumn("rn", row_number().over(wx))
+        .filter(col("rn") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val overlap = approx.join(exact3, Seq("query_id", "neighbor_id"),
+          "left_semi")
+        .agg(count(lit(1)).as("rerank_overlap_top3"))
+      approx.crossJoin(broadcast(overlap))
+        .withColumn("rerank_beats_chance",
+          col("rerank_overlap_top3") >= 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Residual IVFADC — ann11 with the published refinement: the PQ
     // codebooks are trained on RESIDUALS r = x − c_list (each
     // normalized vector minus its coarse list's centroid), and the
@@ -869,6 +932,87 @@ object SimilarityQueries extends QueryModule {
          |  JOIN exact3 USING (query_id, neighbor_id))
          |SELECT query_id, rank, neighbor_id, ivfpq_overlap_top3,
          |  ivfpq_overlap_top3 >= 4 AS ivfpq_beats_chance
+         |FROM approx CROSS JOIN ov ORDER BY query_id, rank""".stripMargin,
+
+    // ann11's CTEs with the rank cut at 10 (the shortlist), then exact
+    // cosine re-ranking of only those pairs
+    "ann13_shortlist_rerank" ->
+      s"""WITH expl AS (
+         |  SELECT label, unnest(embedding) AS e,
+         |    unnest(range(0, len(embedding))) AS pos
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label, pos,
+         |    CAST(sum(CAST(e AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c
+         |  FROM expl GROUP BY 1, 2),
+         |cvec AS (
+         |  SELECT label AS clabel, list(c ORDER BY pos) AS cv
+         |  FROM cent GROUP BY 1),
+         |assigned AS (
+         |  SELECT vec_id, clabel AS list_id FROM (
+         |    SELECT v.vec_id, c.clabel,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.embedding::DOUBLE[], c.cv) /
+         |          (sqrt(list_dot_product(v.embedding::DOUBLE[],
+         |             v.embedding::DOUBLE[])) *
+         |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.clabel) AS rk
+         |    FROM embeddings v CROSS JOIN cvec c)
+         |  WHERE rk = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, clabel AS list_id FROM (
+         |    SELECT v.vec_id, c.clabel,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.embedding::DOUBLE[], c.cv) /
+         |          (sqrt(list_dot_product(v.embedding::DOUBLE[],
+         |             v.embedding::DOUBLE[])) *
+         |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.clabel) AS prk
+         |    FROM embeddings v CROSS JOIN cvec c WHERE v.vec_id < 10)
+         |  WHERE prk <= 2),
+         |cand AS (
+         |  SELECT p.query_id, b.vec_id AS neighbor_id
+         |  FROM probes p JOIN assigned b ON p.list_id = b.list_id
+         |    AND p.query_id <> b.vec_id),
+         |v AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |nr AS (
+         |  SELECT vec_id, ev, sqrt(list_dot_product(ev, ev)) AS n FROM v),
+         |nvt AS (
+         |  SELECT vec_id, CASE WHEN n = 0
+         |    THEN list_transform(ev, x -> 0.0)
+         |    ELSE list_transform(ev, x -> x / n) END AS nv FROM nr),
+         |${(0 until 4).map(pqSubCte).mkString(",\n")},
+         |shortlist AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY dp0 + dp1 + dp2 + dp3 DESC, neighbor_id) AS srank
+         |    FROM p0
+         |    JOIN p1 USING (query_id, neighbor_id)
+         |    JOIN p2 USING (query_id, neighbor_id)
+         |    JOIN p3 USING (query_id, neighbor_id)
+         |    JOIN cand USING (query_id, neighbor_id))
+         |  WHERE srank <= 10),
+         |approx AS (
+         |  SELECT query_id, rank, neighbor_id FROM (
+         |    SELECT s.query_id, s.neighbor_id,
+         |      row_number() OVER (PARTITION BY s.query_id
+         |        ORDER BY $duckCos DESC, s.neighbor_id) AS rank
+         |    FROM shortlist s JOIN embeddings a ON a.vec_id = s.query_id
+         |    JOIN embeddings b ON b.vec_id = s.neighbor_id)
+         |  WHERE rank <= 3),
+         |exact3 AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY $duckCos DESC, b.vec_id) AS rn
+         |    FROM embeddings a JOIN embeddings b
+         |      ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+         |  WHERE rn <= 3),
+         |ov AS (
+         |  SELECT count(*) AS rerank_overlap_top3 FROM approx
+         |  JOIN exact3 USING (query_id, neighbor_id))
+         |SELECT query_id, rank, neighbor_id, rerank_overlap_top3,
+         |  rerank_overlap_top3 >= 4 AS rerank_beats_chance
          |FROM approx CROSS JOIN ov ORDER BY query_id, rank""".stripMargin,
 
     // ann11's coarse/candidate CTEs + residual-PQ training (pqResSubCte:
