@@ -37,6 +37,34 @@ object Dedup {
     sh.join(hot, Seq("sh"), "left_anti")
   }
 
+  /** SemDeDup drop set (Abbas et al. 2023, arXiv:2303.09540): given a
+    * clustered embedding frame (`idCol`, `vecCol`, `cid`, `ccos` =
+    * cosine to own centroid), return the ids dropped by the paper's
+    * keep policy — an item is dropped when some item EARLIER in the
+    * keep order (ccos ASC = low-centroid-similarity kept first, id as
+    * the total-order tiebreak) in the SAME cluster is cosine-near it
+    * (>= tau). "Earlier" means any earlier item, kept or not, matching
+    * the paper's released pseudocode. Requires GraftFunctions
+    * (cosine_sim) registered on the session.
+    *
+    * Scale: the pair leg is an equi-join on cid; production K grows
+    * with the corpus (paper: K ~ N/10k) so per-cluster pair mass stays
+    * bounded — never corpus-quadratic.
+    */
+  def semDedupDropped(assigned: DataFrame, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = assigned.select(col(idCol).as("__ia"), col(vecCol).as("__va"),
+      col("cid"), col("ccos").as("__ca"))
+    val b = assigned.select(col(idCol).as("__ib"), col(vecCol).as("__vb"),
+      col("cid"), col("ccos").as("__cb"))
+    a.join(b, Seq("cid"))
+      .filter(col("__ia") =!= col("__ib") &&
+        (col("__ca") < col("__cb") ||
+          (col("__ca") === col("__cb") && col("__ia") < col("__ib"))))
+      .filter(expr("cosine_sim(__va, __vb)") >= tau)
+      .select(col("__ib").as(idCol)).distinct()
+  }
+
   /** Exact pairwise Jaccard within lang blocks → (lang, da, db, j).
     * Quadratic in block size — ground truth / small-scale only.
     */

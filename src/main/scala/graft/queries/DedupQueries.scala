@@ -87,8 +87,39 @@ object DedupQueries extends QueryModule {
           "da", "db"))
     }
 
+  /** dd12's k-means-trained assignment (vec_id, embedding, cid, ccos),
+    * built outside any map lock via memoGet: the frame feeds the census
+    * AND both sides of the within-cluster pair join, so without the
+    * memo the crossJoin+window assignment would execute three times per
+    * run.
+    */
+  private val semMemo = scala.collection.mutable
+    .Map.empty[(SparkSession, String), DataFrame]
+  private val semInflight = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    java.util.concurrent.CompletableFuture[DataFrame]]()
+
+  private def cachedSemAssigned(s: SparkSession, d: String): DataFrame =
+    graft.MemoRegistry.memoGet(semMemo, semInflight, (s, d)) {
+      graft.functions.GraftFunctions.register(s)
+      import graft.operators.KMeans
+      val e = Tables.embeddings(s, d)
+      val init = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"),
+          expr("transform(embedding, x -> cast(x AS double))").as("cv"))
+      val cents = KMeans.lloyd(e, init, "vec_id", "embedding", iters = 1)
+      val wAssign = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+      e.crossJoin(broadcast(cents))
+        .withColumn("ccos", expr("cosine_sim(embedding, cv)"))
+        .withColumn("rk", row_number().over(wAssign))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid"), col("ccos"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   graft.MemoRegistry.register { spark =>
-    Seq(shMemo, jMemo, compMemo).foreach(m =>
+    Seq(shMemo, jMemo, compMemo, semMemo).foreach(m =>
       graft.MemoRegistry.evictMap(spark, m)(_._1)(Seq(_)))
     graft.MemoRegistry.evictMap(spark, candMemo)(_._1)(Seq(_))
   }
@@ -243,6 +274,36 @@ object DedupQueries extends QueryModule {
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_chars")).as("kept_chars"))
         .orderBy(col("lang"))
+    }),
+
+    // SemDeDup (semantic dedup over embeddings, Abbas et al. 2023,
+    // arXiv:2303.09540): k-means-cluster the corpus embeddings (one
+    // deterministic Lloyd round — the ann7 trainer), then WITHIN each
+    // cluster drop any item that is cosine-near (>= 0.4) an item that
+    // precedes it in the keep order. SemDeDup's keep policy retains the
+    // LOW-centroid-similarity member of each duplicate group (diverse
+    // exemplars survive), so the keep order is ccos ASC with vec_id as
+    // the total-order tiebreak — and, as in the paper's released
+    // pseudocode, "precedes" means any earlier item, kept or not.
+    // Scale shape: centroids broadcast (K rows), assignment is map-side
+    // argmax, and the pairwise leg is an equi-join on cid — in
+    // production K grows with the corpus (the paper uses K ~ N/10k), so
+    // per-cluster pair mass stays bounded and the join never goes
+    // corpus-quadratic; K is pinned to 8 here so the DuckDB oracle can
+    // replay training exactly (the ann7 contract).
+    "dd12_semdedup" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val assigned = cachedSemAssigned(s, d)
+      val dropped = Dedup.semDedupDropped(assigned, 0.4)
+        .withColumn("isdrop", lit(1))
+      assigned.join(dropped, Seq("vec_id"), "left")
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("isdrop")).as("n_dropped"),
+          count(when(col("isdrop").isNull, 1)).as("n_kept"),
+          sum(when(col("isdrop").isNull, col("vec_id"))
+            .otherwise(lit(0L))).as("kept_id_sum"))
+        .orderBy(col("cid"))
     }),
 
     // Embedding-cosine near-dup: brute-force pair scan (oracle-checked);
@@ -401,6 +462,36 @@ object DedupQueries extends QueryModule {
     // content-addressed merge identity, pinned by DuckDB every round
     // (same policy as h12's incremental brick).
     "dd11_incremental_components" -> componentSizeCensusSql,
+
+    // full SemDeDup replay: one Lloyd training round (the shared ann7
+    // CTE), assignment retaining cos-to-centroid, keep-order pair
+    // predicate, per-cluster census
+    "dd12_semdedup" -> (SimilarityQueries.kmeansRoundCte + """,
+      |a2 AS (
+      |  SELECT vec_id, ev, cid, ccos FROM (
+      |    SELECT v.vec_id, v.ev, c.cid,
+      |      list_dot_product(v.ev, c.cv) /
+      |        (sqrt(list_dot_product(v.ev, v.ev)) *
+      |         sqrt(list_dot_product(c.cv, c.cv))) AS ccos,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_dot_product(v.ev, c.cv) /
+      |          (sqrt(list_dot_product(v.ev, v.ev)) *
+      |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rk
+      |    FROM v CROSS JOIN c1 c) WHERE rk = 1),
+      |dropped AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+      |   AND (a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+      |  WHERE list_dot_product(a.ev, b.ev) /
+      |    (sqrt(list_dot_product(a.ev, a.ev)) *
+      |     sqrt(list_dot_product(b.ev, b.ev))) >= 0.4)
+      |SELECT a2.cid, count(*) AS n_docs,
+      |  count(CASE WHEN d.vec_id IS NOT NULL THEN 1 END) AS n_dropped,
+      |  count(CASE WHEN d.vec_id IS NULL THEN 1 END) AS n_kept,
+      |  CAST(sum(CASE WHEN d.vec_id IS NULL THEN a2.vec_id ELSE 0 END)
+      |    AS BIGINT) AS kept_id_sum
+      |FROM a2 LEFT JOIN dropped d ON a2.vec_id = d.vec_id
+      |GROUP BY 1 ORDER BY cid""".stripMargin),
 
     "dd9_component_dedup" -> (shCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """, shsizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),

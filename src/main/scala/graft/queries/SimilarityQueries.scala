@@ -57,6 +57,36 @@ object SimilarityQueries extends QueryModule {
       "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
       "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
 
+  /** DuckDB replay of ONE deterministic spherical Lloyd round from the
+    * 8-lowest-vec_id init: `v` (double vectors) → `c0` (init) → `a1`
+    * (first assignment) → `m1` (decimal-exact positional means) → `c1`
+    * (trained centroids). Shared by the ann7 oracle and dd12's
+    * SemDeDup oracle so the training-replay SQL can't drift between
+    * them — the twin of [[graft.operators.KMeans.lloyd]] at iters = 1.
+    */
+  private[queries] val kmeansRoundCte: String =
+    """WITH v AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, ev AS cv FROM v WHERE vec_id < 8),
+      |a1 AS (
+      |  SELECT vec_id, label, ev, cid FROM (
+      |    SELECT v.vec_id, v.label, v.ev, c.cid,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_dot_product(v.ev, c.cv) /
+      |          (sqrt(list_dot_product(v.ev, v.ev)) *
+      |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rk
+      |    FROM v CROSS JOIN c0 c) WHERE rk = 1),
+      |e1 AS (
+      |  SELECT cid, unnest(ev) AS e,
+      |    unnest(range(0, len(ev))) AS pos
+      |  FROM a1),
+      |m1 AS (
+      |  SELECT cid, pos,
+      |    CAST(sum(CAST(e AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c
+      |  FROM e1 GROUP BY 1, 2),
+      |c1 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM m1 GROUP BY 1)"""
+      .stripMargin
+
   val queries: Map[String, Q] = Map(
     // Exact brute-force top-5 neighbors for the first 10 query vectors.
     "ann1_brute_topk" -> ((s, d) => {
@@ -1286,26 +1316,7 @@ object SimilarityQueries extends QueryModule {
     // full Lloyd round replay: init -> assign -> decimal-exact means ->
     // re-assign -> census
     "ann7_kmeans_train" ->
-      """WITH v AS (
-        |  SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings),
-        |c0 AS (SELECT vec_id AS cid, ev AS cv FROM v WHERE vec_id < 8),
-        |a1 AS (
-        |  SELECT vec_id, label, ev, cid FROM (
-        |    SELECT v.vec_id, v.label, v.ev, c.cid,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        list_dot_product(v.ev, c.cv) /
-        |          (sqrt(list_dot_product(v.ev, v.ev)) *
-        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rk
-        |    FROM v CROSS JOIN c0 c) WHERE rk = 1),
-        |e1 AS (
-        |  SELECT cid, unnest(ev) AS e,
-        |    unnest(range(0, len(ev))) AS pos
-        |  FROM a1),
-        |m1 AS (
-        |  SELECT cid, pos,
-        |    CAST(sum(CAST(e AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c
-        |  FROM e1 GROUP BY 1, 2),
-        |c1 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM m1 GROUP BY 1),
+      (kmeansRoundCte + """,
         |a2 AS (
         |  SELECT vec_id, label, cid FROM (
         |    SELECT v.vec_id, v.label, c.cid,
@@ -1315,7 +1326,7 @@ object SimilarityQueries extends QueryModule {
         |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rk
         |    FROM v CROSS JOIN c1 c) WHERE rk = 1)
         |SELECT cid, count(*) AS n, count(DISTINCT label) AS n_labels
-        |FROM a2 GROUP BY 1 ORDER BY cid""".stripMargin,
+        |FROM a2 GROUP BY 1 ORDER BY cid""".stripMargin),
 
     "dd10_blocked_near_dup" ->
       """WITH expl AS (

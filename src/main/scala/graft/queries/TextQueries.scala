@@ -449,8 +449,52 @@ object TextQueries extends QueryModule {
           (sum(col("n_tok")) - sum(col("nm"))).cast("long")
             .as("tokens_after"))
         .orderBy(col("lang"))
-    })
+    }),
+
+    // DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    // hashed-bigram importance weights — each doc scored by how much its
+    // hashed n-gram features look like a target domain (here lang='en')
+    // relative to the raw corpus. Faithful to the paper's hashed-feature
+    // pipeline (bigrams → fixed 4096-bucket hash via the first 3 md5 hex
+    // chars → add-1-smoothed target/raw bucket counts); the weight is
+    // the log-free rational surrogate w = Σ n_b·(t_b+1) / Σ n_b·(r_b+1)
+    // (integer sums, ONE float divide — the x6 discipline that keeps
+    // cross-engine arithmetic exact; production would sum log-ratios).
+    // Scale shape: the bucket-stats frame is FIXED-size (≤4096 rows) at
+    // any corpus scale → broadcast; everything else is per-doc map-side
+    // compute plus doc-keyed partial aggs, then TakeOrderedAndProject
+    // for the top-15.
+    "x16_dsir_weights" -> ((s, d) =>
+      dsirScored(s, d)
+        .orderBy(col("w").desc, col("doc_id"))
+        .limit(15))
   )
+
+  /** The x16 per-doc DSIR importance frame (doc_id, lang, n_feats,
+    * w_num, w_den, w) over the FULL corpus — factored out so
+    * DataSelectionSpec can assert the weight bounds and target-affinity
+    * properties on every doc, not just the query's top-15.
+    */
+  private[graft] def dsirScored(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val bucketed = cachedBigrams(s, d)
+      .withColumn("bucket",
+        conv(substring(md5(col("bg")), 1, 3), 16, 10).cast("int"))
+    val feat = bucketed
+      .groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    // bucket totals straight off the instance frame — one shuffle of
+    // ≤4096-key partials, not a second pass over the doc-keyed aggs
+    val stats = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("r"),
+        count(when(col("lang") === "en", 1)).as("t"))
+    feat.join(broadcast(stats), Seq("bucket"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("n")).as("n_feats"),
+        sum(col("n") * (col("t") + 1)).as("w_num"),
+        sum(col("n") * (col("r") + 1)).as("w_den"))
+      .withColumn("w", col("w_num") * lit(1.0) / col("w_den"))
+  }
 
   val oracle: Map[String, String] = Map(
     "x1_token_stats" ->
@@ -692,6 +736,37 @@ object TextQueries extends QueryModule {
         |  CAST(sum(n_tok) - sum(COALESCE(merged, 0)) AS BIGINT)
         |    AS tokens_after
         |FROM toks LEFT JOIN merges USING (doc_id) CROSS JOIN top
-        |GROUP BY 1, 2 ORDER BY lang""".stripMargin
+        |GROUP BY 1, 2 ORDER BY lang""".stripMargin,
+
+    // hashed-bigram importance replay: same md5-prefix bucket (hex
+    // chars decoded positionally — DuckDB has no base-16 conv), same
+    // integer sums, one divide
+    "x16_dsir_weights" ->
+      """WITH bi AS (
+        |  SELECT doc_id, lang, ts[g] || ' ' || ts[g+1] AS bg
+        |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS ts
+        |        FROM documents WHERE len(string_split(lower(text), ' ')) >= 2)
+        |  CROSS JOIN unnest(range(1, len(ts))) AS u(g)),
+        |feat AS (
+        |  SELECT doc_id, lang,
+        |    (strpos('0123456789abcdef', substr(md5(bg), 1, 1)) - 1) * 256 +
+        |    (strpos('0123456789abcdef', substr(md5(bg), 2, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(bg), 3, 1)) - 1)
+        |      AS bucket,
+        |    count(*) AS n
+        |  FROM bi GROUP BY 1, 2, 3),
+        |stats AS (
+        |  SELECT bucket, CAST(sum(n) AS BIGINT) AS r,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT)
+        |      AS t
+        |  FROM feat GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, lang, CAST(sum(n) AS BIGINT) AS n_feats,
+        |    CAST(sum(n * (t + 1)) AS BIGINT) AS w_num,
+        |    CAST(sum(n * (r + 1)) AS BIGINT) AS w_den
+        |  FROM feat JOIN stats USING (bucket) GROUP BY 1, 2)
+        |SELECT doc_id, lang, n_feats, w_num, w_den,
+        |  w_num * 1.0 / w_den AS w
+        |FROM scored ORDER BY w DESC, doc_id LIMIT 15""".stripMargin
   )
 }
