@@ -36,13 +36,33 @@ object MemoRegistry {
     // the hooks above just released it — or died, and only then is the
     // dir reclaimed. This is exactly memoGet's documented contract
     // ("released at the next eviction").
+    //
+    // Liveness guard (ADVICE r8): "seen unreleased twice" alone is not
+    // proof of death — a build that spans two evictions, or completes
+    // between the hooks above and this sweep and THEN memoizes, still
+    // holds its frame, and deleting the parquet dir under it turns the
+    // next read into FileNotFoundException. A path whose frame is still
+    // reachable in the weak frame→path map is LIVE: skip it and keep it
+    // in the grace set (it is re-checked — and skipped again — for as
+    // long as the frame stays reachable; once the frame is released or
+    // GC'd the weak entry vanishes and the sweep reclaims the dir).
     val toDelete = pathsLock.synchronized {
       import scala.jdk.CollectionConverters._
       val current = Option(sessionPaths.get(spark))
         .map(_.asScala.toSet).getOrElse(Set.empty[String])
       val pending = Option(pendingSweep.get(spark))
         .map(_.asScala.toSet).getOrElse(Set.empty[String])
-      val dead = current intersect pending
+      val live = reliablePaths.synchronized {
+        // Collections.synchronizedMap: iteration must hold the wrapper's
+        // monitor. Nesting order is pathsLock → reliablePaths only (the
+        // put/remove sites touch the two locks sequentially, never
+        // nested the other way), so this cannot deadlock.
+        val vs = Set.newBuilder[String]
+        val it = reliablePaths.values.iterator()
+        while (it.hasNext) vs += it.next()
+        vs.result()
+      }
+      val dead = (current intersect pending) diff live
       Option(sessionPaths.get(spark)).foreach(s => dead.foreach(s.remove))
       val grace = new java.util.HashSet[String]()
       (current diff dead).foreach(grace.add)

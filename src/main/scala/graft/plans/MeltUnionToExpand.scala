@@ -154,9 +154,39 @@ object MeltUnionToExpand extends Rule[LogicalPlan] {
               case (e, a) => DataType.equalsStructurally(
                 e.dataType, a.dataType, ignoreNullability = true)
             })
-            if ((hasLabel || disjointRefs) && typesOk)
-              Expand(rebased, u.output, base)
-            else u
+            if ((hasLabel || disjointRefs) && typesOk) {
+              // Expand invariant: an output attribute that shares a child
+              // exprId is assumed (by e.g. PushPredicateThroughNonJoin) to
+              // be emitted UNCHANGED by every projection — pushing a parent
+              // filter below the Expand is only sound then. When the head
+              // branch projects a bare attribute at a position where other
+              // branches project something else, u.output(i) reuses the
+              // child exprId but the invariant does not hold; emit a fresh
+              // attribute there and restore the original exprId with a
+              // trivial Project so parent references stay valid.
+              val baseIds = base.outputSet
+              val violated = (0 until n).filter { i =>
+                baseIds.contains(u.output(i)) &&
+                  rebased.exists(r => r(i) match {
+                    case a: Attribute => a.exprId != u.output(i).exprId
+                    case _ => true
+                  })
+              }.toSet
+              if (violated.isEmpty) Expand(rebased, u.output, base)
+              else {
+                val expandOut = u.output.zipWithIndex.map { case (a, i) =>
+                  if (violated(i)) a.newInstance() else a
+                }
+                val restore = expandOut.zipWithIndex.map { case (a, i) =>
+                  if (violated(i)) {
+                    val orig = u.output(i)
+                    Alias(a, orig.name)(
+                      exprId = orig.exprId, qualifier = orig.qualifier)
+                  } else a
+                }
+                Project(restore, Expand(rebased, expandOut, base))
+              }
+            } else u
           }
         case _ => u
       }

@@ -722,6 +722,9 @@ object SimilarityQueries extends QueryModule {
 
   private val refinedMemo = scala.collection.mutable
     .Map.empty[(SparkSession, String), DataFrame]
+  private val refinedInflight = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    java.util.concurrent.CompletableFuture[DataFrame]]()
 
   /** dd10's above-threshold blocking: 2-probe assignment against
     * sample-trained k-means centroids with k = ⌈√(10·N)⌉ — the IVF
@@ -738,8 +741,8 @@ object SimilarityQueries extends QueryModule {
     */
   private def refinedProbes(s: SparkSession, d: String,
       nVec: Long): DataFrame =
-    refinedMemo.synchronized {
-      refinedMemo.getOrElseUpdate((s, d), {
+    graft.MemoRegistry.memoGet(refinedMemo, refinedInflight, (s, d)) {
+      locally {
         GraftFunctions.register(s)
         val e = Tables.embeddings(s, d)
         val k = math.ceil(math.sqrt(10.0 * nVec)).toInt
@@ -761,7 +764,7 @@ object SimilarityQueries extends QueryModule {
           .filter(col("rk") <= 2)
           .select(col("vec_id"), col("cid").as("list_id"), col("rk"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      })
+      }
     }
 
   /** Per-subspace CTE block for the ann9 oracle: slice → init → one

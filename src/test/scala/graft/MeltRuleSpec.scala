@@ -106,6 +106,57 @@ class MeltRuleSpec extends SparkSpec {
     assert(sortedRows(pooled) == sortedRows(a union b))
   }
 
+  test("unaliased branches + downstream filter: pushdown stays correct") {
+    // ADVICE r8 (high): when the head branch projects a BARE attribute,
+    // the Expand output used to reuse the child exprId at a position
+    // where other branches emit different expressions — the optimizer
+    // then pushed parent filters below the Expand (the attribute looked
+    // like a passthrough) and applied them to the source column for ALL
+    // projections, returning wrong rows. The fix emits a fresh exprId
+    // there plus a restoring Project. This is the reproduction shape.
+    val a = wide.select(col("nr_large"))
+    val b = wide.select(col("nr_brass"))
+    val naive = a union b // plain session: no rule, ground truth
+    val rewritten = Melt.rewrite(naive)
+    // rewrite still fires (disjoint-slice pooled shape) ...
+    val plan = rewritten.queryExecution.analyzed
+    assert(count(plan, classOf[Expand]) == 1, plan)
+    assert(count(plan, classOf[Union]) == 0, plan)
+    // ... but no Expand output attribute may alias a child output —
+    // that is the invariant filter pushdown relies on
+    val e = plan.collect { case x: Expand => x }.head
+    val childIds = e.child.outputSet
+    assert(!e.output.exists(childIds.contains),
+      s"Expand output reuses child exprIds: $plan")
+    // the filtered frames must agree — pre-fix the rewritten side
+    // returned branch-B rows filtered on the SOURCE nr_large column
+    val fNaive = sortedRows(naive.filter(col("nr_large") > 0))
+    val fRule = sortedRows(rewritten.filter(col("nr_large") > 0))
+    assert(fRule == fNaive)
+    assert(fNaive.nonEmpty, "vacuous reproduction: filter kept no rows")
+    // unfiltered multisets agree too
+    assert(sortedRows(rewritten) == sortedRows(naive))
+  }
+
+  test("genuine passthrough (bare id in every branch) keeps plain Expand") {
+    // the common melt shape keeps the id column bare and identical in
+    // every branch — a true passthrough, no restoring Project needed,
+    // and pushing an id filter below the Expand IS correct there
+    val s1 = wide.select(col("p_partkey"), lit("a").as("label"),
+      col("nr_large").cast("double").as("value"))
+    val s2 = wide.select(col("p_partkey"), lit("b").as("label"),
+      col("nr_brass").cast("double").as("value"))
+    val naive = s1 union s2
+    val rewritten = Melt.rewrite(naive)
+    val plan = rewritten.queryExecution.analyzed
+    // root is the Expand itself — no restoring Project was added
+    assert(plan.isInstanceOf[Expand], plan)
+    val fNaive = sortedRows(naive.filter(col("p_partkey") <= 20))
+    val fRule = sortedRows(rewritten.filter(col("p_partkey") <= 20))
+    assert(fRule == fNaive)
+    assert(fNaive.nonEmpty)
+  }
+
   test("no-label unions with OVERLAPPING references do NOT rewrite") {
     // same-child unions re-reading the same columns have no scan to
     // save, and rewriting them blocks PushDistinctThroughUnion —

@@ -53,26 +53,73 @@ class ReliableCheckpointSpec extends SparkSpec {
     }
   }
 
-  test("evictAll reclaims an orphaned handoff on the SECOND sweep only") {
+  test("evictAll reclaims an orphaned handoff only once its frame died") {
     // a handoff whose frame never saw release (a build that died after
     // materializing) must not be deleted by the first evictAll — the
     // path could belong to a build still in flight (builds run outside
-    // every lock) — but a second consecutive eviction proves it dead
+    // every lock) — but once the frame is unreachable, a later
+    // consecutive eviction reclaims the dir
     val dir = java.nio.file.Files
       .createTempDirectory("graft-reliable-orph").toString
     spark.conf.set(MemoRegistry.CkptModeKey, "reliable")
     spark.conf.set(MemoRegistry.CkptDirKey, dir)
     try {
-      val df = MemoRegistry.checkpointLarge(spark.range(50).toDF("id"))
-      assert(df.count() == 50)
+      // build in a method scope so the frame reference genuinely dies
+      def make(): Unit = {
+        val df = MemoRegistry.checkpointLarge(spark.range(50).toDF("id"))
+        assert(df.count() == 50): Unit
+      }
+      make()
       MemoRegistry.evictAll(spark)
       val afterFirst = new java.io.File(dir).listFiles()
       assert(afterFirst != null && afterFirst.length == 1,
         "first sweep must spare a possibly-in-flight handoff")
-      MemoRegistry.evictAll(spark)
-      val afterSecond = new java.io.File(dir).listFiles()
-      assert(afterSecond == null || afterSecond.isEmpty,
-        "second sweep must reclaim the orphan")
+      // the weak frame→path entry clears on GC; sweep until reclaimed
+      var tries = 0
+      while (tries < 20 && {
+        val fs = new java.io.File(dir).listFiles()
+        fs != null && fs.nonEmpty
+      }) {
+        System.gc(); Thread.sleep(50)
+        MemoRegistry.evictAll(spark)
+        tries += 1
+      }
+      val afterSweeps = new java.io.File(dir).listFiles()
+      assert(afterSweeps == null || afterSweeps.isEmpty,
+        "sweep must reclaim the orphan once its frame is unreachable")
+    } finally {
+      spark.conf.unset(MemoRegistry.CkptModeKey)
+      spark.conf.unset(MemoRegistry.CkptDirKey)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("a LIVE unreleased frame survives repeated sweeps (ADVICE r8)") {
+    // a reliable-mode build that spans two evictions — or memoizes just
+    // after the hooks ran — still holds its frame; the sweep used to
+    // delete the parquet dir out from under it (FileNotFoundException
+    // on the next read). The liveness guard must spare it for as long
+    // as the frame is reachable, then release() reclaims it as usual.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-reliable-live").toString
+    spark.conf.set(MemoRegistry.CkptModeKey, "reliable")
+    spark.conf.set(MemoRegistry.CkptDirKey, dir)
+    try {
+      val df = MemoRegistry.checkpointLarge(spark.range(75).toDF("id"))
+      assert(df.count() == 75)
+      for (i <- 1 to 3) {
+        MemoRegistry.evictAll(spark)
+        val fs = new java.io.File(dir).listFiles()
+        assert(fs != null && fs.length == 1,
+          s"sweep $i deleted a handoff whose frame is still live")
+      }
+      // the frame still reads — the files really are intact
+      assert(df.count() == 75)
+      MemoRegistry.release(df)
+      val after = new java.io.File(dir).listFiles()
+      assert(after == null || after.isEmpty,
+        "release must reclaim the live handoff's files")
     } finally {
       spark.conf.unset(MemoRegistry.CkptModeKey)
       spark.conf.unset(MemoRegistry.CkptDirKey)
