@@ -40,11 +40,20 @@ object IvfPqIndex {
       "vec_id", "embedding", iters)
   }
 
-  def write(e: DataFrame, path: String, k: Int, iters: Int = 1): Unit = {
-    trainCoarse(e, k, iters)
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
-    val coarse = e.sparkSession.read.parquet(s"$path/coarse")
-    KMeans.assign(e.select(col("vec_id"), col("embedding")), coarse,
+  def write(e: DataFrame, path: String, k: Int, iters: Int = 1): Unit =
+    write(e, path, trainCoarse(e, k, iters))
+
+  /** Bring-your-own-quantizer write: persist the artifact around a
+    * PRE-TRAINED coarse table (cid, cv) — the Faiss-style composition
+    * where the coarse quantizer is trained elsewhere (a different
+    * sample, a different trainer, label means). Everything downstream
+    * (assignment, PQ, search, append) is identical to the k-means
+    * `write`.
+    */
+  def write(e: DataFrame, path: String, coarse: DataFrame): Unit = {
+    coarse.coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+    val c = e.sparkSession.read.parquet(s"$path/coarse")
+    KMeans.assign(e.select(col("vec_id"), col("embedding")), c,
         "vec_id", "embedding")
       .select(col("vec_id"), col("cid"))
       .write.mode("overwrite").parquet(s"$path/lists")

@@ -322,17 +322,7 @@ object SimilarityQueries extends QueryModule {
         pqBooks, pqCodes, pqE, col("vec_id") < 10, 3)
 
       val e = Tables.embeddings(s, d)
-      val wx = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      val exact3 = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-        .join(e.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("ne")),
-          col("query_id") =!= col("neighbor_id"))
-        .withColumn("cos", expr("cosine_sim(qe, ne)"))
-        .withColumn("rn", row_number().over(wx))
-        .filter(col("rn") <= 3)
-        .select(col("query_id"), col("neighbor_id"))
+      val exact3 = exactTop3Audit(e, col("vec_id") < 10)
       val overlap = approx.join(exact3, Seq("query_id", "neighbor_id"),
           "left_semi")
         .agg(count(lit(1)).as("pq_overlap_top3"))
@@ -380,17 +370,7 @@ object SimilarityQueries extends QueryModule {
         graft.operators.ProductQuantIndex.cached(s, d, e)
       val approx = graft.operators.ProductQuantIndex.searchCandidates(
         books, codes, e, col("vec_id") < 10, cands, 3)
-      val wx = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      val exact3 = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-        .join(e.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("ne")),
-          col("query_id") =!= col("neighbor_id"))
-        .withColumn("cos", expr("cosine_sim(qe, ne)"))
-        .withColumn("rn", row_number().over(wx))
-        .filter(col("rn") <= 3)
-        .select(col("query_id"), col("neighbor_id"))
+      val exact3 = exactTop3Audit(e, col("vec_id") < 10)
       val overlap = approx.join(exact3, Seq("query_id", "neighbor_id"),
           "left_semi")
         .agg(count(lit(1)).as("ivfpq_overlap_top3"))
@@ -442,17 +422,7 @@ object SimilarityQueries extends QueryModule {
         .filter(col("rrank") <= 3)
         .select(col("query_id"), col("rrank").as("rank"),
           col("neighbor_id"))
-      val wx = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      val exact3 = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-        .join(e.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("ne")),
-          col("query_id") =!= col("neighbor_id"))
-        .withColumn("cos", expr("cosine_sim(qe, ne)"))
-        .withColumn("rn", row_number().over(wx))
-        .filter(col("rn") <= 3)
-        .select(col("query_id"), col("neighbor_id"))
+      val exact3 = exactTop3Audit(e, col("vec_id") < 10)
       val overlap = approx.join(exact3, Seq("query_id", "neighbor_id"),
           "left_semi")
         .agg(count(lit(1)).as("rerank_overlap_top3"))
@@ -512,23 +482,43 @@ object SimilarityQueries extends QueryModule {
         .withColumn("rank", row_number().over(wr))
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
-      val wx = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      val exact3 = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-        .join(e.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("ne")),
-          col("query_id") =!= col("neighbor_id"))
-        .withColumn("cos", expr("cosine_sim(qe, ne)"))
-        .withColumn("rn", row_number().over(wx))
-        .filter(col("rn") <= 3)
-        .select(col("query_id"), col("neighbor_id"))
+      val exact3 = exactTop3Audit(e, col("vec_id") < 10)
       val overlap = approx.join(exact3, Seq("query_id", "neighbor_id"),
           "left_semi")
         .agg(count(lit(1)).as("ivfadc_overlap_top3"))
       approx.crossJoin(broadcast(overlap))
         .withColumn("ivfadc_beats_chance",
           col("ivfadc_overlap_top3") >= 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // The persisted IVF-PQ artifact LIFECYCLE, oracle-grade: write the
+    // on-disk index from a base corpus (every 10th vector held out),
+    // append the held-out slice with FROZEN quantizers — TWICE, so the
+    // retry path's per-leg anti-join idempotence faces the oracle, not
+    // just a spec — then serve a 2-probe ADC search entirely off the
+    // artifact files (operators/IvfPqIndex.search: corpus vectors are
+    // never read, only the query rows' originals). The audit columns
+    // pin |lists| = |codes| = |corpus|: a duplicated append leg would
+    // break them, a lost one would break the search rows. DuckDB
+    // replays the whole lifecycle from the frozen-quantizer identity:
+    // base-trained coarse/codebooks + append-encode of the delta ≡
+    // assigning/encoding ALL vectors against the base-trained tables.
+    // The coarse quantizer here is the base corpus's label-mean table
+    // (the bring-your-own-quantizer `write` overload) — exactly
+    // replayable in SQL, while hash-min k-means coarse training stays
+    // covered by ann7/IvfPqIndexSpec.
+    "ann14_index_lifecycle" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val path = lifecycleArtifact(s, d)
+      val hits = graft.operators.IvfPqIndex.search(
+        s, path, e, col("vec_id") < 10, k = 3, nprobe = 2)
+      val audit = s.read.parquet(s"$path/lists")
+        .agg(count(lit(1)).as("n_lists"))
+        .crossJoin(s.read.parquet(s"$path/pq/codes")
+          .agg(count(lit(1)).as("n_codes")))
+      hits.crossJoin(broadcast(audit))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -689,7 +679,57 @@ object SimilarityQueries extends QueryModule {
       graft.MemoRegistry.evictMap(spark, m)(_._1)(Seq(_)))
     graft.MemoRegistry.evictMap(spark, resMemo)(_._1)(v =>
       Seq(v._1, v._2))
+    idxMemo.synchronized {
+      idxMemo.keys.filter(_._1 eq spark).toSeq.foreach { k =>
+        idxMemo.remove(k).foreach { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(hp, true): Unit
+        }
+      }
+    }
   }
+
+  private val idxMemo = scala.collection.mutable
+    .Map.empty[(SparkSession, String), String]
+  private val idxInflight = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    java.util.concurrent.CompletableFuture[String]]()
+
+  /** ann14's on-disk IVF-PQ artifact per (session, sfDir): write from
+    * the base corpus (vec_id % 10 ≠ 7), then append the held-out slice
+    * twice — the second append MUST be a no-op (per-leg anti-joins);
+    * the query's count audit and search rows face the oracle either
+    * way. Build-once-search-many like the in-memory index memos;
+    * eviction deletes the directory and the next access rebuilds
+    * bit-identically (deterministic training).
+    */
+  private def lifecycleArtifact(s: SparkSession, d: String): String =
+    graft.MemoRegistry.memoGet(idxMemo, idxInflight, (s, d)) {
+      GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val isDelta = col("vec_id") % 10 === 7
+      val base = e.filter(!isDelta)
+      // base label-mean coarse quantizer — the centroids(s,d)
+      // construction restricted to the base corpus (decimal-exact
+      // positional means, the exact formulation the oracle replays)
+      val coarse = base
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("col").cast(org.apache.spark.sql.types
+          .DecimalType(27, 12))).cast("double") / count(lit(1))).as("c"))
+        .groupBy(col("label"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, c))), " +
+          "x -> x.c)").as("cv"))
+        .select(col("label").as("cid"), col("cv"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ann14-ivfpq").toString
+      graft.operators.IvfPqIndex.write(base, dir, coarse)
+      graft.operators.IvfPqIndex.append(e.filter(isDelta), dir)
+      // the retry path, exercised IN the gate: identical re-append
+      graft.operators.IvfPqIndex.append(e.filter(isDelta), dir)
+      dir
+    }
 
   private val resMemo = scala.collection.mutable
     .Map.empty[(SparkSession, String), (DataFrame, DataFrame)]
@@ -725,6 +765,39 @@ object SimilarityQueries extends QueryModule {
   private val refinedInflight = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String),
     java.util.concurrent.CompletableFuture[DataFrame]]()
+
+  /** Exact top-3 ground truth for the recall audits (ann8/9/11/12/13):
+    * a broadcast nested-loop of the pinned query vectors against the
+    * FULL corpus. O(Q·N) BY CONTRACT — sound at any corpus size only
+    * while Q stays small and fixed (the audits pin Q=10). Cloning this
+    * pattern with Q ~ corpus re-creates exactly the N² brute scan the
+    * engine avoids everywhere else; corpus-scale ground truth belongs
+    * to `Dedup.bruteNearDupStats`' seeded-sample estimator. The guard
+    * counts the query side through a LIMIT, so its cost is bounded by
+    * the threshold — not the corpus — and an unbounded audit fails
+    * fast instead of silently going quadratic.
+    */
+  private val MaxAuditQueries = 1024
+  private def exactTop3Audit(e: DataFrame,
+      qPred: org.apache.spark.sql.Column): DataFrame = {
+    val qs = e.filter(qPred)
+    val qCount = qs.limit(MaxAuditQueries + 1).count()
+    require(qCount <= MaxAuditQueries,
+      s"recall audit got more than $MaxAuditQueries query vectors; the " +
+        "exact ground-truth leg is O(queries x corpus) and must stay " +
+        "bounded - sample the queries, or use Dedup.bruteNearDupStats " +
+        "for corpus-scale ground truth")
+    val wx = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    qs.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", expr("cosine_sim(qe, ne)"))
+      .withColumn("rn", row_number().over(wx))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+  }
 
   /** dd10's above-threshold blocking: 2-probe assignment against
     * sample-trained k-means centroids with k = ⌈√(10·N)⌉ — the IVF
@@ -770,8 +843,11 @@ object SimilarityQueries extends QueryModule {
   /** Per-subspace CTE block for the ann9 oracle: slice → init → one
     * Lloyd round (assign by cosine, decimal-exact means — the ann7
     * replay pattern) → encode → per-pair subspace ADC contribution.
+    * `trainPred` restricts the TRAINING rows (sample + init) — the
+    * ann14 lifecycle trains on the pre-append base corpus while still
+    * encoding (and pairing) every vector.
     */
-  private def pqSubCte(b: Int): String = {
+  private def pqSubCte(b: Int, trainPred: String = "TRUE"): String = {
     val lo = b * 16 + 1
     val hi = (b + 1) * 16
     // L2 assignment in the exact Spark-side formulation:
@@ -798,8 +874,10 @@ object SimilarityQueries extends QueryModule {
          |  FROM $u GROUP BY 1, 2),
          |$t AS (SELECT cid, list(c ORDER BY pos) AS cv FROM $m GROUP BY 1)""".stripMargin
     s"""sb$b AS (SELECT vec_id, nv[$lo:$hi] AS sv FROM nvt),
-       |tb$b AS (SELECT vec_id, sv FROM sb$b WHERE vec_id < 256),
-       |i$b AS (SELECT vec_id AS cid, sv AS cv FROM sb$b WHERE vec_id < 8),
+       |tb$b AS (SELECT vec_id, sv FROM sb$b
+       |  WHERE vec_id < 256 AND $trainPred),
+       |i$b AS (SELECT vec_id AS cid, sv AS cv FROM sb$b
+       |  WHERE vec_id < 8 AND $trainPred),
        |${assignCte(s"x$b", s"i$b", s"tb$b")},
        |${meanCte(s"x$b", s"u$b", s"m$b", s"t$b")},
        |${assignCte(s"x2$b", s"t$b", s"tb$b")},
@@ -867,7 +945,7 @@ object SimilarityQueries extends QueryModule {
          |  SELECT vec_id, CASE WHEN n = 0
          |    THEN list_transform(ev, x -> 0.0)
          |    ELSE list_transform(ev, x -> x / n) END AS nv FROM nr),
-         |${(0 until 4).map(pqSubCte).mkString(",\n")},
+         |${(0 until 4).map(b => pqSubCte(b)).mkString(",\n")},
          |approx AS (
          |  SELECT query_id, rank, neighbor_id FROM (
          |    SELECT query_id, neighbor_id,
@@ -940,7 +1018,7 @@ object SimilarityQueries extends QueryModule {
          |  SELECT vec_id, CASE WHEN n = 0
          |    THEN list_transform(ev, x -> 0.0)
          |    ELSE list_transform(ev, x -> x / n) END AS nv FROM nr),
-         |${(0 until 4).map(pqSubCte).mkString(",\n")},
+         |${(0 until 4).map(b => pqSubCte(b)).mkString(",\n")},
          |approx AS (
          |  SELECT query_id, rank, neighbor_id FROM (
          |    SELECT query_id, neighbor_id,
@@ -966,6 +1044,76 @@ object SimilarityQueries extends QueryModule {
          |SELECT query_id, rank, neighbor_id, ivfpq_overlap_top3,
          |  ivfpq_overlap_top3 >= 4 AS ivfpq_beats_chance
          |FROM approx CROSS JOIN ov ORDER BY query_id, rank""".stripMargin,
+
+    // The artifact lifecycle replayed from the frozen-quantizer
+    // identity: coarse (base label-means) and PQ codebooks train on
+    // the BASE corpus only (vec_id % 10 <> 7 — pqSubCte's trainPred),
+    // while assignment/encoding covers ALL vectors — write(base) plus
+    // append(delta) with frozen quantizers lands exactly there, and a
+    // duplicated or lost append leg breaks the count audit or the
+    // candidate rows
+    "ann14_index_lifecycle" ->
+      s"""WITH bexpl AS (
+         |  SELECT label, unnest(embedding) AS e,
+         |    unnest(range(0, len(embedding))) AS pos
+         |  FROM embeddings WHERE vec_id % 10 <> 7),
+         |bcent AS (
+         |  SELECT label, pos,
+         |    CAST(sum(CAST(e AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c
+         |  FROM bexpl GROUP BY 1, 2),
+         |cvec AS (
+         |  SELECT label AS clabel, list(c ORDER BY pos) AS cv
+         |  FROM bcent GROUP BY 1),
+         |assigned AS (
+         |  SELECT vec_id, clabel AS list_id FROM (
+         |    SELECT v.vec_id, c.clabel,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.embedding::DOUBLE[], c.cv) /
+         |          (sqrt(list_dot_product(v.embedding::DOUBLE[],
+         |             v.embedding::DOUBLE[])) *
+         |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.clabel) AS rk
+         |    FROM embeddings v CROSS JOIN cvec c)
+         |  WHERE rk = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, clabel AS list_id FROM (
+         |    SELECT v.vec_id, c.clabel,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.embedding::DOUBLE[], c.cv) /
+         |          (sqrt(list_dot_product(v.embedding::DOUBLE[],
+         |             v.embedding::DOUBLE[])) *
+         |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.clabel) AS prk
+         |    FROM embeddings v CROSS JOIN cvec c WHERE v.vec_id < 10)
+         |  WHERE prk <= 2),
+         |cand AS (
+         |  SELECT p.query_id, b.vec_id AS neighbor_id
+         |  FROM probes p JOIN assigned b ON p.list_id = b.list_id
+         |    AND p.query_id <> b.vec_id),
+         |v AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |nr AS (
+         |  SELECT vec_id, ev, sqrt(list_dot_product(ev, ev)) AS n FROM v),
+         |nvt AS (
+         |  SELECT vec_id, CASE WHEN n = 0
+         |    THEN list_transform(ev, x -> 0.0)
+         |    ELSE list_transform(ev, x -> x / n) END AS nv FROM nr),
+         |${(0 until 4).map(b =>
+              pqSubCte(b, "(vec_id % 10 <> 7)")).mkString(",\n")},
+         |approx AS (
+         |  SELECT query_id, rank, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY dp0 + dp1 + dp2 + dp3 DESC, neighbor_id) AS rank
+         |    FROM p0
+         |    JOIN p1 USING (query_id, neighbor_id)
+         |    JOIN p2 USING (query_id, neighbor_id)
+         |    JOIN p3 USING (query_id, neighbor_id)
+         |    JOIN cand USING (query_id, neighbor_id))
+         |  WHERE rank <= 3),
+         |counts AS (
+         |  SELECT count(*) AS n_lists, count(*) AS n_codes
+         |  FROM embeddings)
+         |SELECT query_id, rank, neighbor_id, n_lists, n_codes
+         |FROM approx CROSS JOIN counts ORDER BY query_id, rank""".stripMargin,
 
     // ann11's CTEs with the rank cut at 10 (the shortlist), then exact
     // cosine re-ranking of only those pairs
@@ -1013,7 +1161,7 @@ object SimilarityQueries extends QueryModule {
          |  SELECT vec_id, CASE WHEN n = 0
          |    THEN list_transform(ev, x -> 0.0)
          |    ELSE list_transform(ev, x -> x / n) END AS nv FROM nr),
-         |${(0 until 4).map(pqSubCte).mkString(",\n")},
+         |${(0 until 4).map(b => pqSubCte(b)).mkString(",\n")},
          |shortlist AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT query_id, neighbor_id,
