@@ -100,8 +100,19 @@ object MemoRegistry {
       // re-reads prune columns/filters like any table, and the
       // artifact is debuggable. Cost is one write+read of the frame
       // per materialization — measured in BENCH_LOCAL.md round 8.
-      val base = spark.conf.getOption(CkptDirKey).getOrElse(
+      // `spark.graft.checkpoint.dir` accepts a COMMA LIST of dirs:
+      // successive handoffs round-robin across them, spreading the
+      // write+read bytes over independent disks. Motivation: the 30×
+      // single-JVM profile's one super-linear wall stage
+      // (activities.ckpt, ~6× at 3× data) was attributed to one
+      // spindle serializing the handoff I/O — zero spill, linear
+      // shuffle bytes (BENCH_LOCAL round 8). On a cluster the list
+      // would be mount points; a single dir keeps the old behavior.
+      val bases = spark.conf.getOption(CkptDirKey).getOrElse(
         sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-ckpt")
+        .split(',').map(_.trim).filter(_.nonEmpty)
+      val base = bases(
+        Math.floorMod(ckptRoundRobin.getAndIncrement(), bases.length))
       val path = s"$base/ckpt-${java.util.UUID.randomUUID()}"
       df.write.mode("overwrite").parquet(path)
       val out = spark.read.parquet(path)
@@ -165,6 +176,7 @@ object MemoRegistry {
     */
   val CkptModeKey = "spark.graft.checkpoint.mode"
   val CkptDirKey = "spark.graft.checkpoint.dir"
+  private val ckptRoundRobin = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val reliablePaths = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[DataFrame, String]())

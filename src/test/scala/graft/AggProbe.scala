@@ -16,6 +16,7 @@ object AggProbe {
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "agg-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    StretchGen.ensure(spark, d): Unit
 
     @volatile var spill = 0L
     @volatile var shufW = 0L

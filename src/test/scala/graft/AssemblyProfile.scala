@@ -39,6 +39,7 @@ object AssemblyProfile {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus, "assembly-profile")
     spark.sparkContext.setLogLevel("ERROR")
+    StretchGen.ensure(spark, d): Unit
     // SPARK_GRAFT_CKPT_MODE=reliable measures the fault-tolerant
     // parquet-handoff posture (round-8 table in BENCH_LOCAL.md)
     sys.env.get("SPARK_GRAFT_CKPT_MODE").foreach { m =>

@@ -18,6 +18,7 @@ object BrickProfile {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus, "brick-profile")
     spark.sparkContext.setLogLevel("ERROR")
+    StretchGen.ensure(spark, d): Unit
     val t00 = System.nanoTime()
     def time(n: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()

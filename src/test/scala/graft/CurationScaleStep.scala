@@ -35,6 +35,7 @@ object CurationScaleStep {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus, "curation-scale-step")
     spark.sparkContext.setLogLevel("ERROR")
+    StretchGen.ensure(spark, d): Unit
     val t00 = System.nanoTime()
     def time(n: String)(f: => Long): Long = {
       val t0 = System.nanoTime()

@@ -52,6 +52,7 @@ object EnrichStretch {
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "enrich-stretch")
     spark.sparkContext.setLogLevel("ERROR")
+    StretchGen.ensure(spark, d): Unit
     import spark.implicits._
 
     val props = Harmonize.cachedBrick(spark, d, SourceAdapter.all)

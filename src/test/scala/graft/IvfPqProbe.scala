@@ -16,6 +16,7 @@ object IvfPqProbe {
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "ivfpq-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    StretchGen.ensure(spark, d): Unit
     graft.functions.GraftFunctions.register(spark)
     val dir = java.nio.file.Files
       .createTempDirectory("ivfpq-probe").toString + "/idx"
@@ -45,6 +46,37 @@ object IvfPqProbe {
         graft.operators.IvfPqIndex
           .search(spark, dir, emb, col("vec_id") < 10, 3, 2).count()
       }
+    }
+
+    // The nprobe recall-vs-cost curve off the persisted artifact
+    // (VERDICT r8 #3): exact cosine top-3 for the 10 pinned queries as
+    // ground truth (Q=10 — the bounded-audit contract), then recall@3
+    // and warm seconds per nprobe. nprobe=k is the spec-pinned
+    // exhaustive-ADC identity, so its recall is the PQ ceiling.
+    import org.apache.spark.sql.expressions.Window
+    val wx = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val exact = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", expr("cosine_sim(qe, ne)"))
+      .withColumn("rn", row_number().over(wx))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (np <- Seq(1, 2, 4, k)) {
+      def run(): Set[(Long, Long)] = graft.operators.IvfPqIndex
+        .search(spark, dir, emb, col("vec_id") < 10, 3, np)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      run() // warm the probe's plan/caches like the nprobe=2 rows above
+      val t0 = System.nanoTime()
+      val hits = run()
+      val warm = (System.nanoTime() - t0) / 1e9
+      val label = if (np == k) s"$np (all lists)" else np.toString
+      println(f"[ivfpq] nprobe=$label%-16s recall@3=${(exact & hits).size}%2d/${exact.size}  warm=$warm%6.2fs")
     }
     spark.stop()
   }

@@ -16,6 +16,7 @@ object QueryProbe {
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "query-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    StretchGen.ensure(spark, d): Unit
     spark.range(1000000).selectExpr("sum(id)").collect()
     names.foreach { n =>
       val fn = SparkEntry.queries(n)

@@ -128,6 +128,37 @@ class ReliableCheckpointSpec extends SparkSpec {
     }
   }
 
+  test("comma-list checkpoint dir round-robins handoffs across dirs") {
+    // the multi-spindle posture for the 30x single-disk I/O wall:
+    // successive materializations alternate dirs; results unchanged
+    // and release/sweep still reclaim files wherever they landed
+    val d1 = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-a").toString
+    val d2 = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-b").toString
+    spark.conf.set(MemoRegistry.CkptModeKey, "reliable")
+    spark.conf.set(MemoRegistry.CkptDirKey, s"$d1, $d2")
+    try {
+      val frames = (1 to 4).map(i =>
+        MemoRegistry.checkpointLarge(spark.range(i * 10L).toDF("id")))
+      assert(frames.map(_.count()) == Seq(10L, 20L, 30L, 40L))
+      def nDirs(d: String): Int = {
+        val fs = new java.io.File(d).listFiles()
+        if (fs == null) 0 else fs.length
+      }
+      assert(nDirs(d1) == 2 && nDirs(d2) == 2,
+        s"expected 2+2 handoffs, got ${nDirs(d1)}+${nDirs(d2)}")
+      frames.foreach(MemoRegistry.release)
+      assert(nDirs(d1) == 0 && nDirs(d2) == 0,
+        "release left files behind in a round-robin dir")
+    } finally {
+      spark.conf.unset(MemoRegistry.CkptModeKey)
+      spark.conf.unset(MemoRegistry.CkptDirKey)
+      for (d <- Seq(d1, d2))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+    }
+  }
+
   test("release() deletes a reliable handoff's files") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-reliable-rel").toString

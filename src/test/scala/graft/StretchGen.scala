@@ -95,6 +95,33 @@ object StretchGen {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
   }
 
+  /** Regenerate a stretch fixture when absent — `target/` vanishes on
+    * `sbt clean`, which used to silently strand the scale probes
+    * (NOTES r8 #4). The generators are seed-free deterministic
+    * functions of the sf0.1 testdata, so a regenerated fixture is
+    * equivalent. Completion marker `_STRETCH_OK` guards against a
+    * half-written fixture from an interrupted generation. Recognizes
+    * the canonical names — `sf<k>-stretch` (factor 10·k from sf0.1)
+    * and `docs-stretch-x<f>`; any other path passes through untouched
+    * (the probes also accept plain testdata dirs).
+    */
+  def ensure(spark: SparkSession, dir: String): String = {
+    val f = new java.io.File(dir)
+    val marker = new java.io.File(f, "_STRETCH_OK")
+    def done(): Unit = {
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte]): Unit
+      println(s"[stretch] regenerated $dir")
+    }
+    f.getName match {
+      case s"sf$k-stretch" if !marker.exists() =>
+        stretch(spark, "/root/testdata/sf0.1", dir, k.toInt * 10); done()
+      case s"docs-stretch-x$x" if !marker.exists() =>
+        stretchDocs(spark, "/root/testdata/sf0.1", dir, x.toInt); done()
+      case _ => ()
+    }
+    dir
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("docs")) {
       val factor = args.lift(1).map(_.toInt).getOrElse(100)
@@ -104,6 +131,9 @@ object StretchGen {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "graft-stretch")
       spark.sparkContext.setLogLevel("WARN")
       stretchDocs(spark, "/root/testdata/sf0.1", outDir, factor)
+      java.nio.file.Files.write(
+        new java.io.File(outDir, "_STRETCH_OK").toPath,
+        Array.empty[Byte]): Unit
       println(s"STRETCH_DONE docs $outDir x$factor")
       spark.stop()
       return
@@ -114,6 +144,9 @@ object StretchGen {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "graft-stretch")
     spark.sparkContext.setLogLevel("WARN")
     stretch(spark, "/root/testdata/sf0.1", outDir, factor)
+    java.nio.file.Files.write(
+      new java.io.File(outDir, "_STRETCH_OK").toPath,
+      Array.empty[Byte]): Unit
     println(s"STRETCH_DONE $outDir x$factor")
     spark.stop()
   }

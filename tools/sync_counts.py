@@ -12,9 +12,23 @@ Parses the final ScalaTest run summary
 (`Tests: succeeded N, ...` + `Suites: completed M, aborted 0`) and
 rewrites the two known count sentences in place. Refuses to touch the
 docs if the log shows failures.
+
+Also syncs the QUERY count in NOTES.md from the single source of
+truth, `SparkEntry.expectedQueryCount` (round-8 finding: the spec
+counts were script-synced but the query count drifted 187 vs 189 when
+the last snapshot outran the docs).
 """
 import re
 import sys
+
+
+def query_count():
+    src = open("src/main/scala/graft/SparkEntry.scala",
+               encoding="utf-8").read()
+    m = re.search(r"val expectedQueryCount: Int = (\d+)", src)
+    if not m:
+        raise SystemExit("SparkEntry.expectedQueryCount not found")
+    return int(m.group(1))
 
 
 def main():
@@ -32,6 +46,7 @@ def main():
             f"refusing to sync counts from a failing run "
             f"(failed={failed}, aborted={aborted})")
 
+    nq = query_count()
     subs = [
         ("README.md",
          re.compile(r"`sbt test` runs \d+ specs across\n?\d+ suites"),
@@ -39,6 +54,9 @@ def main():
         ("NOTES.md",
          re.compile(r"\*\*\d+ ScalaTest specs across \d+ suites\*\*"),
          f"**{succeeded} ScalaTest specs across {suites} suites**"),
+        ("NOTES.md",
+         re.compile(r"\*\*\d+ queries\*\* in `SparkEntry.queries`"),
+         f"**{nq} queries** in `SparkEntry.queries`"),
     ]
     for path, pat, repl in subs:
         text = open(path, encoding="utf-8").read()
