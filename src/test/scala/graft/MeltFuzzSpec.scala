@@ -60,6 +60,34 @@ class MeltFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: bare-attribute branches under downstream filters") {
+    // the ADVICE r8 wrong-results shape generalized: branches project
+    // BARE attributes (head branch output reuses child exprIds), a
+    // random predicate lands on top — filter pushdown below the Expand
+    // must never apply the head column's filter to other projections.
+    val rnd = new scala.util.Random(99)
+    val measures = Seq("m1", "m2", "m3", "k")
+    for (trial <- 1 to 25) {
+      val n = 2 + rnd.nextInt(3)
+      val cols = rnd.shuffle(measures).take(n) // distinct → rewrite fires
+      val slices = cols.map(m => src.select(col(m)))
+      val naive = slices.reduce(_ union _)
+      val rewritten = Melt.rewrite(naive)
+      val plan = rewritten.queryExecution.analyzed
+      assert(count(plan, classOf[Expand]) == 1 &&
+        count(plan, classOf[Union]) == 0, s"trial $trial: $cols")
+      // the invariant itself: no Expand output attribute may alias a
+      // child output (that is what licenses the pushdown)
+      val e = plan.collect { case x: Expand => x }.head
+      assert(!e.output.exists(e.child.outputSet.contains),
+        s"trial $trial: Expand output reuses child exprIds")
+      val thr = Seq(0d, 5d, 50d, 1000d)(rnd.nextInt(4))
+      val p = col(cols.head) > lit(thr)
+      assert(rows(rewritten.filter(p)) == rows(naive.filter(p)),
+        s"trial $trial: filtered values diverged (cols=$cols thr=$thr)")
+    }
+  }
+
   test("fuzz: incremental acc-union folding preserves the predicate") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 10) {
