@@ -89,11 +89,27 @@ object MeltUnionToExpand extends Rule[LogicalPlan] {
     * a branch that is already a Project/Expand at the top can collapse
     * to one, so anything else skips the (whole-subtree) CollapseProject
     * — every analyzed Union pays this probe, and most are not melts.
+    *
+    * `Project(list, Expand(...))` composes the projection through the
+    * Expand (each Expand projection substituted for its output
+    * attribute in `list`): this is the restore-Project the rewrite
+    * itself emits when the head branch projected a bare attribute
+    * (see the Expand-invariant comment below), so without this case
+    * the bare-attribute INCREMENTAL loop `acc = acc.union(slice)` —
+    * whose intermediate steps analyze eagerly — stopped folding after
+    * the first rewrite (NOTES r9 #2: correct, just unfused). Both
+    * sides are checked deterministic by the caller, so duplicating a
+    * composed expression into several projections is sound.
     */
   private def slices(p: LogicalPlan): Option[Seq[(Seq[Expression], LogicalPlan)]] =
     p match {
       case _: Project | _: Expand =>
         CollapseProject(p) match {
+          case Project(list, Expand(projs, eout, child)) =>
+            val idx = AttributeMap(eout.zipWithIndex)
+            Some(projs.map(pr => (list.map(e => stripAlias(e).transform {
+              case a: Attribute if idx.contains(a) => pr(idx(a))
+            }), child)))
           case Project(list, child) =>
             Some(Seq((list.map(stripAlias), child)))
           case Expand(projs, _, child) => Some(projs.map(es => (es, child)))

@@ -93,6 +93,48 @@ class MeltRuleSpec extends SparkSpec {
     assert(sortedRows(step2) == sortedRows(naive))
   }
 
+  test("bare-attribute incremental union folds through the restore Project") {
+    // NOTES r9 #2: the ADVICE-r8 fix emits Project(restore, Expand(...))
+    // for bare-attribute branches, and that Project used to block the
+    // NEXT incremental step from folding (slices() saw a Project over an
+    // Expand and gave up) — correct but unfused, N-1 Expands for N
+    // slices. slices() now composes the projection through the Expand,
+    // so the eager-analysis loop folds back to ONE Expand while the
+    // fresh-exprId invariant (and thus filter-pushdown correctness)
+    // still holds at every step.
+    // branches must project bare SOURCE columns — only then does the
+    // union output reuse the relation's exprId, forcing the fresh-id +
+    // restore-Project shape at step 1 (disjoint string columns of the
+    // raw table; wide's derived columns alias underneath and never
+    // trigger the restore)
+    val part = spark.read.parquet(s"${sf()}/part.parquet")
+    val a = part.select(col("p_name"))
+    val b = part.select(col("p_brand"))
+    val c = part.select(col("p_type"))
+    val step1 = Melt.rewrite(a union b)
+    // step 1 really is the restore shape: Project over one Expand
+    val p1 = step1.queryExecution.analyzed
+    assert(count(p1, classOf[Expand]) == 1, p1)
+    assert(p1.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.Project], p1)
+    val step2 = Melt.rewrite(step1 union c)
+    val plan = step2.queryExecution.analyzed
+    assert(count(plan, classOf[Expand]) == 1, plan)
+    assert(count(plan, classOf[Union]) == 0, plan)
+    val e = plan.collect { case x: Expand => x }.head
+    assert(e.projections.size == 3, plan)
+    // the Expand invariant survives the re-fold
+    assert(!e.output.exists(e.child.outputSet.contains), plan)
+    val naive = (a union b) union c
+    assert(sortedRows(step2) == sortedRows(naive))
+    // and a downstream filter on the head column stays sound
+    // keeps all of branch a, none of b, some of c — a pushdown bug
+    // that applies the head predicate per-branch changes the multiset
+    val fNaive = sortedRows(naive.filter(col("p_name") > "PROMO"))
+    val fRule = sortedRows(step2.filter(col("p_name") > "PROMO"))
+    assert(fRule == fNaive && fNaive.nonEmpty)
+  }
+
   test("no-label same-child unions collapse when slices are disjoint") {
     // no literal discriminator, branches reference DISJOINT child
     // columns — the r6_stacked_measures pooled-measures shape, where
