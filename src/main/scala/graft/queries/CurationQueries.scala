@@ -258,6 +258,52 @@ object CurationQueries extends QueryModule {
           sum(col("n_chars")).as("sum_chars"))
         .crossJoin(broadcast(audit))
         .orderBy(col("split"))
+    }),
+
+    // Mixture allocation: split a fixed sampling budget (100k docs'
+    // worth of tokens) across sources proportional to token mass with
+    // the largest-remainder (Hamilton) method — the deterministic,
+    // integer-exact core of mixture design (what DoReMi-style weight
+    // learning rounds down to when shipping an actual sample count per
+    // source). floor_alloc = ⌊B·n_tok/T⌋ via integer DIV; the B−Σfloor
+    // residual goes +1 each to the largest remainders (tie → source
+    // asc). No float ever appears, so the oracle can't disagree on a
+    // rounding boundary. Overflow bound: B·n_tok < 2^63 holds to
+    // ~9e13-token sources at B=1e5; past that, rescale B or use
+    // decimal. Scale shape: ONE map-side-combined corpus aggregate
+    // (source → token mass); everything after operates on the
+    // catalog-sized source dim (20 here, ≤ thousands in production) —
+    // the rank self-join and both total frames are broadcast, so no
+    // corpus-scale shuffle beyond the first aggregate, and no global
+    // window (the rank is a count-of-better self-join, which stays
+    // shuffle-free at any catalog size).
+    "c8_source_budget" -> ((s, d) => {
+      val B = 100000L
+      val src = Tables.documents(s, d)
+        .select(col("source"),
+          size(split(lower(col("text")), " ")).cast("long").as("n"))
+        .groupBy(col("source")).agg(sum(col("n")).as("n_tok"))
+      val tot = src.agg(sum(col("n_tok")).as("t_tok"))
+      val shares = src.crossJoin(broadcast(tot))
+        .withColumn("floor_alloc", expr(s"($B * n_tok) DIV t_tok"))
+        .withColumn("rem", expr(s"($B * n_tok) % t_tok"))
+      val resid = shares.agg((lit(B) - sum(col("floor_alloc")))
+        .as("n_extra"))
+      val better = shares.select(col("source").as("s2"),
+        col("rem").as("r2"))
+      shares.join(broadcast(better),
+          col("r2") > col("rem") ||
+            (col("r2") === col("rem") && col("s2") < col("source")),
+          "left")
+        .groupBy(col("source"), col("n_tok"), col("floor_alloc"),
+          col("rem"))
+        .agg(count(col("s2")).as("n_better"))
+        .crossJoin(broadcast(resid))
+        .withColumn("alloc", col("floor_alloc") +
+          when(col("n_better") < col("n_extra"), 1L).otherwise(0L))
+        .select(col("source"), col("n_tok"), col("floor_alloc"),
+          col("alloc"))
+        .orderBy(col("source"))
     })
   )
 
@@ -475,6 +521,35 @@ object CurationQueries extends QueryModule {
         |  n_cross_component, n_cross_naive
         |FROM asg2 CROSS JOIN audit
         |GROUP BY split, n_cross_component, n_cross_naive
-        |ORDER BY split""".stripMargin)
+        |ORDER BY split""".stripMargin),
+
+    // integer DIV/% throughout — the largest-remainder allocation has
+    // no float for the engines to round differently
+    "c8_source_budget" ->
+      """WITH src AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+        |      AS n_tok
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS t_tok FROM src),
+        |shares AS (
+        |  SELECT source, n_tok,
+        |    (100000 * n_tok) // t_tok AS floor_alloc,
+        |    (100000 * n_tok) % t_tok AS rem
+        |  FROM src CROSS JOIN tot),
+        |resid AS (
+        |  SELECT 100000 - CAST(sum(floor_alloc) AS BIGINT) AS n_extra
+        |  FROM shares),
+        |ranked AS (
+        |  SELECT a.source, a.n_tok, a.floor_alloc,
+        |    count(b.source) AS n_better
+        |  FROM shares a LEFT JOIN shares b
+        |    ON b.rem > a.rem OR (b.rem = a.rem AND b.source < a.source)
+        |  GROUP BY 1, 2, 3)
+        |SELECT source, n_tok, CAST(floor_alloc AS BIGINT) AS floor_alloc,
+        |  CAST(floor_alloc +
+        |    CASE WHEN n_better < n_extra THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM ranked CROSS JOIN resid ORDER BY source""".stripMargin
   )
 }

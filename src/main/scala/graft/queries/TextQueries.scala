@@ -467,8 +467,222 @@ object TextQueries extends QueryModule {
     "x16_dsir_weights" -> ((s, d) =>
       dsirScored(s, d)
         .orderBy(col("w").desc, col("doc_id"))
-        .limit(15))
+        .limit(15)),
+
+    // BM25 retrieval scoring (Robertson/Spärck Jones; k1=1.2, b=0.75):
+    // score the corpus against a 3-term query and return the top-10
+    // docs. The query is data-derived (top-3 content tokens — length
+    // ≥6 — by document frequency, deterministic tiebreak) so the same
+    // code is meaningful at every sf. Cross-engine exactness, the
+    // x6/x16 discipline, twice over: (1) each term score is ONE float
+    // divide of two INTEGER polynomials — the standard formula
+    // tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) · (N−df+0.5)/(df+0.5)
+    // cleared of denominators (×10·sum_dl and ×2 — avgdl = sum_dl/N;
+    // the idf is the log-free odds surrogate, production wraps it in
+    // ln(1+·)). Long overflow bound: tf·22·sum_dl·2N < 2^63 holds to
+    // ~1e14 token corpora; past that production computes the float
+    // form after broadcast. (2) the per-doc sum folds term scores in
+    // token order over a sorted array — float addition is
+    // order-sensitive and an unordered SUM() would be free to
+    // associate differently than Spark's partial aggregation.
+    // Scale shape: df stats are one token-keyed map-side-combined
+    // aggregate (the x10 shape); the 3-row query-term frame and the
+    // 1-row corpus totals broadcast; tf aggregation touches only
+    // query-term tokens (broadcast semi-join BEFORE the shuffle); the
+    // final top-10 is TakeOrderedAndProject. Nothing corpus-sized ever
+    // sits on the build side.
+    "x17_bm25" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val dfs = toks.select(col("doc_id"), col("token")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val qterms = dfs.filter(length(col("token")) >= 6)
+        .orderBy(col("df").desc, col("token")).limit(3)
+      val dl = toks.groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("dl"))
+      val tot = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl"))
+      val tf = toks.join(broadcast(qterms), Seq("token"))
+        .groupBy(col("doc_id"), col("token"), col("df"))
+        .agg(count(lit(1)).as("tf"))
+      tf.join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(tot))
+        .withColumn("num", col("tf") * 22L * col("sum_dl") *
+          (col("n_docs") * 2L - col("df") * 2L + 1L))
+        .withColumn("den",
+          (col("sum_dl") * 10L * col("tf") + col("sum_dl") * 3L +
+            col("dl") * 9L * col("n_docs")) * (col("df") * 2L + 1L))
+        .withColumn("ts_score", col("num") * lit(1.0) / col("den"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_terms"),
+          sort_array(collect_list(struct(col("token"), col("ts_score"))))
+            .as("arr"))
+        .withColumn("score",
+          expr("aggregate(arr, cast(0.0 as double), (a, x) -> a + x.ts_score)"))
+        .select(col("doc_id"), col("lang"), col("n_terms"), col("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+    }),
+
+    // Cross-document duplicate-span detection (the signal behind
+    // substring-level training-data dedup, Lee et al. 2022,
+    // arXiv:2107.06499 — approximated at word-5-gram granularity): a
+    // window is "duplicated" when its hash occurs in ≥2 DISTINCT
+    // docs; per doc we count duplicated windows and flag docs whose
+    // duplicated fraction exceeds 20% (integer-exact as 5·n_dup >
+    // n_win — no float threshold for the oracle to disagree on).
+    // Every output is an integer. Scale shape: the gram stream
+    // shuffles twice on the hash (count-distinct agg, then the
+    // mark-back join) — the canonical shape for corpus-scale span
+    // dedup; the dup side is the post-HAVING minority and AQE is free
+    // to broadcast it when small. Within-doc repeats do NOT count
+    // (countDistinct), so boilerplate inside one doc can't self-flag.
+    "x18_dup_spans" -> ((s, d) => {
+      val wins = win5(s, d)
+      val per = wins.join(dupHashes(wins).withColumn("is_dup", lit(1)),
+          Seq("h"), "left")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_win"),
+          count(col("is_dup")).as("n_dup"))
+      per.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("n_dup") * 5 > col("n_win"), 1))
+            .as("n_docs_flagged"),
+          sum(col("n_dup")).cast("long").as("n_dup_windows"),
+          sum(col("n_win")).cast("long").as("n_windows"))
+        .orderBy(col("lang"))
+    }),
+
+    // Gopher document-quality rules (Rae et al. 2021, arXiv:2112.11446
+    // Table A1), the rule-based pre-filter every large text pipeline
+    // runs before model-based scoring — adapted to this corpus (no
+    // punctuation, bounds scaled to the synthetic doc lengths) and made
+    // INTEGER-EXACT so the oracle can't disagree on a float boundary:
+    // each ratio rule is cross-multiplied (mean word length in [3,8] ⇔
+    // 3·n ≤ Σlen ≤ 8·n; short-word fraction ≤ 20% ⇔ 5·n_short ≤ n;
+    // top-word fraction ≤ 10% ⇔ 10·max_tf ≤ n). Per-lang census of
+    // pass/fail per rule plus the all-rules pass count. Scale shape:
+    // one pass over the token stream (map-side-combined per-doc
+    // aggregate; max_tf needs a (doc,token) pre-aggregate — two
+    // shuffles total, both on keys that grow with the corpus), then a
+    // tiny per-lang rollup. No joins, nothing collected.
+    "x19_gopher_rules" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val tf = toks.groupBy(col("doc_id"), col("lang"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("wlen", length(col("token")))
+        .withColumn("is_stop",
+          when(col("token").isin(stop("en"): _*), 1).otherwise(0))
+      val per = tf.groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("tf")).as("n_tok"),
+          sum(col("wlen") * col("tf")).as("sum_len"),
+          sum(when(col("wlen") <= 2, col("tf")).otherwise(0L))
+            .as("n_short"),
+          sum(col("is_stop")).as("n_stop_kinds"),
+          max(col("tf")).as("max_tf"))
+        .withColumn("r_count",
+          col("n_tok") >= 25 && col("n_tok") <= 100000)
+        .withColumn("r_meanlen",
+          col("sum_len") >= col("n_tok") * 3 &&
+            col("sum_len") <= col("n_tok") * 8)
+        .withColumn("r_short", col("n_short") * 5 <= col("n_tok"))
+        .withColumn("r_stop", col("n_stop_kinds") >= 2)
+        .withColumn("r_rep", col("max_tf") * 10 <= col("n_tok"))
+      per.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("r_count") && col("r_meanlen") &&
+            col("r_short") && col("r_stop") && col("r_rep"), 1))
+            .as("n_pass"),
+          count(when(!col("r_count"), 1)).as("f_count"),
+          count(when(!col("r_meanlen"), 1)).as("f_meanlen"),
+          count(when(!col("r_short"), 1)).as("f_short"),
+          count(when(!col("r_stop"), 1)).as("f_stop"),
+          count(when(!col("r_rep"), 1)).as("f_rep"))
+        .orderBy(col("lang"))
+    }),
+
+    // Longest duplicated-span RUN per document — the contiguity signal
+    // that separates "this doc shares scattered boilerplate 5-grams"
+    // from "this doc contains a long verbatim copy" (the unit Lee et
+    // al. 2022 actually remove: a run of L consecutive duplicated
+    // windows = a copied substring of L+4 words). Islands via the
+    // classic gaps-and-islands trick: among a doc's duplicated
+    // windows ordered by position, g − row_number() is constant within
+    // a consecutive run — one window per doc (the w4/w11 sessionize
+    // shape; state bounded by windows-per-doc, never corpus-global),
+    // then two integer aggregates. Top-10 docs by run length,
+    // integer-exact throughout.
+    "x20_dup_runs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wins = win5(s, d)
+      val dup = wins.join(dupHashes(wins), Seq("h"))
+      val isl = dup.withColumn("island", col("g") -
+        row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("g"))))
+      val runs = isl.groupBy(col("doc_id"), col("lang"), col("island"))
+        .agg(count(lit(1)).as("run_len"))
+      runs.groupBy(col("doc_id"), col("lang"))
+        .agg(max(col("run_len")).cast("long").as("longest_run"),
+          count(lit(1)).as("n_runs"))
+        .orderBy(col("longest_run").desc, col("doc_id"))
+        .limit(10)
+    }),
+
+    // Cross-source span contamination matrix: which pairs of sources
+    // share verbatim 5-gram windows — the provenance audit behind
+    // "did crawl A leak into curated set B" and train/eval
+    // cross-contamination checks (x8's decontamination cousin, but
+    // source×source instead of corpus×heldout). Pair enumeration is
+    // the self-join of the DISTINCT (h, source) frame with s1 < s2, so
+    // per-hash fan-out is bounded by C(|sources|, 2) — a catalog-sized
+    // constant (20 sources here), NEVER corpus-quadratic; the join key
+    // is the hash, so it shuffles like any equi-join and AQE handles
+    // the skewed boilerplate hashes. Integer counts, top-15 pairs.
+    "x21_cross_source_spans" -> ((s, d) => {
+      val hs = win5(s, d).select(col("h"), col("source")).distinct()
+      hs.as("a").join(hs.as("b"),
+          col("a.h") === col("b.h") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(countDistinct(col("a.h")).as("n_shared"))
+        .orderBy(col("n_shared").desc, col("source_a"), col("source_b"))
+        .limit(15)
+    })
   )
+
+  /** Word-5-gram window frame shared by x18/x20/x21: one row per
+    * window position `g` (1-based) per document, `h` = md5 of the
+    * space-joined window. The explode is ~|tokens| rows — linear, the
+    * same mass every substring-dedup pipeline streams (Lee et al.
+    * 2022); nothing here is memoized because each consumer aggregates
+    * it straight down.
+    */
+  private def win5(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ts", split(lower(col("text")), " "))
+      .filter(size(col("ts")) >= 5)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(expr(
+          "transform(sequence(1, size(ts) - 4), g -> struct(g as g, " +
+            "md5(concat_ws(' ', ts[g-1], ts[g], ts[g+1], ts[g+2], " +
+            "ts[g+3])) as h))")).as("w"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("w.g").as("g"), col("w.h").as("h"))
+
+  /** Hashes occurring in ≥2 DISTINCT docs (within-doc repeats can't
+    * self-flag) — the x18 dup criterion, shared with x20.
+    */
+  private def dupHashes(wins: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
 
   /** The x16 per-doc DSIR importance frame (doc_id, lang, n_feats,
     * w_num, w_den, w) over the FULL corpus — factored out so
@@ -767,6 +981,135 @@ object TextQueries extends QueryModule {
         |  FROM feat JOIN stats USING (bucket) GROUP BY 1, 2)
         |SELECT doc_id, lang, n_feats, w_num, w_den,
         |  w_num * 1.0 / w_den AS w
-        |FROM scored ORDER BY w DESC, doc_id LIMIT 15""".stripMargin
+        |FROM scored ORDER BY w DESC, doc_id LIMIT 15""".stripMargin,
+
+    // the per-doc sum adds list elements in token order with explicit
+    // parentheses — the same ((s1+s2)+s3) tree the Spark fold builds
+    // (0.0+s1 == s1 exactly), so the doubles stay bit-identical
+    "x17_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |tk AS (SELECT * FROM toks WHERE token <> ''),
+        |dfs AS (
+        |  SELECT token, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, token FROM tk) GROUP BY 1),
+        |qterms AS (
+        |  SELECT token, df FROM dfs WHERE len(token) >= 6
+        |  ORDER BY df DESC, token LIMIT 3),
+        |dl AS (SELECT doc_id, lang, count(*) AS dl
+        |       FROM tk GROUP BY 1, 2),
+        |tot AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+        |        FROM dl),
+        |tf AS (
+        |  SELECT doc_id, token, df, count(*) AS tf
+        |  FROM tk JOIN qterms USING (token) GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT doc_id, lang, token,
+        |    (tf * 22 * sum_dl * (n_docs * 2 - df * 2 + 1)) * 1.0 /
+        |      ((sum_dl * 10 * tf + sum_dl * 3 + dl * 9 * n_docs) *
+        |        (df * 2 + 1)) AS sc
+        |  FROM tf JOIN dl USING (doc_id) CROSS JOIN tot),
+        |per AS (
+        |  SELECT doc_id, lang, count(*) AS n_terms,
+        |    list(sc ORDER BY token) AS l
+        |  FROM scored GROUP BY 1, 2)
+        |SELECT doc_id, lang, n_terms,
+        |  (l[1] + COALESCE(l[2], 0)) + COALESCE(l[3], 0) AS score
+        |FROM per ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "x18_dup_spans" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS ts
+        |  FROM documents WHERE len(string_split(lower(text), ' ')) >= 5),
+        |wins AS (
+        |  SELECT doc_id, lang, md5(ts[g] || ' ' || ts[g+1] || ' ' ||
+        |    ts[g+2] || ' ' || ts[g+3] || ' ' || ts[g+4]) AS h
+        |  FROM docs CROSS JOIN unnest(range(1, len(ts) - 3)) AS u(g)),
+        |dup AS (SELECT h FROM wins GROUP BY h
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |per AS (
+        |  SELECT w.doc_id, w.lang, count(*) AS n_win, count(d.h) AS n_dup
+        |  FROM wins w LEFT JOIN dup d USING (h) GROUP BY 1, 2)
+        |SELECT lang, count(*) AS n_docs,
+        |  count(CASE WHEN n_dup * 5 > n_win THEN 1 END) AS n_docs_flagged,
+        |  CAST(sum(n_dup) AS BIGINT) AS n_dup_windows,
+        |  CAST(sum(n_win) AS BIGINT) AS n_windows
+        |FROM per GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // integer-exact rules (cross-multiplied ratios), so the pass/fail
+    // census can't drift on a float boundary
+    "x19_gopher_rules" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, lang, token, count(*) AS tf,
+        |    len(token) AS wlen,
+        |    CASE WHEN token IN ('the','a','and','of','to') THEN 1
+        |         ELSE 0 END AS is_stop
+        |  FROM toks WHERE token <> '' GROUP BY 1, 2, 3),
+        |per AS (
+        |  SELECT doc_id, lang, sum(tf) AS n_tok,
+        |    sum(wlen * tf) AS sum_len,
+        |    sum(CASE WHEN wlen <= 2 THEN tf ELSE 0 END) AS n_short,
+        |    sum(is_stop) AS n_stop_kinds, max(tf) AS max_tf
+        |  FROM tf GROUP BY 1, 2),
+        |rules AS (
+        |  SELECT lang,
+        |    (n_tok >= 25 AND n_tok <= 100000) AS r_count,
+        |    (sum_len >= n_tok * 3 AND sum_len <= n_tok * 8) AS r_meanlen,
+        |    (n_short * 5 <= n_tok) AS r_short,
+        |    (n_stop_kinds >= 2) AS r_stop,
+        |    (max_tf * 10 <= n_tok) AS r_rep
+        |  FROM per)
+        |SELECT lang, count(*) AS n_docs,
+        |  count(CASE WHEN r_count AND r_meanlen AND r_short AND r_stop
+        |    AND r_rep THEN 1 END) AS n_pass,
+        |  count(CASE WHEN NOT r_count THEN 1 END) AS f_count,
+        |  count(CASE WHEN NOT r_meanlen THEN 1 END) AS f_meanlen,
+        |  count(CASE WHEN NOT r_short THEN 1 END) AS f_short,
+        |  count(CASE WHEN NOT r_stop THEN 1 END) AS f_stop,
+        |  count(CASE WHEN NOT r_rep THEN 1 END) AS f_rep
+        |FROM rules GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "x20_dup_runs" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS ts
+        |  FROM documents WHERE len(string_split(lower(text), ' ')) >= 5),
+        |wins AS (
+        |  SELECT doc_id, lang, g, md5(ts[g] || ' ' || ts[g+1] || ' ' ||
+        |    ts[g+2] || ' ' || ts[g+3] || ' ' || ts[g+4]) AS h
+        |  FROM docs CROSS JOIN unnest(range(1, len(ts) - 3)) AS u(g)),
+        |dup AS (SELECT h FROM wins GROUP BY h
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |isl AS (
+        |  SELECT doc_id, lang,
+        |    g - row_number() OVER (PARTITION BY doc_id ORDER BY g)
+        |      AS island
+        |  FROM wins JOIN dup USING (h)),
+        |runs AS (
+        |  SELECT doc_id, lang, island, count(*) AS run_len
+        |  FROM isl GROUP BY 1, 2, 3)
+        |SELECT doc_id, lang, CAST(max(run_len) AS BIGINT) AS longest_run,
+        |  count(*) AS n_runs
+        |FROM runs GROUP BY 1, 2
+        |ORDER BY longest_run DESC, doc_id LIMIT 10""".stripMargin,
+
+    "x21_cross_source_spans" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, string_split(lower(text), ' ') AS ts
+        |  FROM documents WHERE len(string_split(lower(text), ' ')) >= 5),
+        |hs AS (
+        |  SELECT DISTINCT source, md5(ts[g] || ' ' || ts[g+1] || ' ' ||
+        |    ts[g+2] || ' ' || ts[g+3] || ' ' || ts[g+4]) AS h
+        |  FROM docs CROSS JOIN unnest(range(1, len(ts) - 3)) AS u(g))
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  count(DISTINCT a.h) AS n_shared
+        |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2
+        |ORDER BY n_shared DESC, source_a, source_b LIMIT 15""".stripMargin
   )
 }
