@@ -75,13 +75,38 @@ object IvfPqProbe {
     // the EXHAUSTIVE-ADC top-3 (the pure nprobe knob: how much of what
     // full ADC would return do truncated probes recover)
     val adcRef = searchSet(k)
-    for (np <- Seq(1, 2, 4, k)) {
+    for (np <- Seq(1, 2, 4, 8, 16, 32, 64, k)) {
       searchSet(np) // warm the plan/caches like the nprobe=2 rows above
       val t0 = System.nanoTime()
       val hits = searchSet(np)
       val warm = (System.nanoTime() - t0) / 1e9
       val label = if (np == k) s"$np (all lists)" else np.toString
       println(f"[ivfpq] nprobe=$label%-16s recall@3=${(exact & hits).size}%2d/${exact.size}  adc@3=${(adcRef & hits).size}%2d/${adcRef.size}  warm=$warm%6.2fs")
+    }
+
+    // Two-stage rerank off the artifact (the ann13 shape, here driven
+    // by the persisted index): R=10 compressed-domain shortlist per
+    // nprobe, then EXACT cosine on the Q×R pairs only. Quantifies how
+    // much of the PQ-resolution recall loss — including the
+    // more-candidates-more-distractors effect where exhaustive ADC
+    // ranks true neighbors WORSE than truncated probes — the exact
+    // rerank stage recovers at each probe width.
+    for (np <- Seq(1, 4, k)) {
+      val short = graft.operators.IvfPqIndex
+        .search(spark, dir, emb, col("vec_id") < 10, 10, np)
+        .select(col("query_id"), col("neighbor_id"))
+      val rr = short
+        .join(emb.select(col("vec_id").as("query_id"),
+          col("embedding").as("qe")), Seq("query_id"))
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ne")), Seq("neighbor_id"))
+        .withColumn("cos", expr("cosine_sim(qe, ne)"))
+        .withColumn("rn", row_number().over(wx))
+        .filter(col("rn") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val label = if (np == k) s"$np (all lists)" else np.toString
+      println(f"[ivfpq] rerank np=$label%-13s recall@3=${(exact & rr).size}%2d/${exact.size} (shortlist R=10 + exact re-rank)")
     }
     spark.stop()
   }

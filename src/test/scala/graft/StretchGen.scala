@@ -95,6 +95,46 @@ object StretchGen {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
   }
 
+  /** Embeddings-only stretch for the ANN recall curve (NOTES r9 #6):
+    * replicate ONLY embeddings.parquet by `factor`, but PERTURB each
+    * replica's vector with deterministic ε-noise (replica 0 stays the
+    * original). Rationale: byte-identical replicas make nprobe=1
+    * already perfect (they land in the same IVF list and quantize to
+    * the same code), so a full-dup stretch can't measure
+    * recall-vs-nprobe. Per-dimension noise is xxhash64(vec_id,
+    * dim)-derived uniform in [-ε, ε] — seed-free deterministic like
+    * every other generator here. With ε=0.05 on unit-norm 64-dim
+    * vectors the noise vector's norm is ≈0.23, so replicas stay TRUE
+    * near-neighbors (cos ≈ 0.97 within a group, ≈isotropic across
+    * groups) that coarse assignment can now split across adjacent
+    * lists — exactly the regime where nprobe matters.
+    *
+    * vec_id remap is BLOCKED (`vec_id + rep·N`), unlike the full
+    * stretch's interleave (`vec_id·factor + rep`): IvfPqProbe pins its
+    * query set as `vec_id < 10`, and under the interleave those ten
+    * ids are all replicas of ONE original vector — a single
+    * neighborhood. Blocked, they are ten distinct UNPERTURBED
+    * originals whose true top-k are their scattered ε-replicas — ten
+    * independent recall trials per probe width.
+    */
+  def stretchVecs(spark: SparkSession, inDir: String, outDir: String,
+      factor: Int, eps: Double = 0.05): Unit = {
+    val base = spark.read.parquet(s"$inDir/embeddings.parquet")
+    val n = base.count()
+    base
+      .withColumn("__rep", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("vec_id", col("vec_id") + col("__rep") * n)
+      .withColumn("embedding",
+        when(col("__rep") === 0, col("embedding"))
+          .otherwise(expr(
+            // xxhash64 % 1000 keeps the dividend's sign → uniform-ish
+            // integer in (-1000, 1000); /1000 → (-1, 1); ×ε bounds it
+            s"transform(embedding, (x, i) -> cast(x + $eps * " +
+              "((xxhash64(vec_id, i) % 1000L) / 1000.0) as float))")))
+      .drop("__rep")
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
   /** Regenerate a stretch fixture when absent — `target/` vanishes on
     * `sbt clean`, which used to silently strand the scale probes
     * (NOTES r8 #4). The generators are seed-free deterministic
@@ -117,12 +157,29 @@ object StretchGen {
         stretch(spark, "/root/testdata/sf0.1", dir, k.toInt * 10); done()
       case s"docs-stretch-x$x" if !marker.exists() =>
         stretchDocs(spark, "/root/testdata/sf0.1", dir, x.toInt); done()
+      case s"vecs-stretch-x$x" if !marker.exists() =>
+        stretchVecs(spark, "/root/testdata/sf0.1", dir, x.toInt); done()
       case _ => ()
     }
     dir
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("vecs")) {
+      val factor = args.lift(1).map(_.toInt).getOrElse(10)
+      val outDir = args.lift(2).getOrElse(
+        s"/root/repo/target/vecs-stretch-x$factor")
+      val spark = GraftSession.local(
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "graft-stretch")
+      spark.sparkContext.setLogLevel("WARN")
+      stretchVecs(spark, "/root/testdata/sf0.1", outDir, factor)
+      java.nio.file.Files.write(
+        new java.io.File(outDir, "_STRETCH_OK").toPath,
+        Array.empty[Byte]): Unit
+      println(s"STRETCH_DONE vecs $outDir x$factor")
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("docs")) {
       val factor = args.lift(1).map(_.toInt).getOrElse(100)
       val outDir = args.lift(2).getOrElse(
