@@ -283,6 +283,35 @@ object Ops {
       .drop("__bin")
   }
 
+  /** Interval-OVERLAP equi-bin join — the interval×interval sibling of
+    * [[rangeJoin]] (point×interval): pairs (a, b) sharing `key` whose
+    * [start, end] ranges intersect (inclusive endpoints). Both sides
+    * explode into ⌈len/binWidth⌉ bin replicas and equi-join on
+    * (key, bin) — never an inequality-only join, which Spark can only
+    * execute as a nested loop. A pair overlapping several shared bins
+    * would match once per bin; the FIRST-SHARED-BIN filter (bin ==
+    * max(⌊startA/w⌋, ⌊startB/w⌋)) keeps exactly one match per pair with
+    * zero extra shuffle — no distinct pass, no row explosion survives
+    * the join. Pick binWidth ≈ typical interval length: the per-row
+    * replica count stays O(1) and each bin's population is what one
+    * task joins. Column names must be disjoint across `a` and `b`
+    * except `key`.
+    */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame, key: String,
+      startA: String, endA: String, startB: String, endB: String,
+      binWidth: Long): DataFrame = {
+    def binned(df: DataFrame, s: String, e: String) = df.withColumn(
+      "__bin", explode(sequence(floor(col(s) / binWidth).cast("long"),
+        floor(col(e) / binWidth).cast("long"))))
+    binned(a, startA, endA).join(binned(b, startB, endB),
+        Seq(key, "__bin"))
+      .filter(col(startA) <= col(endB) && col(startB) <= col(endA))
+      .filter(col("__bin") === greatest(
+        floor(col(startA) / binWidth).cast("long"),
+        floor(col(startB) / binWidth).cast("long")))
+      .drop("__bin")
+  }
+
   /** Skew-guard join: salt the big side's key with a deterministic hash
     * of `uniqueCol` into `saltFactor` sub-keys and explode the small side
     * across all salts, so one hot key spreads over `saltFactor`

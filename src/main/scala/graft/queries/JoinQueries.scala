@@ -253,6 +253,35 @@ object JoinQueries extends QueryModule {
       val e = ord.join(li, col("o_orderkey") === col("l_orderkey"),
         "left_anti").agg(count(lit(1)).as("childless_orders"))
       a.crossJoin(b).crossJoin(c).crossJoin(e)
+    }),
+
+    // Interval-OVERLAP join (interval×interval, j13's point×interval
+    // sibling): per customer, order pairs whose [orderdate, orderdate +
+    // orderkey%20+1 days] windows intersect. Spark-first shape is
+    // Ops.intervalOverlapJoin — both sides bin-exploded, equi-join on
+    // (cust, bin), exact overlap residual, first-shared-bin dedupe (no
+    // distinct pass) — because an inequality-only join condition can
+    // only execute as a nested loop. Sum of pairwise overlap seconds is
+    // integer-exact.
+    "j16_interval_overlap" -> ((s, d) => {
+      val day = 86400L
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+          col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").cast("long").as("start"))
+        .withColumn("end",
+          col("start") + (col("o_orderkey") % 20 + 1) * day)
+      val a = o.select(col("o_custkey"), col("o_orderkey").as("ka"),
+        col("start").as("sa"), col("end").as("ea"))
+      val b = o.select(col("o_custkey"), col("o_orderkey").as("kb"),
+        col("start").as("sb"), col("end").as("eb"))
+      graft.operators.Ops.intervalOverlapJoin(a, b, "o_custkey",
+          "sa", "ea", "sb", "eb", binWidth = 7 * day)
+        .filter(col("ka") < col("kb"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("o_custkey")).as("n_custs"),
+          sum(least(col("ea"), col("eb")) -
+            greatest(col("sa"), col("sb"))).cast("long")
+            .as("sum_overlap_sec"))
     })
   )
 
@@ -398,6 +427,21 @@ object JoinQueries extends QueryModule {
         |   AS childless_customers,
         | (SELECT count(*) FROM orders o WHERE NOT EXISTS
         |    (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
-        |   AS childless_orders""".stripMargin
+        |   AS childless_orders""".stripMargin,
+
+    "j16_interval_overlap" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(epoch(o_orderdate) AS BIGINT) AS s,
+        |    CAST(epoch(o_orderdate) AS BIGINT)
+        |      + (o_orderkey % 20 + 1) * 86400 AS e
+        |  FROM orders)
+        |SELECT count(*) AS n_pairs,
+        |  count(DISTINCT a.o_custkey) AS n_custs,
+        |  CAST(sum(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+        |    AS sum_overlap_sec
+        |FROM o a JOIN o b ON a.o_custkey = b.o_custkey
+        |  AND a.o_orderkey < b.o_orderkey
+        |  AND a.s <= b.e AND b.s <= a.e""".stripMargin
   )
 }

@@ -189,6 +189,34 @@ object WindowQueries extends QueryModule {
           max(col("n_events")).as("max_session_events"),
           max(col("span_us")).as("max_span_us"))
         .orderBy(col("user_id"))
+    }),
+
+    // Robust per-group outlier census via MAD (median absolute
+    // deviation) — the data-QC staple that, unlike z-scores, one hot
+    // value can't poison. Two chained grouped medians (value, then
+    // |value − med|), each the a5 sort+window shape that never buffers
+    // a group in memory (percentile()'s ObjectHashAggregate is the
+    // formulation that dies on 100 TB groups); both median frames are
+    // group-cardinality-sized and broadcast back. Interpolation is
+    // bit-identical to percentile()/quantile_cont (OpsSpec), so the
+    // 3×MAD threshold comparison can't drift cross-engine.
+    "w12_mad_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("value"))
+      val med = graft.operators.Ops.groupedMedianBySort(
+        ev, Seq("event_type"), "value", "med")
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = graft.operators.Ops.groupedMedianBySort(
+        dev.select(col("event_type"), col("dev")),
+        Seq("event_type"), "dev", "mad")
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("med")).as("med"),
+          min(col("mad")).as("mad"),
+          count(when(col("dev") > col("mad") * 3, 1)).as("n_outliers"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -305,6 +333,22 @@ object WindowQueries extends QueryModule {
         |SELECT user_id, count(*) AS n_sessions,
         |  max(n_events) AS max_session_events,
         |  CAST(max(span_us) AS BIGINT) AS max_span_us
-        |FROM per GROUP BY 1 ORDER BY user_id""".stripMargin
+        |FROM per GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "w12_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, med, abs(value - med) AS dev
+        |  FROM events e JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n, min(med) AS med,
+        |  min(mad) AS mad,
+        |  count(CASE WHEN dev > mad * 3 THEN 1 END) AS n_outliers
+        |FROM dev d JOIN mad USING (event_type)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 }

@@ -171,4 +171,33 @@ class OpsSpec extends SparkSpec {
     // null is a real key for groupBy; the join-back must be null-safe
     assert(got == Map(None -> Some(2.0), Some("a") -> Some(4.0)))
   }
+
+  test("intervalOverlapJoin matches the naive inequality join exactly once") {
+    // deterministic pseudo-random intervals spanning MANY bins (len up
+    // to 40 vs binWidth 10) so multi-shared-bin pairs exist and the
+    // first-shared-bin dedupe is actually exercised; inclusive
+    // endpoints and touch-only overlaps included (s2 == e1)
+    val iv = (1 to 300).map { i =>
+      val s = (i * 37) % 200
+      (i % 5, i.toLong, s.toLong, (s + (i * 13) % 41).toLong)
+    }.toDF("k", "id", "s", "e")
+    val a = iv.select(col("k"), col("id").as("ka"),
+      col("s").as("sa"), col("e").as("ea"))
+    val b = iv.select(col("k"), col("id").as("kb"),
+      col("s").as("sb"), col("e").as("eb"))
+    val fast = Ops.intervalOverlapJoin(a, b, "k",
+        "sa", "ea", "sb", "eb", binWidth = 10L)
+      .filter(col("ka") < col("kb"))
+      .select("ka", "kb")
+    val naive = a.join(b,
+        a("k") === b("k") && col("ka") < col("kb") &&
+          col("sa") <= col("eb") && col("sb") <= col("ea"))
+      .select("ka", "kb")
+    val fastRows = fast.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exactly once: no duplicate pair survives the bin explosion
+    assert(fastRows.length == fastRows.distinct.length)
+    assert(fastRows.toSet ==
+      naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(fastRows.nonEmpty)
+  }
 }
