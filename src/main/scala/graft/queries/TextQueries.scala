@@ -652,6 +652,49 @@ object TextQueries extends QueryModule {
         .agg(countDistinct(col("a.h")).as("n_shared"))
         .orderBy(col("n_shared").desc, col("source_a"), col("source_b"))
         .limit(15)
+    }),
+
+    // Substring-dedup YIELD accounting — what x18 flags, this
+    // materializes: how many WORDS deleting every duplicated span
+    // actually removes per language, and what fraction of the corpus
+    // survives (Lee et al. 2022 report exactly this table for C4/RW).
+    // A duplicated window at position g covers words [g, g+4], so two
+    // dup windows whose positions differ by ≤4 overlap in words and
+    // must count once — handled by a single gaps-and-islands pass with
+    // the MERGE criterion gap > 4 (not gap > 1): each merged span of
+    // positions [g1, g2] removes exactly g2+4−g1+1 words. Same
+    // one-window-per-doc shape as x20 (state bounded by windows per
+    // doc), integer-exact end to end.
+    "x22_dedup_yield" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wins = win5(s, d)
+      val dup = wins.join(dupHashes(wins), Seq("h"))
+      val wd = Window.partitionBy(col("doc_id")).orderBy(col("g"))
+      val spans = dup
+        .withColumn("new_span",
+          when(col("g") - lag(col("g"), 1).over(wd) > 4, 1)
+            .otherwise(when(lag(col("g"), 1).over(wd).isNull, 1)
+              .otherwise(0)))
+        .withColumn("span", sum(col("new_span")).over(
+          wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("lang"), col("span"))
+        .agg((max(col("g")) + 4 - min(col("g")) + 1).as("removed"))
+      val perDoc = spans.groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("removed")).as("removed_words"))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(lower(col("text")), " ")).cast("long")
+            .as("total_words"))
+      docs.join(perDoc.drop("lang"), Seq("doc_id"), "left")
+        .withColumn("removed_words",
+          coalesce(col("removed_words"), lit(0L)))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("total_words")).as("total_words"),
+          sum(col("removed_words")).as("removed_words"),
+          sum(col("total_words") - col("removed_words"))
+            .as("kept_words"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -1110,6 +1153,48 @@ object TextQueries extends QueryModule {
         |  count(DISTINCT a.h) AS n_shared
         |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
         |GROUP BY 1, 2
-        |ORDER BY n_shared DESC, source_a, source_b LIMIT 15""".stripMargin
+        |ORDER BY n_shared DESC, source_a, source_b LIMIT 15""".stripMargin,
+
+    "x22_dedup_yield" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS ts
+        |  FROM documents WHERE len(string_split(lower(text), ' ')) >= 5),
+        |wins AS (
+        |  SELECT doc_id, lang, g, md5(ts[g] || ' ' || ts[g+1] || ' ' ||
+        |    ts[g+2] || ' ' || ts[g+3] || ' ' || ts[g+4]) AS h
+        |  FROM docs CROSS JOIN unnest(range(1, len(ts) - 3)) AS u(g)),
+        |duph AS (SELECT h FROM wins GROUP BY h
+        |         HAVING count(DISTINCT doc_id) >= 2),
+        |dup AS (SELECT doc_id, lang, g FROM wins JOIN duph USING (h)),
+        |marked AS (
+        |  SELECT doc_id, lang, g,
+        |    CASE WHEN g - lag(g) OVER w > 4 OR lag(g) OVER w IS NULL
+        |         THEN 1 ELSE 0 END AS new_span
+        |  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY g)),
+        |spanned AS (
+        |  SELECT doc_id, lang, g,
+        |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY g
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+        |  FROM marked),
+        |spans AS (
+        |  SELECT doc_id, lang, span,
+        |    max(g) + 4 - min(g) + 1 AS removed
+        |  FROM spanned GROUP BY 1, 2, 3),
+        |per_doc AS (
+        |  SELECT doc_id, sum(removed) AS removed_words
+        |  FROM spans GROUP BY 1),
+        |alldocs AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+        |      AS total_words
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(total_words) AS BIGINT) AS total_words,
+        |  CAST(sum(COALESCE(removed_words, 0)) AS BIGINT)
+        |    AS removed_words,
+        |  CAST(sum(total_words - COALESCE(removed_words, 0)) AS BIGINT)
+        |    AS kept_words
+        |FROM alldocs LEFT JOIN per_doc USING (doc_id)
+        |GROUP BY 1 ORDER BY lang""".stripMargin
   )
 }
