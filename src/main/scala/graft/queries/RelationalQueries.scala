@@ -344,6 +344,28 @@ object RelationalQueries extends QueryModule {
         .orderBy(col("cnt").desc, col("token"))
     }),
 
+    // Exact grouped MODE via the argmin-struct trick: after the
+    // (group, value) count, ONE more ordinary aggregate —
+    // min(struct(−cnt, value)) — picks highest-count-then-lowest-value
+    // lexicographically, with map-side partial merge and no window
+    // (the window formulation sorts every group's full value census;
+    // this shape reduces it). The tiebreak is EXPLICIT in both engines
+    // because DuckDB's mode() leaves ties unspecified — the oracle
+    // replays the same argmin, not the builtin.
+    "a22_group_mode" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("o_orderstatus"))
+        .agg(min(struct((-col("cnt")).as("nc"),
+          col("o_orderpriority").as("v"))).as("m"),
+          sum(col("cnt")).as("n_rows"))
+        .select(col("o_orderstatus"),
+          col("m.v").as("mode_priority"),
+          (-col("m.nc")).as("mode_count"), col("n_rows"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "a17_heavy_hitters" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(explode(split(lower(col("text")), " ")).as("token"))
@@ -999,6 +1021,23 @@ object RelationalQueries extends QueryModule {
         |  TRUE AS never_under, TRUE AS within_bound
         |FROM t WHERE token <> ''
         |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    // same explicit argmin tiebreak as the Spark side — DuckDB's
+    // builtin mode() is unspecified on ties
+    "a22_group_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT o_orderstatus, o_orderpriority, cnt,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY cnt DESC, o_orderpriority) AS rn,
+        |    sum(cnt) OVER (PARTITION BY o_orderstatus) AS n_rows
+        |  FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority,
+        |  CAST(cnt AS BIGINT) AS mode_count,
+        |  CAST(n_rows AS BIGINT) AS n_rows
+        |FROM ranked WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
 
     "a17_heavy_hitters" ->
       """WITH t AS (
