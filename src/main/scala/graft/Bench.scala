@@ -1,6 +1,58 @@
 package graft
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 object Bench {
+
+  /** Force FULL materialization of every output column — the honest
+    * benchmark barrier. `df.count()` (the old forcing) lets Catalyst
+    * prune aggregate values and then eliminate entire row-preserving
+    * subtrees feeding only them (found on x22: a unique-key left join
+    * whose whole dup-span pipeline vanished under count(), 0.4s
+    * "measured" vs ~19s real; Spark 4's join elimination over
+    * aggregate-unique keys makes this legal and silent). Hashing every
+    * column into one xxhash64 and bit_xor-folding forces each output
+    * row to be fully computed while returning one long — no pruning,
+    * no driver-side result transfer, overflow-free (bit_xor, not sum —
+    * ANSI mode errors on long-sum overflow). Map-typed columns (and
+    * any type nesting a map) go through to_json first: hash() refuses
+    * MapType because map iteration order is undefined — which is also
+    * why the checksum VALUE is not compared across engines here; this
+    * is a materialization barrier, not an oracle (verify_local.py is
+    * the oracle).
+    */
+  def force(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, to_json, xxhash64}
+    import org.apache.spark.sql.types._
+    def hasMap(t: DataType): Boolean = t match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val cols: Array[Column] = df.schema.fields.map { f =>
+      if (hasMap(f.dataType)) to_json(col(f.name)) else col(f.name)
+    }
+    val barrier = df.select(xxhash64(cols: _*).as("__h"))
+      .agg(expr("bit_xor(__h)"))
+    barrier.collect()
+    // the frame that actually EXECUTED — its queryExecution carries the
+    // AQE-final plan of the whole pipeline (plus the one-row hash agg),
+    // which is what the plan dump should show
+    barrier
+  }
+
+  /** SPARK_GRAFT_FORCE=count restores the pre-round-9 count() barrier
+    * for apples-to-apples comparison against older artifacts.
+    */
+  private val forceMode = sys.env.getOrElse("SPARK_GRAFT_FORCE", "checksum")
+
+  /** Returns the frame whose execution did the measuring: the barrier
+    * frame in checksum mode (AQE-final plan of the full pipeline), the
+    * original frame in count mode (its plan never executed — dump shows
+    * the initial form).
+    */
+  private def run(df: DataFrame): DataFrame =
+    if (forceMode == "count") { df.count(); df } else force(df)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -18,8 +70,13 @@ object Bench {
     // calm-machine cost while interleaved neighbors were unaffected; a
     // per-query median across spaced passes suppresses exactly that).
     val coldT0 = System.nanoTime()
-    ordered.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+    ordered.foreach { case (name, fn) =>
+      // errors stay non-fatal (the driver wants the whole surface timed)
+      // but NEVER silent — a failed query otherwise masquerades as a
+      // fast one
+      try { run(fn(spark, sfDir)) } catch { case e: Throwable =>
+        System.err.println(s"[bench] WARN cold $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
     }
     val coldTotal = (System.nanoTime() - coldT0) / 1e9
     val warmPasses =
@@ -31,8 +88,11 @@ object Bench {
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val df = try {
-          val d = fn(spark, sfDir); d.count(); Some(d)
-        } catch { case _: Throwable => None }
+          Some(run(fn(spark, sfDir)))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] WARN $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          None
+        }
         if (p == warmPasses && df.isDefined)
           lastFrames += (name -> df.get)
         name -> (System.nanoTime() - t0) / 1e9

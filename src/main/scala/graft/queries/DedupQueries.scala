@@ -307,20 +307,21 @@ object DedupQueries extends QueryModule {
     }),
 
     // Embedding-cosine near-dup: brute-force pair scan (oracle-checked);
-    // the bucketed scale path lives in SimilarityQueries.
+    // the bucketed scale path lives in SimilarityQueries. The pair math
+    // is the native codegen'd cosine_sim Expression — bit-identical to
+    // the previous aggregate/zip_with HOF chain (same left-to-right
+    // double accumulation, same dot/(√na·√nb) final expression) but a
+    // single fused loop inside WholeStageCodegen instead of a closure
+    // dispatch + intermediate array per element: the round-9 honest
+    // bench (full-column barrier) exposed the HOF form at 30.6s for 2M
+    // pairs; cosine_sim runs the same pairs ~20× faster.
     "dd5_embedding_cosine" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x AS double))").as("v"))
-      val a = e.select(col("vec_id").as("va"), col("v").as("x"))
-      val b = e.select(col("vec_id").as("vb"), col("v").as("y"))
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val a = e.select(col("vec_id").as("va"), col("embedding").as("x"))
+      val b = e.select(col("vec_id").as("vb"), col("embedding").as("y"))
       a.crossJoin(b).filter(col("va") < col("vb"))
-        .withColumn("dot",
-          expr("aggregate(zip_with(x, y, (p, q) -> p * q), 0D, (acc, v) -> acc + v)"))
-        .withColumn("nx",
-          expr("sqrt(aggregate(transform(x, p -> p * p), 0D, (acc, v) -> acc + v))"))
-        .withColumn("ny",
-          expr("sqrt(aggregate(transform(y, p -> p * p), 0D, (acc, v) -> acc + v))"))
-        .withColumn("cos", col("dot") / (col("nx") * col("ny")))
+        .withColumn("cos", expr("cosine_sim(x, y)"))
         .agg(count(lit(1)).as("n_pairs"),
           count(when(col("cos") >= 0.4, 1)).as("n_ge_04"),
           count(when(col("cos") >= 0.25, 1)).as("n_ge_025"))

@@ -20,13 +20,25 @@ object QueryProbe {
     spark.range(1000000).selectExpr("sum(id)").collect()
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
-      fn(spark, d).count()                       // cold (memo build)
+      Bench.force(fn(spark, d))                  // cold (memo build)
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, d).count()
-        (System.nanoTime() - t0) / 1e9
-      }
+        Bench.force(fn(spark, d))                // full-column barrier —
+        (System.nanoTime() - t0) / 1e9           // count() lets Catalyst
+      }                                          // prune whole subtrees
       println(f"[qprof] $n%-30s warm=${times.min}%6.2fs (passes ${times.map(t => f"$t%.2f").mkString("/")})")
+      // Same contract as Bench: SPARK_GRAFT_PLANS=<dir> dumps the
+      // AQE-final executed plan per probed query for shape audits.
+      sys.env.get("SPARK_GRAFT_PLANS").foreach { dir =>
+        // dump the BARRIER frame's plan — the one that actually executed
+        // (AQE-final, full pipeline under the one-row hash agg)
+        val executed = Bench.force(fn(spark, d))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"$n.txt"),
+          executed.queryExecution.executedPlan.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      }
     }
     spark.stop()
   }
