@@ -719,13 +719,21 @@ object TextQueries extends QueryModule {
         col("w.g").as("g"), col("w.h").as("h"))
 
   /** Hashes occurring in ≥2 DISTINCT docs (within-doc repeats can't
-    * self-flag) — the x18 dup criterion, shared with x20.
+    * self-flag) — the x18 dup criterion, shared with x20/x22.
+    * "≥2 distinct docs" is computed as min(doc_id) ≠ max(doc_id), NOT
+    * countDistinct: the distinct formulation plans as an extra
+    * full-corpus (h, doc_id) exchange before the per-h aggregate,
+    * while min/max is ONE map-side-combinable aggregate — measured
+    * 1.54× on the whole x18 pipeline and 1.29× on x22 at the 100×
+    * stretch (26M windows, every one duplicated). Same rows by
+    * construction; the DuckDB oracles keep HAVING count(DISTINCT
+    * doc_id) >= 2 and stay hash-exact.
     */
   private def dupHashes(wins: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     wins.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select(col("h"))
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1")).select(col("h"))
 
   /** The x16 per-doc DSIR importance frame (doc_id, lang, n_feats,
     * w_num, w_den, w) over the FULL corpus — factored out so
