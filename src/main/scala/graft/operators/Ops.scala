@@ -283,6 +283,63 @@ object Ops {
       .drop("__bin")
   }
 
+  /** Exact grouped quantiles via sort + window — [[groupedMedianBySort]]
+    * generalized to arbitrary probability points, replacing
+    * `percentile(v, array(ps))` whose ObjectHashAggregate buffers every
+    * group value in one in-memory map entry (the formulation that dies
+    * on large groups at 100 TB). Shape: one shuffle+sort by (group,
+    * value), a row_number/count window pass, then ONLY the ≤ 2·|ps|
+    * order statistics each group needs survive into a normal hash
+    * aggregate — sort is spillable, group size never matters.
+    * Interpolation replicates Spark's `Percentile` exactly
+    * (`(higher−pos)·lowerVal + (pos−lower)·higherVal`, pos = p·(n−1)),
+    * so results are bit-identical to the aggregate (OpsSpec proves it
+    * on real data). All-NULL groups are preserved with NULL quantiles
+    * (null-safe join-back), matching percentile(). Returns one row per
+    * group: (groupCols*, names*).
+    */
+  def groupedQuantilesBySort(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, ps: Seq[Double], names: Seq[String]): DataFrame = {
+    require(ps.nonEmpty && ps.length == names.length)
+    val gcols = groupCols.map(col)
+    val w = Window.partitionBy(gcols: _*).orderBy(col(valueCol))
+    val cw = Window.partitionBy(gcols: _*)
+    val ranked = df.select(gcols :+ col(valueCol): _*)
+      .filter(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cw))
+    // per p: 0-based fractional rank pos = p·(n−1); keep only the rows
+    // holding a floor/ceil rank some p needs (≤ 2·|ps| rows per group)
+    def pos(p: Double) = lit(p) * (col("__n") - 1)
+    val needed = ps.map { p =>
+      (col("__rn") - 1 === floor(pos(p)).cast("long")) ||
+        (col("__rn") - 1 === ceil(pos(p)).cast("long"))
+    }.reduce(_ || _)
+    val qcols = ps.zip(names).map { case (p, name) =>
+      val lowerVal = max(when(
+        col("__rn") - 1 === floor(pos(p)).cast("long"), col(valueCol)))
+      val higherVal = max(when(
+        col("__rn") - 1 === ceil(pos(p)).cast("long"), col(valueCol)))
+      // per-group constants: __n is constant, so pos/floor/ceil are too
+      val posC = lit(p) * (max(col("__n")) - 1)
+      val lo = floor(posC)
+      val hi = ceil(posC)
+      when(hi === lo, lowerVal)
+        .otherwise((hi - posC) * lowerVal + (posC - lo) * higherVal)
+        .as(name)
+    }
+    val m = ranked.filter(needed)
+      .groupBy(gcols: _*)
+      .agg(qcols.head, qcols.tail: _*)
+    // preserve all-NULL groups like percentile() does (NULL quantiles)
+    val keys = df.select(gcols: _*).distinct().alias("k")
+    val cond = groupCols.map(c => col(s"k.$c") <=> col(s"m.$c"))
+      .reduce(_ && _)
+    keys.join(m.alias("m"), cond, "left")
+      .select(groupCols.map(c => col(s"k.$c")) ++
+        names.map(n => col(s"m.$n")): _*)
+  }
+
   /** Interval-OVERLAP equi-bin join — the interval×interval sibling of
     * [[rangeJoin]] (point×interval): pairs (a, b) sharing `key` whose
     * [start, end] ranges intersect (inclusive endpoints). Both sides

@@ -172,6 +172,41 @@ class OpsSpec extends SparkSpec {
     assert(got == Map(None -> Some(2.0), Some("a") -> Some(4.0)))
   }
 
+  test("groupedQuantilesBySort is bit-identical to percentile on real data") {
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    val sorted = Ops.groupedQuantilesBySort(li, Seq("l_returnflag"),
+        "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.9),
+        Seq("q25", "q50", "q75", "q90"))
+      .orderBy("l_returnflag").collect()
+    val agg = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.25)").as("q25"),
+        expr("percentile(l_extendedprice, 0.5)").as("q50"),
+        expr("percentile(l_extendedprice, 0.75)").as("q75"),
+        expr("percentile(l_extendedprice, 0.9)").as("q90"))
+      .orderBy("l_returnflag").collect()
+    assert(sorted.length == agg.length && sorted.nonEmpty)
+    sorted.zip(agg).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      (1 to 4).foreach { i =>
+        // bit-identical, not approximately equal
+        assert(java.lang.Double.doubleToLongBits(a.getDouble(i)) ==
+          java.lang.Double.doubleToLongBits(b.getDouble(i)),
+          s"${a.getString(0)} q$i: ${a.getDouble(i)} vs ${b.getDouble(i)}")
+      }
+    }
+  }
+
+  test("groupedQuantilesBySort keeps all-NULL groups like percentile") {
+    val df = Seq[(String, Option[Double])](
+      ("a", Some(1.0)), ("a", Some(2.0)), ("b", None)
+    ).toDF("g", "v")
+    val got = Ops.groupedQuantilesBySort(df, Seq("g"), "v",
+        Seq(0.5), Seq("q50")).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map("a" -> Some(1.5), "b" -> None))
+  }
+
   test("intervalOverlapJoin matches the naive inequality join exactly once") {
     // deterministic pseudo-random intervals spanning MANY bins (len up
     // to 40 vs binWidth 10) so multi-shared-bin pairs exist and the
