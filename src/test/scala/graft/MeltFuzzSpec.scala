@@ -88,6 +88,40 @@ class MeltFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: BARE incremental folds re-fold through the restore Project") {
+    // the r9 slices() composition: a bare-attribute incremental loop
+    // produces Project(restore, Expand(...)) at step 1 (fresh-exprId
+    // invariant), and every later step must compose through it back to
+    // ONE Expand — while the invariant and downstream-filter soundness
+    // hold at EVERY intermediate step, not just the last
+    val rnd = new scala.util.Random(41)
+    val measures = Seq("m1", "m2", "m3", "k")
+    for (trial <- 1 to 15) {
+      val n = 2 + rnd.nextInt(3)
+      val cols = rnd.shuffle(measures).take(n)
+      val slices = cols.map(m => src.select(col(m)))
+      var acc = slices.head
+      slices.tail.zipWithIndex.foreach { case (s, step) =>
+        acc = Melt.rewrite(acc union s)
+        val plan = acc.queryExecution.analyzed
+        assert(count(plan, classOf[Union]) == 0 &&
+          count(plan, classOf[Expand]) == 1,
+          s"trial $trial step $step: unfused (cols=$cols)")
+        val e = plan.collect { case x: Expand => x }.head
+        assert(e.projections.size == step + 2,
+          s"trial $trial step $step: wrong arity")
+        assert(!e.output.exists(e.child.outputSet.contains),
+          s"trial $trial step $step: Expand output reuses child exprIds")
+      }
+      val naive = slices.reduce(_ union _)
+      assert(rows(acc) == rows(naive), s"trial $trial: values (cols=$cols)")
+      val thr = Seq(0d, 5d, 50d, 1000d)(rnd.nextInt(4))
+      val p = col(cols.head) > lit(thr)
+      assert(rows(acc.filter(p)) == rows(naive.filter(p)),
+        s"trial $trial: filtered values diverged (cols=$cols thr=$thr)")
+    }
+  }
+
   test("fuzz: incremental acc-union folding preserves the predicate") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 10) {
