@@ -44,15 +44,31 @@ object KMeans {
     * `GraftFunctions.register` (native cosine_sim) on the session.
     * Output: vecs' columns + `cid`.
     */
+  /** Nearest-centroid assignment: highest cosine, ties to the lowest
+    * cid. Physical shape is argmax-by-struct aggregation, NOT a
+    * row_number window: the window formulation shuffles and sorts all
+    * N×k scored rows (measured 321s for the 200k×1415 index build —
+    * ~150 GB through the exchange), while max(struct(cos, −cid))
+    * partial-aggregates per input partition so only N one-row winners
+    * cross the exchange and nothing is ever sorted. Semantics are
+    * bit-equivalent to the window form (KMeansSpec pins it): struct
+    * ordering compares cos first (NaN greatest — same rank the desc
+    * window gave it), then −cid (= lowest cid wins ties); non-key
+    * columns ride along via first() — constant per id, so
+    * value-deterministic.
+    */
   def assign(vecs: DataFrame, cents: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__ccos").desc, col("cid"))
+    val others = vecs.columns.filter(_ != idCol)
+    val best = max(struct(col("__ccos"), (-col("cid")).as("nc")))
+      .as("__best")
+    val carried = others.map(c => first(col(c)).as(c))
     vecs.crossJoin(broadcast(cents))
       .withColumn("__ccos", expr(s"cosine_sim($vecCol, cv)"))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .drop("__ccos", "__rk", "cv")
+      .groupBy(col(idCol))
+      .agg(best, carried: _*)
+      .withColumn("cid", -col("__best.nc"))
+      .select((vecs.columns.map(col) :+ col("cid")).toIndexedSeq: _*)
   }
 
   /** Decimal-exact positional mean per cluster → (cid, cv). Clusters

@@ -28,6 +28,38 @@ class KMeansSpec extends SparkSpec {
       .exceptAll(a2.select("vec_id", "cid")).count() == 0)
   }
 
+  test("argmax-struct assignment is identical to the row_number window form") {
+    // assign's aggregate shape (the scale fix: N winners cross the
+    // exchange instead of N×k sorted rows) must pick the same centroid
+    // as the window formulation on real data
+    import org.apache.spark.sql.expressions.Window
+    val cents = init(8)
+    val viaAgg = KMeans.assign(vecs, cents, "vec_id", "embedding")
+      .select("vec_id", "cid")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__ccos").desc, col("cid"))
+    val viaWin = vecs.crossJoin(broadcast(cents))
+      .withColumn("__ccos", expr("cosine_sim(embedding, cv)"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select("vec_id", "cid")
+    assert(viaAgg.exceptAll(viaWin).count() == 0 &&
+      viaWin.exceptAll(viaAgg).count() == 0)
+    // and carried non-key columns survive with their values
+    val lbl = KMeans.assign(vecs, cents, "vec_id", "embedding")
+      .select("vec_id", "label")
+    assert(lbl.exceptAll(vecs.select("vec_id", "label")).count() == 0)
+  }
+
+  test("assignment ties break to the lowest cid") {
+    val v = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cents = Seq((7L, Array(1.0, 0.0)), (3L, Array(1.0, 0.0)))
+      .toDF("cid", "cv")
+    val got = KMeans.assign(v, cents, "vec_id", "embedding")
+      .select("cid").head.getLong(0)
+    assert(got == 3L)
+  }
+
   test("a singleton cluster's mean is the member vector itself") {
     val one = Seq((1L, Array(1.0, 2.0, 3.0)), (2L, Array(5.0, 5.0, 5.0)))
       .toDF("vec_id", "v").withColumn("cid", col("vec_id"))
