@@ -108,13 +108,17 @@ object DedupQueries extends QueryModule {
         .select(col("vec_id").as("cid"),
           expr("transform(embedding, x -> cast(x AS double))").as("cv"))
       val cents = KMeans.lloyd(e, init, "vec_id", "embedding", iters = 1)
-      val wAssign = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+      // argmax-struct assignment (the KMeans.assign shape — only N
+      // winners cross the exchange, never N×k sorted full-vector
+      // rows); inline rather than KMeans.assign because dd12's keep
+      // policy needs the winner's ccos, which the struct carries
       e.crossJoin(broadcast(cents))
         .withColumn("ccos", expr("cosine_sim(embedding, cv)"))
-        .withColumn("rk", row_number().over(wAssign))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("embedding"), col("cid"), col("ccos"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("ccos"), (-col("cid")).as("nc"))).as("b"),
+          first(col("embedding")).as("embedding"))
+        .select(col("vec_id"), col("embedding"),
+          (-col("b.nc")).as("cid"), col("b.ccos").as("ccos"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
