@@ -36,8 +36,8 @@ object IvfPqIndex {
     */
   def trainCoarse(e: DataFrame, k: Int, iters: Int = 1): DataFrame = {
     val init = KMeans.hashMinInit(e, k, "vec_id", "embedding")
-    KMeans.lloyd(e.select(col("vec_id"), col("embedding")), init,
-      "vec_id", "embedding", iters)
+    KMeans.lloydFused(e.select(col("vec_id"), col("embedding")), init,
+      "embedding", iters)
   }
 
   def write(e: DataFrame, path: String, k: Int, iters: Int = 1): Unit =
@@ -53,8 +53,13 @@ object IvfPqIndex {
   def write(e: DataFrame, path: String, coarse: DataFrame): Unit = {
     coarse.coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
     val c = e.sparkSession.read.parquet(s"$path/coarse")
-    KMeans.assign(e.select(col("vec_id"), col("embedding")), c,
-        "vec_id", "embedding")
+    // fused assignment (KMeans.assignFused): the build's dominant cost
+    // is scoring N vectors against k centroids; the fused expression
+    // runs the k×d loop in registers with NO N×k row stream (same
+    // winner as assign — KMeansSpec), and the coarse table is already
+    // the quantizer-scale artifact every search broadcasts
+    KMeans.assignFused(e.select(col("vec_id"), col("embedding")), c,
+        "embedding")
       .select(col("vec_id"), col("cid"))
       .write.mode("overwrite").parquet(s"$path/lists")
     ProductQuantIndex.write(e, s"$path/pq")
@@ -93,8 +98,9 @@ object IvfPqIndex {
     val newForLists = eNew.join(
       spark.read.parquet(s"$path/lists").select(col("vec_id")),
       Seq("vec_id"), "left_anti")
-    KMeans.assign(newForLists.select(col("vec_id"), col("embedding")),
-        coarse, "vec_id", "embedding")
+    KMeans.assignFused(
+        newForLists.select(col("vec_id"), col("embedding")), coarse,
+        "embedding")
       .select(col("vec_id"), col("cid"))
       .write.mode("append").parquet(s"$path/lists")
   }

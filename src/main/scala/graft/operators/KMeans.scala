@@ -71,6 +71,38 @@ object KMeans {
       .select((vecs.columns.map(col) :+ col("cid")).toIndexedSeq: _*)
   }
 
+  /** Fused-assignment variant for index-build hot paths: collects the
+    * centroid table to the driver (QUANTIZER-scale — k = ⌈√(10·N)⌉
+    * rows, the same bounded artifact every search broadcasts; this is
+    * a broadcast by another name, never a corpus-sized collect) and
+    * scores each vector against the whole matrix inside ONE generated
+    * expression ([[graft.functions.NearestCentroid]]). No N×k row
+    * stream exists at all — per vector the k×d loop runs in registers
+    * and one struct comes out. Returns vecs.* + cid + ccos; same
+    * winner as [[assign]] (KMeansSpec pins fused ≡ aggregate on real
+    * data plus the tie case). Prefer [[assign]] when the centroid
+    * frame must stay distributed (e.g. inside an oracle-replayed
+    * query whose plan shape is pinned); prefer this for artifact
+    * builds where assignment dominates wall-clock.
+    */
+  def assignFused(vecs: DataFrame, cents: DataFrame,
+      vecCol: String): DataFrame = {
+    // cv may be float (hash-min init picks raw vectors) or double
+    // (trained means) — float→double cast is exact
+    val rows = cents.select(col("cid").cast("long"),
+      col("cv").cast("array<double>")).collect()
+    val cids = rows.map(_.getLong(0))
+    val cvs = rows.map(_.getSeq[Double](1).toArray)
+    val nc = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.NearestCentroid(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(vecCol),
+        cids, cvs))
+    vecs.withColumn("__b", nc)
+      .filter(col("__b").isNotNull)
+      .select((vecs.columns.map(col) :+ col("__b.cid").as("cid") :+
+        col("__b.ccos").as("ccos")).toIndexedSeq: _*)
+  }
+
   /** Decimal-exact positional mean per cluster → (cid, cv). Clusters
     * that lost all members drop out (both engines agree on this).
     */
@@ -90,5 +122,19 @@ object KMeans {
       vecCol: String, iters: Int): DataFrame =
     (1 to iters).foldLeft(init) { (cents, _) =>
       meanCentroids(assign(vecs, cents, idCol, vecCol), vecCol)
+    }
+
+  /** Lloyd rounds on the fused assignment — identical centroids to
+    * [[lloyd]] (same winners per KMeansSpec, same decimal-exact means)
+    * but each round's assignment runs the k×d loop in registers with
+    * no N×k row stream. Used by artifact-build trainers
+    * (IvfPqIndex.trainCoarse); the oracle-replayed queries keep the
+    * fully-relational [[lloyd]] so their pinned plans don't change.
+    * Collects k rows per round (quantizer-scale, bounded).
+    */
+  def lloydFused(vecs: DataFrame, init: DataFrame,
+      vecCol: String, iters: Int): DataFrame =
+    (1 to iters).foldLeft(init) { (cents, _) =>
+      meanCentroids(assignFused(vecs, cents, vecCol), vecCol)
     }
 }

@@ -15,6 +15,15 @@ object Bridge {
 
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 
+  /** Wrap a raw Catalyst Expression as a user-facing Column — needed by
+    * expressions whose construction carries non-Expression state (e.g.
+    * NearestCentroid's centroid matrix), which the function registry's
+    * Seq[Expression]-builder signature can't convey.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
   /** Unpersist the block-backed leaves of a frame's analyzed plan — the
     * RDDs a `localCheckpoint()` left in the block manager. `unpersist()`
     * on the Dataset only clears CacheManager entries; checkpoint blocks

@@ -58,6 +58,52 @@ class KMeansSpec extends SparkSpec {
     val got = KMeans.assign(v, cents, "vec_id", "embedding")
       .select("cid").head.getLong(0)
     assert(got == 3L)
+    val fused = KMeans.assignFused(v, cents, "embedding")
+      .select("cid").head.getLong(0)
+    assert(fused == 3L)
+  }
+
+  test("fused assignment matches the aggregate form on real data") {
+    // the NearestCentroid expression (k×d loop in generated code, no
+    // N×k row stream) must pick the same centroid AND report the same
+    // cosine as the relational argmax; ccos is cross-checked against
+    // the native cosine_sim of the chosen centroid so the fused
+    // arithmetic can't drift from the expression every query uses
+    val cents = init(8)
+    val fused = KMeans.assignFused(vecs, cents, "embedding")
+    val viaAgg = KMeans.assign(vecs, cents, "vec_id", "embedding")
+      .select("vec_id", "cid")
+    assert(fused.select("vec_id", "cid").exceptAll(viaAgg).count() == 0 &&
+      viaAgg.exceptAll(fused.select("vec_id", "cid")).count() == 0)
+    val badCos = fused.join(cents, Seq("cid"))
+      .withColumn("ref", expr("cosine_sim(embedding, cv)"))
+      .filter(col("ref") =!= col("ccos"))
+    assert(badCos.count() == 0)
+    // interpreted path (eval) agrees with the codegen'd run above
+    val rows = cents.select(col("cid").cast("long"), col("cv")).collect()
+    val ncExpr = graft.functions.NearestCentroid(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false),
+        nullable = true),
+      rows.map(_.getLong(0)), rows.map(_.getSeq[Double](1).toArray))
+    val expect = fused.select("vec_id", "cid", "ccos").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    vecs.select("vec_id", "embedding").collect().foreach { r =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        r.getSeq[Float](1).toArray)
+      val out = ncExpr.eval(org.apache.spark.sql.catalyst
+        .InternalRow(arr)).asInstanceOf[
+        org.apache.spark.sql.catalyst.InternalRow]
+      val (ecid, eccos) = expect(r.getLong(0))
+      assert(out.getLong(0) == ecid &&
+        java.lang.Double.doubleToLongBits(out.getDouble(1)) ==
+          java.lang.Double.doubleToLongBits(eccos),
+        s"vec ${r.getLong(0)}: eval (${out.getLong(0)}, ${out.getDouble(1)}) vs codegen ($ecid, $eccos)")
+    }
+    // null input array → null result
+    assert(ncExpr.eval(org.apache.spark.sql.catalyst.InternalRow(null))
+      == null)
   }
 
   test("a singleton cluster's mean is the member vector itself") {
