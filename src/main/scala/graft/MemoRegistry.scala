@@ -108,9 +108,13 @@ object MemoRegistry {
       // spindle serializing the handoff I/O — zero spill, linear
       // shuffle bytes (BENCH_LOCAL round 8). On a cluster the list
       // would be mount points; a single dir keeps the old behavior.
-      val bases = spark.conf.getOption(CkptDirKey).getOrElse(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-ckpt")
+      val defaultBase =
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-ckpt"
+      val configured = spark.conf.getOption(CkptDirKey).getOrElse(defaultBase)
         .split(',').map(_.trim).filter(_.nonEmpty)
+      // ADVICE r9: a conf value that trims to zero entries ("" or ",")
+      // must fall back to the default base, not mod-by-zero below
+      val bases = if (configured.isEmpty) Array(defaultBase) else configured
       val base = bases(
         Math.floorMod(ckptRoundRobin.getAndIncrement(), bases.length))
       val path = s"$base/ckpt-${java.util.UUID.randomUUID()}"

@@ -97,8 +97,18 @@ object KMeans {
       graft.functions.NearestCentroid(
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(vecCol),
         cids, cvs))
+    // ADVICE r9: a vector whose dimension matches NO centroid (or a
+    // null/null-element embedding) scores to a null struct. Silently
+    // filtering it would desync an index build — IvfPqIndex gives such
+    // a vector PQ codes but no lists row, and the append anti-joins
+    // then pin the gap forever. Fail the job loudly instead; the error
+    // rides the when() so it can't be pruned away with the column.
     vecs.withColumn("__b", nc)
-      .filter(col("__b").isNotNull)
+      .withColumn("__b", when(col("__b").isNotNull, col("__b"))
+        .otherwise(raise_error(lit("assignFused: embedding is null, has " +
+          "a null element, or its dimension matches no centroid - the " +
+          "corpus and quantizer disagree; clean or re-train before " +
+          "building the index"))))
       .select((vecs.columns.map(col) :+ col("__b.cid").as("cid") :+
         col("__b.ccos").as("ccos")).toIndexedSeq: _*)
   }

@@ -33,6 +33,40 @@ object Ops {
     case Approx => approx_count_distinct(col(valueCol), 0.02)
   }
 
+  /** Session-level exactness switch (SURVEY §7.4 risk 6): integrators
+    * that embed an exactness-sensitive aggregate read the mode from
+    * `spark.graft.exactness` ("exact" default; "approx" swaps in the
+    * bounded-memory sketch forms). Read at STAGING-BUILD time — a
+    * memoized staging keeps the mode it was built with until the next
+    * `MemoRegistry.evictAll`.
+    */
+  val ExactnessKey = "spark.graft.exactness"
+  def exactnessFromConf(s: org.apache.spark.sql.SparkSession): Exactness =
+    s.conf.getOption(ExactnessKey).map(_.trim.toLowerCase) match {
+      case Some("approx") => Approx
+      case Some("exact") | None => Exact
+      case Some(other) => throw new IllegalArgumentException(
+        s"$ExactnessKey must be 'exact' or 'approx', got '$other'")
+    }
+
+  /** Grouped median under the chosen exactness — one row per group
+    * (groupCols*, out). Exact is the spillable sort+window formulation
+    * (bit-identical to percentile(); OpsSpec) for oracle-reproducible
+    * results; Approx is percentile_approx's GK sketch — bounded memory
+    * per group at ANY group size, the 100 TB posture, at the price of a
+    * rank error ≤ n/accuracy (it returns a REAL data value near the
+    * median, never the even-count interpolation). ExactnessSpec pins
+    * the tolerance contract between the two modes on the toxvaldb
+    * integrator.
+    */
+  def groupedMedian(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, out: String, mode: Exactness): DataFrame =
+    mode match {
+      case Exact => groupedMedianBySort(df, groupCols, valueCol, out)
+      case Approx => df.groupBy(groupCols.map(col): _*)
+        .agg(expr(s"percentile_approx($valueCol, 0.5, 10000)").as(out))
+    }
+
   /** Exact grouped median via sort + window — bit-identical to
     * `percentile(v, 0.5)` (same lower + (upper-lower)*0.5 interpolation)
     * but with a different physical shape: shuffle+sort and one window

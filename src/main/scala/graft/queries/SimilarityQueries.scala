@@ -387,6 +387,14 @@ object SimilarityQueries extends QueryModule {
     // query — one broadcast of the query originals and one id-join for
     // the shortlisted neighbors' originals. Recall can only improve on
     // the shortlist's own top-3 (exact ordering of a superset).
+    // SIZING CONTRACT for R (VERDICT r9 #5, measured in the IvfPqProbe
+    // R∈{10,30,100} sweep at 200k ε-perturbed vectors): the shortlist
+    // can only separate duplicate GROUPS shallower than R — on a
+    // near-dup-heavy corpus the compressed top-R fills with
+    // byte-similar twins of one original before a second original's
+    // neighbors enter, so the exact stage never sees them. Scale R
+    // with expected duplicate-group depth (R ≳ group_size × k_wanted);
+    // R=10 here matches this corpus's group depth of 1.
     "ann13_shortlist_rerank" -> ((s, d) => {
       GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
@@ -547,13 +555,11 @@ object SimilarityQueries extends QueryModule {
       val nVec = e.count()
       val probes =
         if (nVec <= 10000L) {
-          val wProbe = Window.partitionBy(col("vec_id"))
-            .orderBy(col("ccos").desc, col("clabel"))
-          Tables.embeddings(s, d)
+          val scored = Tables.embeddings(s, d)
             .crossJoin(broadcast(centroids(s, d)))
-            .withColumn("ccos", expr("cosine_sim(embedding, cv)"))
-            .withColumn("rk", row_number().over(wProbe))
-            .filter(col("rk") <= 2)
+            .select(col("vec_id"), col("clabel"),
+              expr("cosine_sim(embedding, cv)").as("ccos"))
+          topProbes(scored, "clabel", 2)
             .select(col("vec_id"), col("clabel").as("list_id"), col("rk"))
         } else refinedProbes(s, d, nVec)
       def cosPairs(cand: DataFrame): DataFrame = cand
@@ -653,23 +659,23 @@ object SimilarityQueries extends QueryModule {
     .Map.empty[(SparkSession, String), DataFrame]
 
   /** Every vector with its nearest-centroid list id, memoized + persisted
-    * per session: the crossJoin + per-vector window is the expensive
-    * stage and ann4/ann5 both consume it (ann5 twice, as query and
-    * candidate sides).
+    * per session: the scoring pass is the expensive stage and ann4/ann5
+    * both consume it (ann5 twice, as query and candidate sides).
+    * Assignment is KMeans.assign's argmax-struct aggregate (VERDICT r9
+    * #3), NOT a row_number window: only N winners cross the exchange
+    * instead of N×k sorted rows — same winner (highest cosine, ties to
+    * the lowest label; KMeansSpec pins window ≡ aggregate).
     */
   private def cachedAssigned(s: SparkSession, d: String): DataFrame =
     assignMemo.synchronized {
       assignMemo.getOrElseUpdate((s, d), {
         GraftFunctions.register(s)
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("ccos").desc, col("clabel"))
-        Tables.embeddings(s, d)
-          .crossJoin(broadcast(centroids(s, d)))
-          .withColumn("ccos", expr("cosine_sim(embedding, cv)"))
-          .withColumn("rk", row_number().over(wAssign))
-          .filter(col("rk") === 1)
+        graft.operators.KMeans.assign(
+            Tables.embeddings(s, d),
+            centroids(s, d).select(col("clabel").as("cid"), col("cv")),
+            "vec_id", "embedding")
           .select(col("vec_id"), col("label"), col("embedding"),
-            col("clabel").as("list_id"))
+            col("cid").as("list_id"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
     }
@@ -679,14 +685,15 @@ object SimilarityQueries extends QueryModule {
       graft.MemoRegistry.evictMap(spark, m)(_._1)(Seq(_)))
     graft.MemoRegistry.evictMap(spark, resMemo)(_._1)(v =>
       Seq(v._1, v._2))
+    // the ann14 artifact is content-keyed and SHARED ACROSS SESSIONS
+    // (ArtifactStore) — eviction forgets this session's pointer but
+    // never deletes the dir: another JVM may be reading it, and the
+    // whole point of the store is that the next session reuses it.
+    // Reclamation is the artifact base dir's lifecycle (tmpdir
+    // cleanup, or an operator removing stale content keys).
     idxMemo.synchronized {
-      idxMemo.keys.filter(_._1 eq spark).toSeq.foreach { k =>
-        idxMemo.remove(k).foreach { p =>
-          val hp = new org.apache.hadoop.fs.Path(p)
-          hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .delete(hp, true): Unit
-        }
-      }
+      idxMemo.keys.filter(_._1 eq spark).toSeq
+        .foreach(k => idxMemo.remove(k): Unit)
     }
   }
 
@@ -696,39 +703,49 @@ object SimilarityQueries extends QueryModule {
     (SparkSession, String),
     java.util.concurrent.CompletableFuture[String]]()
 
-  /** ann14's on-disk IVF-PQ artifact per (session, sfDir): write from
-    * the base corpus (vec_id % 10 ≠ 7), then append the held-out slice
-    * twice — the second append MUST be a no-op (per-leg anti-joins);
-    * the query's count audit and search rows face the oracle either
-    * way. Build-once-search-many like the in-memory index memos;
-    * eviction deletes the directory and the next access rebuilds
-    * bit-identically (deterministic training).
+  /** ann14's on-disk IVF-PQ artifact: write from the base corpus
+    * (vec_id % 10 ≠ 7), then append the held-out slice twice — the
+    * second append MUST be a no-op (per-leg anti-joins); the query's
+    * count audit and search rows face the oracle either way.
+    * CROSS-SESSION persistent (VERDICT r9 #7): the build is
+    * deterministic end-to-end, so the artifact lives under a
+    * content-keyed [[graft.ArtifactStore]] dir — one corpus
+    * fingerprint scan (order-independent xor of per-row hashes,
+    * far cheaper than the N×k build it saves) decides reuse vs
+    * rebuild, the atomic-rename protocol arbitrates concurrent
+    * sessions, and a data change or recipe bump lands in a fresh dir.
+    * The session memo remains on top so one JVM fingerprints once.
     */
+  private val Ann14Recipe = "v1-mod10ne7-labelmean"
   private def lifecycleArtifact(s: SparkSession, d: String): String =
     graft.MemoRegistry.memoGet(idxMemo, idxInflight, (s, d)) {
       GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
-      val isDelta = col("vec_id") % 10 === 7
-      val base = e.filter(!isDelta)
-      // base label-mean coarse quantizer — the centroids(s,d)
-      // construction restricted to the base corpus (decimal-exact
-      // positional means, the exact formulation the oracle replays)
-      val coarse = base
-        .select(col("label"), posexplode(col("embedding")))
-        .groupBy(col("label"), col("pos"))
-        .agg((sum(col("col").cast(org.apache.spark.sql.types
-          .DecimalType(27, 12))).cast("double") / count(lit(1))).as("c"))
-        .groupBy(col("label"))
-        .agg(expr("transform(sort_array(collect_list(struct(pos, c))), " +
-          "x -> x.c)").as("cv"))
-        .select(col("label").as("cid"), col("cv"))
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-ann14-ivfpq").toString
-      graft.operators.IvfPqIndex.write(base, dir, coarse)
-      graft.operators.IvfPqIndex.append(e.filter(isDelta), dir)
-      // the retry path, exercised IN the gate: identical re-append
-      graft.operators.IvfPqIndex.append(e.filter(isDelta), dir)
-      dir
+      val fp = e.agg(
+        expr("bit_xor(xxhash64(vec_id, embedding, label))").as("x"),
+        count(lit(1)).as("n")).head()
+      val key = Ann14Recipe + "-" +
+        java.lang.Long.toHexString(fp.getLong(0)) + "-" + fp.getLong(1)
+      graft.ArtifactStore.ensure(s, "ann14-ivfpq", key) { dir =>
+        val isDelta = col("vec_id") % 10 === 7
+        val base = e.filter(!isDelta)
+        // base label-mean coarse quantizer — the centroids(s,d)
+        // construction restricted to the base corpus (decimal-exact
+        // positional means, the exact formulation the oracle replays)
+        val coarse = base
+          .select(col("label"), posexplode(col("embedding")))
+          .groupBy(col("label"), col("pos"))
+          .agg((sum(col("col").cast(org.apache.spark.sql.types
+            .DecimalType(27, 12))).cast("double") / count(lit(1))).as("c"))
+          .groupBy(col("label"))
+          .agg(expr("transform(sort_array(collect_list(struct(pos, c))), " +
+            "x -> x.c)").as("cv"))
+          .select(col("label").as("cid"), col("cv"))
+        graft.operators.IvfPqIndex.write(base, dir, coarse)
+        graft.operators.IvfPqIndex.append(e.filter(isDelta), dir)
+        // the retry path, exercised IN the gate: identical re-append
+        graft.operators.IvfPqIndex.append(e.filter(isDelta), dir)
+      }
     }
 
   private val resMemo = scala.collection.mutable
@@ -777,19 +794,59 @@ object SimilarityQueries extends QueryModule {
     * the threshold — not the corpus — and an unbounded audit fails
     * fast instead of silently going quadratic.
     */
-  private val MaxAuditQueries = 1024
-  private def exactTop3Audit(e: DataFrame,
+  /** Top-`n` centroid probes per vector WITHOUT the N×k window sort
+    * (VERDICT r9 #3, the nprobe>1 extension of the argmax-struct
+    * trick): the scored stream `(vec_id, <cidCol>, ccos)` flows
+    * through the native [[graft.plans.TopKPerGroup]] bounded heaps —
+    * the N×k rows are STREAMED through fixed n-slot heaps (partial
+    * heaps before the exchange, so only maps × vectors × n rows cross
+    * it; nothing is ever sorted) — ordered by the same composite the
+    * argmax-struct assignment uses: struct(ccos, −cid) descending =
+    * cosine desc, ties to the lowest cid. cid is unique per vector, so
+    * the order is TOTAL and the heap drops nothing arbitrarily; NaN
+    * ranks greatest and a null cosine least, exactly like the
+    * row_number formulation this replaces (TopKSpec pins heap ≡
+    * window on ties and NaN). `rk` (1..n) is then a row_number over
+    * the RETAINED N×n rows, which leave the heap exec already
+    * clustered by vec_id — Spark elides that exchange and pays only an
+    * n-row local sort per vector.
+    */
+  private def topProbes(scored: DataFrame, cidCol: String,
+      n: Int): DataFrame = {
+    val ranked = graft.plans.TopK.topKPerGroup(
+      scored.withColumn("__ord",
+        struct(col("ccos"), (-col(cidCol)).as("nc"))),
+      Seq("vec_id"), "__ord", desc = true, k = n)
+    val wr = Window.partitionBy(col("vec_id")).orderBy(col("__ord").desc)
+    ranked.withColumn("rk", row_number().over(wr)).drop("__ord")
+  }
+
+  private[graft] val MaxAuditQueries = 1024
+  private[graft] def exactTop3Audit(e: DataFrame,
       qPred: org.apache.spark.sql.Column): DataFrame = {
     val qs = e.filter(qPred)
-    val qCount = qs.limit(MaxAuditQueries + 1).count()
-    require(qCount <= MaxAuditQueries,
-      s"recall audit got more than $MaxAuditQueries query vectors; the " +
-        "exact ground-truth leg is O(queries x corpus) and must stay " +
-        "bounded - sample the queries, or use Dedup.bruteNearDupStats " +
-        "for corpus-scale ground truth")
+    // The bound is enforced INSIDE the plan (ADVICE r9): the old eager
+    // limit().count() ran a Spark job during query CONSTRUCTION, taxing
+    // every bench/probe pass of the recall audits with an extra action.
+    // Now a LIMIT-bounded 1-row census leg rides the query itself —
+    // cost bounded by the threshold, not the corpus — and raise_error
+    // fails the EXECUTION if the audit is unbounded. The guard lives in
+    // a filter condition so column pruning can't delete it, and the
+    // 1-row broadcast cross join adds nothing measurable.
+    val guard = qs.limit(MaxAuditQueries + 1)
+      .agg(count(lit(1)).as("__qn"))
+      .select(when(col("__qn") <= MaxAuditQueries, lit(1))
+        .otherwise(raise_error(lit(
+          s"recall audit got more than $MaxAuditQueries query vectors; " +
+            "the exact ground-truth leg is O(queries x corpus) and must " +
+            "stay bounded - sample the queries, or use " +
+            "Dedup.bruteNearDupStats for corpus-scale ground truth"))
+          .cast("int")).as("__ok"))
+      .filter(col("__ok") === 1)
     val wx = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     qs.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(guard)).drop("__ok")
       .join(e.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("ne")),
         col("query_id") =!= col("neighbor_id"))
@@ -807,10 +864,13 @@ object SimilarityQueries extends QueryModule {
     * end-to-end: seeded hash-min init (k lowest xxhash64 ids via
     * TakeOrderedAndProject — no global window), a seeded ~10·k-vector
     * training sample for ONE Lloyd round, total-order tie-breaks. The
-    * probe projection narrows to (vec_id, cid, ccos) BEFORE the
-    * per-vector window so the N×k exchange never carries embeddings.
-    * Memoized + persisted per (session, sfDir) like the other index
-    * artifacts — build once, search many.
+    * probe projection narrows to (vec_id, cid, ccos) BEFORE ranking so
+    * the scored stream never carries embeddings, and ranking is
+    * [[topProbes]]' bounded heaps — the N×k rows (k = ⌈√(10·N)⌉, the
+    * index build's dominant mass) are never window-sorted; only N×2
+    * winners cross the exchange. Memoized + persisted per
+    * (session, sfDir) like the other index artifacts — build once,
+    * search many.
     */
   private def refinedProbes(s: SparkSession, d: String,
       nVec: Long): DataFrame =
@@ -827,14 +887,11 @@ object SimilarityQueries extends QueryModule {
           .select(col("vec_id"), col("embedding"))
         val cents = graft.operators.KMeans
           .lloyd(train, init, "vec_id", "embedding", iters = 1)
-        val wProbe = Window.partitionBy(col("vec_id"))
-          .orderBy(col("ccos").desc, col("cid"))
-        e.select(col("vec_id"), col("embedding"))
+        val scored = e.select(col("vec_id"), col("embedding"))
           .crossJoin(broadcast(cents))
           .select(col("vec_id"), col("cid"),
             expr("cosine_sim(embedding, cv)").as("ccos"))
-          .withColumn("rk", row_number().over(wProbe))
-          .filter(col("rk") <= 2)
+        topProbes(scored, "cid", 2)
           .select(col("vec_id"), col("cid").as("list_id"), col("rk"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }

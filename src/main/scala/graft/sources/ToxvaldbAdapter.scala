@@ -33,7 +33,24 @@ import graft.operators.Ops
 object ToxvaldbAdapter extends SourceAdapter {
   val name = "toxvaldb"
 
-  def staging(s: SparkSession, d: String): StagingTriplet = {
+  /** The exactness seam, live end-to-end (VERDICT r9 #8): the
+    * property-level median-of-medians — the one UNBOUNDED-group
+    * aggregate in this integrator, i.e. the aggregate that matters at
+    * 100 TB — dispatches through [[Ops.groupedMedian]] on the
+    * session's `spark.graft.exactness` conf. Default "exact" keeps the
+    * oracle-pinned h13 result; "approx" swaps in the GK-sketch median
+    * (bounded memory per group at any corpus size). The bounded-group
+    * pair collapse stays exact in BOTH modes — one entity's
+    * measurements never outgrow an aggregation buffer, so there is
+    * nothing to trade there. ExactnessSpec pins the cross-mode
+    * tolerance contract (labels may flip only inside the
+    * exact-vs-approx median band).
+    */
+  def staging(s: SparkSession, d: String): StagingTriplet =
+    stagingMode(s, d, Ops.exactnessFromConf(s))
+
+  def stagingMode(s: SparkSession, d: String,
+      mode: Ops.Exactness): StagingTriplet = {
     val ev = Tables.events(s, d)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .filter(col("k") % 2 === 0)            // qualifier '=' (R:17)
@@ -56,9 +73,10 @@ object ToxvaldbAdapter extends SourceAdapter {
       Seq("event_type", "kbucket"), 6L)
 
     // R:24-25: binarize each pair median against the property's
-    // median-of-medians (unbounded group → sort-based median)
-    val med = Ops.groupedMedianBySort(supported,
-      Seq("event_type", "kbucket"), "numvalue", "med")
+    // median-of-medians (unbounded group → exactness-dispatched:
+    // spillable sort-based median, or the GK sketch under approx mode)
+    val med = Ops.groupedMedian(supported,
+      Seq("event_type", "kbucket"), "numvalue", "med", mode)
     val binarized = supported
       .join(broadcast(med), Seq("event_type", "kbucket"))
       .withColumn("value",

@@ -106,4 +106,27 @@ class AnnIndexSpec extends SparkSpec {
     assert(full.exceptAll(viaCands).count() == 0)
     assert(viaCands.count() == 30)
   }
+  test("recall-audit query bound is enforced lazily, inside the plan") {
+    // ADVICE r9: the old eager limit().count() guard ran a Spark job at
+    // query CONSTRUCTION (timed into every bench pass). Now the bound
+    // rides the plan: construction is free, and an unbounded audit
+    // fails at EXECUTION with the contract message.
+    graft.functions.GraftFunctions.register(spark)
+    val big = spark.range(0, 1200).toDF("vec_id")
+      .withColumn("embedding", array(
+        (col("vec_id") % 7 + 1).cast("float"),
+        (col("vec_id") % 5 + 1).cast("float")))
+    // construction must NOT throw and must not need a job
+    val audited = graft.queries.SimilarityQueries
+      .exactTop3Audit(big, col("vec_id") >= 0)
+    val ex = intercept[Exception] { audited.count() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("recall audit")), msgs(ex).mkString("|"))
+    // a bounded audit still returns exact top-3 per query
+    val small = graft.queries.SimilarityQueries
+      .exactTop3Audit(big, col("vec_id") < 4)
+    val got = small.groupBy(col("query_id")).count().collect()
+    assert(got.length == 4 && got.forall(_.getLong(1) == 3))
+  }
 }

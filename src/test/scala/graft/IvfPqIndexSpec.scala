@@ -112,4 +112,50 @@ class IvfPqIndexSpec extends SparkSpec {
       .filter(col("mx") =!= col("n"))
     assert(badRank.count() == 0)
   }
+  test("ArtifactStore: reuse-vs-rebuild identity and the publish protocol") {
+    // VERDICT r9 #7 — the cross-session amortization of the ann14 cold
+    // build: same content key -> the build runs ONCE and later callers
+    // adopt the published dir; a different key rebuilds; a dir without
+    // its _OK marker is refused, not trusted
+    val base = Files.createTempDirectory("graft-artifacts").toString
+    spark.conf.set(ArtifactStore.DirKey, base)
+    try {
+      var builds = 0
+      def build(marker: String)(dir: String): Unit = {
+        builds += 1
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, "payload"),
+          marker.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      }
+      val d1 = ArtifactStore.ensure(spark, "idx", "k1")(build("first"))
+      val d2 = ArtifactStore.ensure(spark, "idx", "k1")(build("second"))
+      assert(builds == 1 && d1 == d2, s"builds=$builds d1=$d1 d2=$d2")
+      assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(d1, "payload"))) == "first")
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(d1, "_OK")))
+      val d3 = ArtifactStore.ensure(spark, "idx", "k2")(build("third"))
+      assert(builds == 2 && d3 != d1)
+      // a failed build leaves no tmp litter and propagates
+      intercept[RuntimeException] {
+        ArtifactStore.ensure(spark, "idx", "k4")(_ =>
+          throw new RuntimeException("boom"))
+      }
+      val leftovers = new java.io.File(base).listFiles()
+        .map(_.getName).filter(_.contains("tmp"))
+      assert(leftovers.isEmpty, leftovers.mkString(","))
+      // a visible dir without _OK is refused
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(base, "idx-k3"))
+      val ex = intercept[IllegalArgumentException] {
+        ArtifactStore.ensure(spark, "idx", "k3")(build("x"))
+      }
+      assert(ex.getMessage.contains("_OK"))
+    } finally {
+      spark.conf.unset(ArtifactStore.DirKey)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(base))
+    }
+  }
 }

@@ -91,9 +91,16 @@ object IvfPqProbe {
     // more-candidates-more-distractors effect where exhaustive ADC
     // ranks true neighbors WORSE than truncated probes — the exact
     // rerank stage recovers at each probe width.
-    for (np <- Seq(1, 4, k)) {
+    // R sweep (VERDICT r9 #5): the 200k-vector probe showed a fixed
+    // R=10 shortlist cannot separate ε-twin groups DEEPER than R — on
+    // a near-duplicate-heavy corpus every slot fills with byte-similar
+    // twins of the same original before a second original's neighbors
+    // make the list. The knob must scale with expected duplicate-group
+    // depth (R ≳ group size × k_wanted); the sweep quantifies exactly
+    // what each widening buys at this corpus's group depth.
+    for (np <- Seq(1, 4, k); r <- Seq(10, 30, 100)) {
       val short = graft.operators.IvfPqIndex
-        .search(spark, dir, emb, col("vec_id") < 10, 10, np)
+        .search(spark, dir, emb, col("vec_id") < 10, r, np)
         .select(col("query_id"), col("neighbor_id"))
       val rr = short
         .join(emb.select(col("vec_id").as("query_id"),
@@ -106,7 +113,7 @@ object IvfPqProbe {
         .select(col("query_id"), col("neighbor_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val label = if (np == k) s"$np (all lists)" else np.toString
-      println(f"[ivfpq] rerank np=$label%-13s recall@3=${(exact & rr).size}%2d/${exact.size} (shortlist R=10 + exact re-rank)")
+      println(f"[ivfpq] rerank np=$label%-13s R=$r%-4d recall@3=${(exact & rr).size}%2d/${exact.size} (compressed shortlist + exact re-rank)")
     }
     spark.stop()
   }

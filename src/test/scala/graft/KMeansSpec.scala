@@ -135,4 +135,22 @@ class KMeansSpec extends SparkSpec {
       .filter(col("cv0") =!= col("cv1")).count()
     assert(moved > 0)
   }
+  test("fused assignment fails loudly on a dimension-mismatched vector") {
+    // ADVICE r9: a vector no centroid can score must fail the build,
+    // not silently vanish (IvfPqIndex would give it codes but no lists
+    // row, and the append anti-joins pin the gap forever)
+    val v = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((3L, Array(1.0, 0.0))).toDF("cid", "cv")
+    val ex = intercept[Exception] {
+      KMeans.assignFused(v, cents, "embedding").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("assignFused")), msgs(ex).mkString("|"))
+    // a clean corpus still assigns every vector
+    val ok = KMeans.assignFused(v.filter(col("vec_id") === 1L), cents,
+      "embedding")
+    assert(ok.count() == 1 && ok.select("cid").head.getLong(0) == 3L)
+  }
 }

@@ -181,4 +181,18 @@ class ReliableCheckpointSpec extends SparkSpec {
         .deleteDirectory(new java.io.File(dir))
     }
   }
+  test("blank/comma-only checkpoint dir falls back to the default base") {
+    // ADVICE r9: "" or "," trimmed to zero entries and the round-robin
+    // then mod'ed by zero at the first reliable materialization
+    spark.conf.set(MemoRegistry.CkptModeKey, "reliable")
+    for (bad <- Seq("", " , ", ",")) {
+      spark.conf.set(MemoRegistry.CkptDirKey, bad)
+      try {
+        val df = MemoRegistry.checkpointLarge(spark.range(10).toDF("id"))
+        assert(df.count() == 10, s"fallback failed for value '$bad'")
+        MemoRegistry.release(df)
+      } finally spark.conf.unset(MemoRegistry.CkptDirKey)
+    }
+    spark.conf.unset(MemoRegistry.CkptModeKey)
+  }
 }

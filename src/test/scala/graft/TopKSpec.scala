@@ -81,4 +81,37 @@ class TopKSpec extends SparkSpec {
     assert(native.exceptAll(bySort).count() == 0)
     assert(bySort.exceptAll(native).count() == 0)
   }
+  test("composite struct order: heap equals window on ties, NaN, and null") {
+    // the topProbes contract (VERDICT r9 #3): ordering by
+    // struct(score, -cid) DESC must retain and rank exactly the rows
+    // the (score desc, cid asc) row_number window would — including a
+    // NaN score (greatest), a null score (least), and exact ties
+    import org.apache.spark.sql.expressions.Window
+    val rows = Seq(
+      (1L, 10L, 0.9), (1L, 20L, 0.9), (1L, 30L, 0.5),   // tie at 0.9
+      (2L, 10L, Double.NaN), (2L, 20L, 1.0), (2L, 30L, 0.1),
+      (4L, 10L, 0.2), (4L, 20L, 0.3), (4L, 30L, 0.4))
+      .toDF("vec_id", "cid", "ccos")
+      .union(Seq((3L, 10L), (3L, 20L)).toDF("vec_id", "cid")
+        .withColumn("ccos", lit(null).cast("double")))
+    val heap = TopK.topKPerGroup(
+      rows.withColumn("__ord", struct(col("ccos"), (-col("cid")).as("nc"))),
+      Seq("vec_id"), "__ord", desc = true, k = 2)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("__ord").desc)))
+      .drop("__ord")
+    val win = rows
+      .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("rk") <= 2)
+    assert(heap.exceptAll(win).count() == 0 &&
+      win.exceptAll(heap).count() == 0,
+      s"heap=${heap.collect().mkString(",")} win=${win.collect().mkString(",")}")
+    // spot-pin the semantics the parity relies on
+    val m = heap.collect().map(r =>
+      (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(m((1L, 1)) == 10L && m((1L, 2)) == 20L)  // tie -> lowest cid
+    assert(m((2L, 1)) == 10L)                        // NaN greatest
+    assert(m((3L, 1)) == 10L && m((3L, 2)) == 20L)  // nulls still ranked
+  }
 }
