@@ -695,6 +695,41 @@ object TextQueries extends QueryModule {
           sum(col("total_words") - col("removed_words"))
             .as("kept_words"))
         .orderBy(col("lang"))
+    }),
+
+    // Rare-window containment detection — "is doc A a (near-)substring
+    // of doc B": the estimator behind catalog-level URL/doc subsumption
+    // passes (Broder's rare-shingle containment,
+    // resemblance-and-containment 1997). Candidate pairs come ONLY
+    // from shared RARE windows (global doc-frequency ≤ 8 — the df cap
+    // that makes this scale: boilerplate hashes, the skewed mass that
+    // would drive a quadratic fan-out, are excluded by construction,
+    // so per-hash pair fan-out is ≤ 8·7 and the self-join shuffles
+    // like any equi-join). The containment score for (a → b) is
+    // |rare windows of a shared with b| / |rare windows of a|,
+    // integer-cross-multiplied for the ≥ 90% flag. Consumes the shared
+    // [[win5]] index — the fourth reader of one session-built artifact.
+    // df = 1 windows can't pair but DO count in a's denominator:
+    // unique content dilutes containment, exactly the intent.
+    "x23_containment" -> ((s, d) => {
+      val hd = win5(s, d)
+        .select(col("h"), col("doc_id"), col("lang")).distinct()
+      val hdf = hd.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val rare = hd.join(hdf.filter(col("df") <= 8), Seq("h"))
+      val nRare = rare.groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_rare"))
+      val pairable = rare.filter(col("df") >= 2)
+      val shared = pairable.select(col("h"), col("doc_id").as("doc_a"))
+        .join(pairable.select(col("h"), col("doc_id").as("doc_b")),
+          Seq("h"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      shared.join(nRare.select(col("doc_id").as("doc_a"), col("lang"),
+          col("n_rare")), Seq("doc_a"))
+        .withColumn("contained", col("n_shared") * 10 >= col("n_rare") * 9)
+        .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+        .limit(15)
     })
   )
 
@@ -1237,6 +1272,32 @@ object TextQueries extends QueryModule {
         |  CAST(sum(total_words - COALESCE(removed_words, 0)) AS BIGINT)
         |    AS kept_words
         |FROM alldocs LEFT JOIN per_doc USING (doc_id)
-        |GROUP BY 1 ORDER BY lang""".stripMargin
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "x23_containment" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS ts
+        |  FROM documents WHERE len(string_split(lower(text), ' ')) >= 5),
+        |hd AS (
+        |  SELECT DISTINCT doc_id, lang, md5(ts[g] || ' ' || ts[g+1] ||
+        |    ' ' || ts[g+2] || ' ' || ts[g+3] || ' ' || ts[g+4]) AS h
+        |  FROM docs CROSS JOIN unnest(range(1, len(ts) - 3)) AS u(g)),
+        |hdf AS (SELECT h, count(*) AS df FROM hd GROUP BY h),
+        |rare AS (
+        |  SELECT w.doc_id, w.lang, w.h, f.df
+        |  FROM hd w JOIN hdf f USING (h) WHERE f.df <= 8),
+        |nr AS (
+        |  SELECT doc_id, lang, count(*) AS n_rare FROM rare GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS n_shared
+        |  FROM rare a JOIN rare b USING (h)
+        |  WHERE a.df >= 2 AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+        |  lang, CAST(n_rare AS BIGINT) AS n_rare,
+        |  n_shared * 10 >= n_rare * 9 AS contained
+        |FROM sh JOIN nr ON nr.doc_id = sh.doc_a
+        |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 15""".stripMargin
   )
 }
