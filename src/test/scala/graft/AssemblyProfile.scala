@@ -49,6 +49,18 @@ object AssemblyProfile {
           "/root/repo/target/graft-ckpt"))
       println(s"[aprof] checkpoint mode: $m")
     }
+    // SPARK_GRAFT_SHUFFLE overrides shuffle partitions for THIS profile
+    // run: the fourth-decade finding (BENCH_LOCAL r10) is that the
+    // session default (= cores) under-partitions once per-partition
+    // aggregate state outgrows execution memory — at 100× the
+    // activities pipeline spilled 210 GB at 32 partitions. On a real
+    // cluster this is exactly "partitions scale with data, cores per
+    // executor stay fixed"; locally the env lets the probe demonstrate
+    // the spill collapsing without oversubscribing threads.
+    sys.env.get("SPARK_GRAFT_SHUFFLE").foreach { n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n)
+      println(s"[aprof] shuffle partitions: $n")
+    }
 
     def gcMs: Long = {
       import scala.jdk.CollectionConverters._
