@@ -742,8 +742,10 @@ object TextQueries extends QueryModule {
     * TWICE per query (dup census + probe side) — the top of the 100×
     * honest profile at 86–102s each. The memo is the session-scoped
     * stand-in for the production posture, where this window index is
-    * written ONCE next to the corpus (the `Dedup.writeMinhashIndex`
-    * artifact shape) and every dedup pass reads it. Serialized blocks
+    * written ONCE next to the corpus and every dedup pass reads it —
+    * that artifact operator is [[graft.operators.WindowIndex]]
+    * (write/append/dup-refresh), and the memo builds from ITS
+    * `windows()` definition so the two can't drift. Serialized blocks
     * (MEMORY_AND_DISK_SER): the frame is corpus-sized and narrow —
     * the checkpointLarge storage-level rationale applies.
     */
@@ -755,16 +757,7 @@ object TextQueries extends QueryModule {
       : org.apache.spark.sql.DataFrame =
     win5Memo.synchronized {
       win5Memo.getOrElseUpdate((s, d),
-        Tables.documents(s, d)
-          .withColumn("ts", split(lower(col("text")), " "))
-          .filter(size(col("ts")) >= 5)
-          .select(col("doc_id"), col("lang"), col("source"),
-            explode(expr(
-              "transform(sequence(1, size(ts) - 4), g -> struct(g as g, " +
-                "md5(concat_ws(' ', ts[g-1], ts[g], ts[g+1], ts[g+2], " +
-                "ts[g+3])) as h))")).as("w"))
-          .select(col("doc_id"), col("lang"), col("source"),
-            col("w.g").as("g"), col("w.h").as("h"))
+        graft.operators.WindowIndex.windows(Tables.documents(s, d))
           .persist(org.apache.spark.storage.StorageLevel
             .MEMORY_AND_DISK_SER))
     }
@@ -795,9 +788,7 @@ object TextQueries extends QueryModule {
       : org.apache.spark.sql.DataFrame =
     dupHashMemo.synchronized {
       dupHashMemo.getOrElseUpdate((s, d),
-        win5(s, d).groupBy(col("h"))
-          .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
-          .filter(col("d0") =!= col("d1")).select(col("h"))
+        graft.operators.WindowIndex.dupHashesOf(win5(s, d))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
