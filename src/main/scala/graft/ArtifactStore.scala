@@ -55,12 +55,16 @@ object ArtifactStore {
       Files.write(tmp.resolve("_OK"), Array.empty[Byte])
       try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
       catch {
-        // another session published first — adopt the winner
-        case _: java.nio.file.FileAlreadyExistsException
-            | _: java.nio.file.DirectoryNotEmptyException
-            | _: java.nio.file.AccessDeniedException =>
-          require(complete, s"lost the publish race for $target but the " +
-            "winner has no _OK marker")
+        // Another session published first — adopt the winner. rename(2)
+        // reports the lost race as EEXIST or ENOTEMPTY, which the JDK
+        // surfaces variously as FileAlreadyExistsException,
+        // DirectoryNotEmptyException, or a GENERIC FileSystemException
+        // (Linux, non-empty target dir — caught by the race spec), so
+        // the discriminator is the target's state, not the exception
+        // class: a COMPLETE target means a lost race; anything else is
+        // a real filesystem error and must propagate.
+        case e: java.nio.file.FileSystemException =>
+          if (!complete) throw e
           deleteRecursively(tmp)
       }
     } catch {

@@ -158,4 +158,43 @@ class IvfPqIndexSpec extends SparkSpec {
         .deleteDirectory(new java.io.File(base))
     }
   }
+  test("ArtifactStore: concurrent ensure() of one key — both adopt one dir") {
+    // the cross-JVM race, simulated in-process: two builders race the
+    // same content key; ATOMIC_MOVE lets exactly one publish and the
+    // loser adopts the winner's dir — no corruption, no tmp litter
+    val base = Files.createTempDirectory("graft-artifacts-race").toString
+    spark.conf.set(ArtifactStore.DirKey, base)
+    try {
+      val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      def ensureOnce(): String = ArtifactStore.ensure(spark, "idx", "rk") {
+        dir =>
+          gate.await()
+          builds.incrementAndGet()
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(dir))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, "payload"),
+            "x".getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      }
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fa = Future(ensureOnce()); val fb = Future(ensureOnce())
+      Thread.sleep(200); gate.countDown()
+      val (da, db) = (Await.result(fa, 60.seconds),
+        Await.result(fb, 60.seconds))
+      assert(da == db, s"$da vs $db")
+      assert(builds.get() >= 1 && builds.get() <= 2)
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(da, "_OK")))
+      val litter = new java.io.File(base).listFiles()
+        .map(_.getName).filter(_.contains("tmp"))
+      assert(litter.isEmpty, litter.mkString(","))
+    } finally {
+      spark.conf.unset(ArtifactStore.DirKey)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(base))
+    }
+  }
 }

@@ -114,4 +114,39 @@ class TopKSpec extends SparkSpec {
     assert(m((2L, 1)) == 10L)                        // NaN greatest
     assert(m((3L, 1)) == 10L && m((3L, 2)) == 20L)  // nulls still ranked
   }
+  test("composite-order heap equals the window form on fuzzed frames") {
+    // 20 random frames with duplicate scores, NaNs, nulls, skewed group
+    // sizes, and k in 1..4 — the heap path and the row_number window
+    // must retain the identical (group, cid, rk) multiset every time
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 20).foreach { i =>
+      val n = 50 + rnd.nextInt(400)
+      val nGroups = 1 + rnd.nextInt(12)
+      val k = 1 + rnd.nextInt(4)
+      val rows = (1 to n).map { j =>
+        val cos: java.lang.Double = rnd.nextInt(6) match {
+          case 0 => Double.NaN
+          case 1 => null
+          case _ => math.rint(rnd.nextDouble() * 4) / 4.0 // forced ties
+        }
+        (rnd.nextInt(nGroups).toLong, j.toLong, cos)
+      }
+      val df = rows.toDF("vec_id", "cid", "ccos")
+      val heap = TopK.topKPerGroup(
+        df.withColumn("__ord", struct(col("ccos"), (-col("cid")).as("nc"))),
+        Seq("vec_id"), "__ord", desc = true, k = k)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("__ord").desc)))
+        .drop("__ord")
+      val win = df
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("ccos").desc, col("cid"))))
+        .filter(col("rk") <= k)
+      assert(heap.exceptAll(win).count() == 0 &&
+        win.exceptAll(heap).count() == 0,
+        s"fuzz case $i (n=$n groups=$nGroups k=$k) diverged")
+    }
+  }
 }
