@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Cross-session persistence for expensive on-disk index artifacts
   * (VERDICT r9 #7): a content-keyed directory plus an atomic-rename
@@ -25,29 +26,53 @@ import org.apache.spark.sql.SparkSession
   *      be a manual copy or external tampering; fail loudly rather
   *      than trust or overwrite it.
   *
+  * Trust boundary (ADVICE r10): the default base is PER-USER
+  * (`<tmpdir>/graft-artifacts-<user.name>`, created 0700 where the
+  * filesystem supports POSIX permissions), and an adopted artifact
+  * dir must be OWNED by the current user — on a multi-user host
+  * another account can otherwise pre-plant a completed-looking dir
+  * under a predictable content key and poison every reader. A
+  * configured `spark.graft.artifact.dir` is trusted as given (the
+  * operator chose it; on a cluster it is durable shared storage where
+  * JVM-visible "ownership" is the storage ACL's job), but the
+  * ownership check still runs wherever the filesystem reports owners.
+  *
   * The content key must fingerprint everything the artifact derives
   * from — input data AND the build recipe version — so a data change
   * or semantics change lands in a fresh dir instead of silently
-  * reusing a stale one. Base dir: `spark.graft.artifact.dir`, default
-  * `<tmpdir>/graft-artifacts` (on a cluster: durable shared storage).
+  * reusing a stale one. [[corpusKey]] is the standard fingerprint:
+  * order-independent over rows and collision-hardened (xor alone
+  * cancels on crafted pairs; xor + sum-mod-2^64 + count requires
+  * breaking both folds at the same cardinality).
+  *
+  * Reclamation (ADVICE r10): nothing is deleted implicitly — eviction
+  * of a session memo only forgets the pointer, because another JVM
+  * may be mid-read. [[prune]] is the explicit GC: completed dirs
+  * whose `_OK` is older than a caller-chosen age (pick one comfortably
+  * beyond any session lifetime), plus crashed `.tmp-*` leftovers.
   */
 object ArtifactStore {
   val DirKey = "spark.graft.artifact.dir"
 
+  private def baseDir(spark: SparkSession): java.nio.file.Path =
+    java.nio.file.Paths.get(spark.conf.getOption(DirKey).getOrElse(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+        "/graft-artifacts-" + sys.props.getOrElse("user.name", "anon")))
+
   def ensure(spark: SparkSession, name: String, contentKey: String)(
       build: String => Unit): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val base = Paths.get(spark.conf.getOption(DirKey).getOrElse(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-artifacts"))
+    import java.nio.file.{Files, StandardCopyOption}
+    val base = baseDir(spark)
     val target = base.resolve(s"$name-$contentKey")
     def complete = Files.exists(target.resolve("_OK"))
     if (Files.exists(target)) {
       require(complete, s"artifact dir $target exists without its _OK " +
         "completion marker - not produced by ArtifactStore; delete it " +
         "to rebuild")
+      requireOwned(target)
       return target.toString
     }
-    Files.createDirectories(base)
+    createPrivateDir(base)
     val tmp = base.resolve(
       s".$name-$contentKey.tmp-${java.util.UUID.randomUUID()}")
     try {
@@ -65,6 +90,7 @@ object ArtifactStore {
         // a real filesystem error and must propagate.
         case e: java.nio.file.FileSystemException =>
           if (!complete) throw e
+          requireOwned(target)
           deleteRecursively(tmp)
       }
     } catch {
@@ -72,6 +98,91 @@ object ArtifactStore {
     }
     target.toString
   }
+
+  /** The standard content key: `recipe` (bump on any semantics change)
+    * + an order-independent fingerprint of `xxhash64(cols…)` over the
+    * rows — bit_xor AND sum-mod-2^64 AND count (xor alone is a weak
+    * multiset hash: any row-pair whose hashes cancel collides even at
+    * equal counts; the sum fold breaks exactly those). One cheap
+    * columnar pass, far below the builds it gates. Fails loudly on an
+    * empty frame — an empty corpus has no meaningful artifact and the
+    * null aggregate would otherwise surface as a bare NPE.
+    */
+  def corpusKey(df: DataFrame, recipe: String, cols: Column*): String = {
+    val h = xxhash64(cols: _*)
+    val r = df.agg(count(lit(1)).as("n"), bit_xor(h).as("x"),
+      sum(h.cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
+      .head()
+    val n = r.getLong(0)
+    require(n > 0, "corpusKey over an EMPTY frame - refusing to " +
+      "fingerprint: an artifact built from zero rows is almost " +
+      "certainly a wiring bug (wrong path or a filter that dropped " +
+      "everything)")
+    val two64 = java.math.BigInteger.ONE.shiftLeft(64)
+    val sMod = r.getDecimal(2).toBigInteger.mod(two64)
+    recipe + "-" + java.lang.Long.toHexString(r.getLong(1)) + "-" +
+      sMod.toString(16) + "-" + n
+  }
+
+  /** Explicit GC of the artifact base: deletes completed artifact dirs
+    * whose `_OK` mtime is older than `maxAgeMs`, and crashed `.tmp-*`
+    * build dirs older than one hour (by dir mtime — no `_OK` exists).
+    * Age is the safety margin against a concurrent reader in another
+    * JVM: choose it comfortably beyond any session lifetime. Returns
+    * the deleted dir paths.
+    */
+  def prune(spark: SparkSession, maxAgeMs: Long): Seq[String] = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val base = baseDir(spark)
+    if (!Files.isDirectory(base)) return Nil
+    val now = System.currentTimeMillis()
+    val victims = Files.list(base).iterator().asScala.filter { d =>
+      val ok = d.resolve("_OK")
+      if (Files.exists(ok))
+        now - Files.getLastModifiedTime(ok).toMillis > maxAgeMs
+      else
+        d.getFileName.toString.contains(".tmp-") && Files.isDirectory(d) &&
+          now - Files.getLastModifiedTime(d).toMillis > 3600000L
+    }.toSeq
+    victims.foreach(deleteRecursively)
+    victims.map(_.toString)
+  }
+
+  /** Create the base dir owner-private where the filesystem supports
+    * POSIX permissions (best effort elsewhere — e.g. a configured
+    * cluster path on a non-POSIX store).
+    */
+  private def createPrivateDir(base: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import java.nio.file.attribute.PosixFilePermissions
+    if (!Files.exists(base))
+      try Files.createDirectories(base,
+        PosixFilePermissions.asFileAttribute(
+          PosixFilePermissions.fromString("rwx------")))
+      catch {
+        case _: UnsupportedOperationException =>
+          Files.createDirectories(base): Unit
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
+  }
+
+  /** Refuse to adopt an artifact dir owned by another OS user — on a
+    * shared host a foreign dir under a predictable key is an index
+    * poisoning vector, not a cache hit. Skipped silently where the
+    * filesystem cannot report owners.
+    */
+  private def requireOwned(target: java.nio.file.Path): Unit =
+    try {
+      val owner = java.nio.file.Files.getOwner(target).getName
+      val me = sys.props.getOrElse("user.name", owner)
+      require(owner == me, s"artifact dir $target is owned by " +
+        s"'$owner', not the current user '$me' - refusing to adopt a " +
+        "foreign artifact; set spark.graft.artifact.dir to a private " +
+        "path or remove the directory")
+    } catch {
+      case _: UnsupportedOperationException | _: java.io.IOException => ()
+    }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {

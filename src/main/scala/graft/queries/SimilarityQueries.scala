@@ -689,8 +689,8 @@ object SimilarityQueries extends QueryModule {
     // (ArtifactStore) — eviction forgets this session's pointer but
     // never deletes the dir: another JVM may be reading it, and the
     // whole point of the store is that the next session reuses it.
-    // Reclamation is the artifact base dir's lifecycle (tmpdir
-    // cleanup, or an operator removing stale content keys).
+    // Reclamation is ArtifactStore.prune (ADVICE r10) — an explicit
+    // age-gated GC the operator runs, never an implicit eviction.
     idxMemo.synchronized {
       idxMemo.keys.filter(_._1 eq spark).toSeq
         .foreach(k => idxMemo.remove(k): Unit)
@@ -721,11 +721,11 @@ object SimilarityQueries extends QueryModule {
     graft.MemoRegistry.memoGet(idxMemo, idxInflight, (s, d)) {
       GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
-      val fp = e.agg(
-        expr("bit_xor(xxhash64(vec_id, embedding, label))").as("x"),
-        count(lit(1)).as("n")).head()
-      val key = Ann14Recipe + "-" +
-        java.lang.Long.toHexString(fp.getLong(0)) + "-" + fp.getLong(1)
+      // ArtifactStore.corpusKey (ADVICE r10): xor + sum-mod-2^64 +
+      // count (xor alone cancels on crafted row pairs), failing loudly
+      // on an empty corpus instead of NPE-ing on the null aggregate
+      val key = graft.ArtifactStore.corpusKey(e, Ann14Recipe,
+        col("vec_id"), col("embedding"), col("label"))
       graft.ArtifactStore.ensure(s, "ann14-ivfpq", key) { dir =>
         val isDelta = col("vec_id") % 10 === 7
         val base = e.filter(!isDelta)

@@ -730,8 +730,79 @@ object TextQueries extends QueryModule {
         .withColumn("contained", col("n_shared") * 10 >= col("n_rare") * 9)
         .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
         .limit(15)
+    }),
+
+    // The PERSISTED window index's whole lifecycle under the oracle
+    // (VERDICT r10 #1 — the ann14 treatment for WindowIndex): build
+    // the on-disk artifact with write(docs where doc_id%3≠0), append
+    // the rest, append it AGAIN (the retried-batch no-op faces the
+    // oracle through the n_batches audit — a double-applied append
+    // would also break every per-lang count), then answer entirely
+    // from the artifact files: per-lang window/dup-window/doc counts
+    // off the committed snapshot plus the manifest/batch audits.
+    // DuckDB replays it from the frozen windows() definition — the
+    // incremental min/max census merge must land exactly where the
+    // one-shot HAVING count(DISTINCT doc_id) >= 2 census does. The
+    // artifact is content-keyed and cross-session (ArtifactStore
+    // elects ONE builder, satisfying WindowIndex's single-writer
+    // contract by construction).
+    "x24_window_index_lifecycle" -> ((s, d) => {
+      val path = windowIndexArtifact(s, d)
+      val wins = graft.operators.WindowIndex.readWindows(s, path)
+      val dup = graft.operators.WindowIndex.readDup(s, path)
+        .withColumn("is_dup", lit(1))
+      val per = wins.join(dup, Seq("h"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_windows"),
+          count(col("is_dup")).as("n_dup_windows"),
+          countDistinct(col("doc_id")).as("n_docs_win"))
+      val audit = graft.operators.WindowIndex.readManifest(s, path)
+        .agg(count(lit(1)).as("n_docs_indexed"))
+        .withColumn("n_batches",
+          lit(graft.operators.WindowIndex.batchCount(s, path)))
+      per.crossJoin(broadcast(audit)).orderBy(col("lang"))
     })
   )
+
+  /** x24's on-disk window-index artifact: write from the doc_id%3≠0
+    * base, append the held-out third TWICE (retry idempotence faces
+    * the oracle via the batch-count audit). Cross-session under
+    * [[graft.ArtifactStore]] — content key = corpus fingerprint +
+    * recipe version; the store's one-builder election is how the
+    * index's single-writer contract is met in a many-session world.
+    */
+  private val Wx24Recipe = "x24-v1-mod3split"
+  private val wiMemo = scala.collection.mutable
+    .Map.empty[(org.apache.spark.sql.SparkSession, String), String]
+  private val wiInflight = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    java.util.concurrent.CompletableFuture[String]]()
+
+  private def windowIndexArtifact(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.MemoRegistry.memoGet(wiMemo, wiInflight, (s, d)) {
+      val docs = Tables.documents(s, d)
+      val key = graft.ArtifactStore.corpusKey(docs, Wx24Recipe,
+        col("doc_id"), col("text"), col("lang"), col("source"))
+      graft.ArtifactStore.ensure(s, "x24-winidx", key) { dir =>
+        val idx = s"$dir/idx"
+        val delta = docs.filter(col("doc_id") % 3 === 0)
+        graft.operators.WindowIndex.write(
+          docs.filter(col("doc_id") % 3 =!= 0), idx)
+        graft.operators.WindowIndex.append(delta, idx)
+        // the retry path, exercised IN the gate: identical re-append
+        graft.operators.WindowIndex.append(delta, idx)
+      } + "/idx"
+    }
+
+  graft.MemoRegistry.register { spark =>
+    // the artifact is shared across sessions — eviction forgets this
+    // session's pointer only (ArtifactStore.prune is the GC)
+    wiMemo.synchronized {
+      wiMemo.keys.filter(_._1 eq spark).toSeq
+        .foreach(k => wiMemo.remove(k): Unit)
+    }
+  }
 
   /** Word-5-gram window frame shared by x18/x20/x21/x22: one row per
     * window position `g` (1-based) per document, `h` = md5 of the
@@ -1289,6 +1360,33 @@ object TextQueries extends QueryModule {
         |  lang, CAST(n_rare AS BIGINT) AS n_rare,
         |  n_shared * 10 >= n_rare * 9 AS contained
         |FROM sh JOIN nr ON nr.doc_id = sh.doc_a
-        |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 15""".stripMargin
+        |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 15""".stripMargin,
+
+    // the artifact lifecycle replayed from the frozen windows()
+    // definition: write(base) + append(delta) + no-op re-append must
+    // land exactly where the one-shot census does (the incremental
+    // min/max merge ≡ HAVING count(DISTINCT doc_id) >= 2), the
+    // manifest covers every doc (zero-window short docs included),
+    // and exactly 2 batches commit (3 would mean the retry re-applied)
+    "x24_window_index_lifecycle" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS ts
+        |  FROM documents WHERE len(string_split(lower(text), ' ')) >= 5),
+        |wins AS (
+        |  SELECT doc_id, lang, md5(ts[g] || ' ' || ts[g+1] || ' ' ||
+        |    ts[g+2] || ' ' || ts[g+3] || ' ' || ts[g+4]) AS h
+        |  FROM docs CROSS JOIN unnest(range(1, len(ts) - 3)) AS u(g)),
+        |dup AS (SELECT h FROM wins GROUP BY h
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |per AS (
+        |  SELECT lang, count(*) AS n_windows, count(d.h) AS n_dup_windows,
+        |    count(DISTINCT w.doc_id) AS n_docs_win
+        |  FROM wins w LEFT JOIN dup d USING (h) GROUP BY 1),
+        |audit AS (
+        |  SELECT count(DISTINCT doc_id) AS n_docs_indexed,
+        |    CAST(2 AS BIGINT) AS n_batches FROM documents)
+        |SELECT lang, n_windows, n_dup_windows, n_docs_win,
+        |  n_docs_indexed, n_batches
+        |FROM per CROSS JOIN audit ORDER BY lang""".stripMargin
   )
 }

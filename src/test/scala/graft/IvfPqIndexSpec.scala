@@ -197,4 +197,89 @@ class IvfPqIndexSpec extends SparkSpec {
         .deleteDirectory(new java.io.File(base))
     }
   }
+
+  test("ArtifactStore: prune reclaims aged artifacts and crashed tmp dirs") {
+    val base = Files.createTempDirectory("graft-artifacts-gc").toString
+    spark.conf.set(ArtifactStore.DirKey, base)
+    try {
+      def build(dir: String): Unit = {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        java.nio.file.Files.write(java.nio.file.Paths.get(dir, "payload"),
+          "x".getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      }
+      val dOld = ArtifactStore.ensure(spark, "idx", "old")(build)
+      val dNew = ArtifactStore.ensure(spark, "idx", "new")(build)
+      // age the old artifact's _OK two hours into the past
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(dOld, "_OK"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 7200000L))
+      // a crashed build's tmp dir, aged past the one-hour tmp cutoff
+      val tmp = java.nio.file.Paths.get(base, ".idx-crash.tmp-dead")
+      java.nio.file.Files.createDirectories(tmp)
+      java.nio.file.Files.setLastModifiedTime(tmp,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 7200000L))
+      val gone = ArtifactStore.prune(spark, maxAgeMs = 3600000L)
+      assert(gone.toSet == Set(dOld, tmp.toString), gone.mkString(","))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dOld)))
+      assert(!java.nio.file.Files.exists(tmp))
+      // the fresh artifact survives and is still adoptable
+      assert(ArtifactStore.ensure(spark, "idx", "new")(_ =>
+        fail("must reuse, not rebuild")) == dNew)
+    } finally {
+      spark.conf.unset(ArtifactStore.DirKey)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(base))
+    }
+  }
+
+  test("ArtifactStore: corpusKey is order-free, collision-hardened, " +
+      "and refuses an empty frame") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "v")
+    val k1 = ArtifactStore.corpusKey(a, "r1", col("id"), col("v"))
+    // row order must not matter (the artifact derives from the SET)
+    val k2 = ArtifactStore.corpusKey(
+      a.orderBy(col("id").desc), "r1", col("id"), col("v"))
+    assert(k1 == k2)
+    // data change and recipe bump both land in a fresh key
+    assert(k1 != ArtifactStore.corpusKey(
+      a.filter(col("id") =!= 3), "r1", col("id"), col("v")))
+    assert(k1 != ArtifactStore.corpusKey(a, "r2", col("id"), col("v")))
+    // the xor-cancellation weakness (ADVICE r10): duplicating any two
+    // rows cancels in bit_xor, but the sum fold still separates them
+    val dup = a.union(Seq((1L, "x"), (1L, "x")).toDF("id", "v"))
+    assert(k1 != ArtifactStore.corpusKey(dup, "r1", col("id"), col("v")))
+    val ex = intercept[IllegalArgumentException] {
+      ArtifactStore.corpusKey(
+        a.filter(col("id") < 0), "r1", col("id"), col("v"))
+    }
+    assert(ex.getMessage.toLowerCase.contains("empty"))
+  }
+
+  test("ArtifactStore: default base is per-user; foreign dirs refused") {
+    // no conf set -> the default base embeds user.name (ADVICE r10's
+    // shared-/tmp poisoning surface); ownership of adopted dirs is
+    // verified wherever the filesystem reports owners
+    val d = ArtifactStore.ensure(spark, "ownchk",
+      "k-" + java.util.UUID.randomUUID()) { dir =>
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(dir)): Unit
+    }
+    try {
+      val user = sys.props("user.name")
+      assert(java.nio.file.Paths.get(d).getParent.getFileName
+        .toString == s"graft-artifacts-$user")
+      // same-user adoption passes the ownership check
+      assert(ArtifactStore.ensure(spark, "ownchk",
+        java.nio.file.Paths.get(d).getFileName.toString
+          .stripPrefix("ownchk-"))(_ => fail("must reuse")) == d)
+    } finally {
+      // delete only this test's artifact dir — the per-user base is
+      // shared with real cross-session artifacts (that's its point)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        java.nio.file.Paths.get(d).toFile)
+    }
+  }
 }
