@@ -124,6 +124,32 @@ object ArtifactStore {
       sMod.toString(16) + "-" + n
   }
 
+  /** Content key for artifacts derived from a whole DIRECTORY of input
+    * files (the brick: 14 adapters over one testdata dir): md5 over
+    * the sorted (path, length, mtime) listing plus `recipe`. File
+    * METADATA, not contents — one recursive driver-side listing (the
+    * same metadata a table format trusts for snapshot identity), so
+    * the key costs milliseconds where a content hash would re-read the
+    * corpus it exists to avoid reading. An in-place edit that
+    * preserves length AND mtime defeats it; that is not a state any
+    * supported writer produces (generators rewrite files).
+    */
+  def dirKey(spark: SparkSession, dir: String, recipe: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      entries += s"${st.getPath}|${st.getLen}|${st.getModificationTime}"
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(recipe.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    entries.sorted.foreach(e =>
+      md.update(('\n' + e).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** Explicit GC of the artifact base: deletes completed artifact dirs
     * whose `_OK` mtime is older than `maxAgeMs`, and crashed `.tmp-*`
     * build dirs older than one hour (by dir mtime — no `_OK` exists).

@@ -70,13 +70,15 @@ object Bench {
     // calm-machine cost while interleaved neighbors were unaffected; a
     // per-query median across spaced passes suppresses exactly that).
     val coldT0 = System.nanoTime()
-    ordered.foreach { case (name, fn) =>
+    val coldTimes = ordered.map { case (name, fn) =>
       // errors stay non-fatal (the driver wants the whole surface timed)
       // but NEVER silent — a failed query otherwise masquerades as a
       // fast one
+      val t0 = System.nanoTime()
       try { run(fn(spark, sfDir)) } catch { case e: Throwable =>
         System.err.println(s"[bench] WARN cold $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
+      name -> (System.nanoTime() - t0) / 1e9
     }
     val coldTotal = (System.nanoTime() - coldT0) / 1e9
     val warmPasses =
@@ -139,10 +141,16 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    // per-query COLD times (pass 0, memo/artifact builds included) —
+    // the attribution data for the cross-session artifact work: a
+    // query whose cold time collapses on a second same-machine run is
+    // riding a reused ArtifactStore dir instead of rebuilding
+    val coldQs = coldTimes.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val passTotals = passes.map(p => f3(p.values.sum)).mkString("[", ",", "]")
     val fullJson =
-      s"""{"queries":$qs,"n_queries":${results.size},"cold_total_sec":${f3(coldTotal)},"warm_passes":$warmPasses,"pass_totals_sec":$passTotals,"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}"""
+      s"""{"queries":$qs,"cold_queries":$coldQs,"n_queries":${results.size},"cold_total_sec":${f3(coldTotal)},"warm_passes":$warmPasses,"pass_totals_sec":$passTotals,"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LATEST.json"), fullJson + "\n")
     catch { case _: Throwable => () }

@@ -96,31 +96,34 @@ object Harmonize {
     val prior = memo.putIfAbsent(key, fresh)
     if (prior != null) prior.join()
     else try {
-      // Shared-scan assembly: the canonicalize+md5 staging unions are
-      // each consumed twice (substances + sidMap, properties + pidMap,
-      // activities-union + inchiMap), so checkpointing the three final
-      // tables separately executed every staging union — and the
-      // canonicalize UDF — twice. Materializing the intermediates once
-      // makes the three table checkpoints cheap projections of shared
-      // scans (BrickProfile: assembly 30.8s → ~17s at sf0.1).
-      // checkpointLarge (serialized blocks) for the staging unions and
-      // the three tables: these are the fact-scale frames whose
-      // deserialized footprint starved the assembly's aggregation into
-      // spill at the 10× stretch (see MemoRegistry.checkpointLarge)
-      val inter = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      val b = brickFromStaged(
-        adapters.map(a =>
-          a.name -> SourceAdapter.cachedStaging(a, spark, sfDir)),
-        converter,
-        materialize = { df =>
-          val c = graft.MemoRegistry.checkpointLarge(df); inter += c; c })
-      val out = Brick(graft.MemoRegistry.checkpointLarge(b.substances),
-        graft.MemoRegistry.checkpointLarge(b.properties),
-        graft.MemoRegistry.checkpointLarge(b.activities))
-      // the staging-union checkpoints only serve the assembly above; the
-      // three final tables carry their own blocks, so free the
-      // intermediates now instead of waiting for the ContextCleaner
-      inter.foreach(graft.MemoRegistry.release)
+      val out =
+        // CROSS-SESSION brick (VERDICT r10 #4): with the default stub
+        // converter — the only converter whose output is a pure
+        // function of the input files — the three tables live in a
+        // content-keyed ArtifactStore dir, so a second JVM on this
+        // machine READS the brick instead of re-staging 14 sources and
+        // re-assembling (the single largest block of the cold pass). A
+        // custom converter is an opaque instance the key cannot
+        // fingerprint; those builds stay session-local.
+        if (converter eq StructureConverter.Stub) {
+          val akey = graft.ArtifactStore.dirKey(spark, sfDir,
+            "brick-v1-" + adapters.map(_.name).mkString(","))
+          val dir = graft.ArtifactStore.ensure(spark, "brick", akey) {
+            tmp => buildBrick(spark, sfDir, adapters, converter) match {
+              case b =>
+                b.substances.write.parquet(s"$tmp/substances")
+                b.properties.write.parquet(s"$tmp/properties")
+                b.activities.write.parquet(s"$tmp/activities")
+                Seq(b.substances, b.properties, b.activities)
+                  .foreach(graft.MemoRegistry.release)
+            }
+          }
+          // read-back frames get the same serialized-block residency
+          // the checkpointed build had, so warm consumers are unchanged
+          def rd(n: String) = spark.read.parquet(s"$dir/$n").persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          Brick(rd("substances"), rd("properties"), rd("activities"))
+        } else buildBrick(spark, sfDir, adapters, converter)
       fresh.complete(out)
       out
     } catch {
@@ -131,6 +134,81 @@ object Harmonize {
         fresh.completeExceptionally(e)
         throw e
     }
+  }
+
+  /** Scale the assembly's FIRST-SHOT reducer count with the input
+    * bytes (VERDICT r10 #7 — the automatic posture replacing the
+    * SPARK_GRAFT_SHUFFLE probe knob): the fourth-decade profile showed
+    * the session default (= cores) under-partitions once per-partition
+    * aggregate state outgrows execution memory — 210 GB of spill at 32
+    * partitions, collapsing 23× at 256. The lever is AQE's
+    * `initialPartitionNum`: shuffles START wide (one partition per
+    * ~64 MB of input, clamped to [session default, 4096]) and AQE
+    * coalesces small ones back down, so gate-scale runs plan exactly
+    * as before (the floor) while a 100× corpus gets hundreds of
+    * reducers with NO manual knob — "partitions scale with data, cores
+    * per executor stay fixed", the cluster posture, made the default.
+    * Input bytes come from one recursive file-status listing of the
+    * source dir (planner-side metadata, no job). The conf is restored
+    * after the build (every materialization in the block is eager); a
+    * concurrent query seeing the wider value mid-build merely starts
+    * wider and AQE-coalesces — documented, harmless.
+    */
+  private[graft] def withScaledInitialPartitions[T](spark: SparkSession,
+      sfDir: String)(f: => T): T = {
+    val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val bytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(sfDir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case _: java.io.IOException => 0L }
+    val cur = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = math.min(4096L, math.max(cur.toLong, bytes / (64L << 20))).toInt
+    if (n <= cur) f
+    else {
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, n.toString)
+      try f finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  /** The checkpointed in-memory assembly — cachedBrick's build step.
+    *
+    * Shared-scan assembly: the canonicalize+md5 staging unions are
+    * each consumed twice (substances + sidMap, properties + pidMap,
+    * activities-union + inchiMap), so checkpointing the three final
+    * tables separately executed every staging union — and the
+    * canonicalize UDF — twice. Materializing the intermediates once
+    * makes the three table checkpoints cheap projections of shared
+    * scans (BrickProfile: assembly 30.8s → ~17s at sf0.1).
+    * checkpointLarge (serialized blocks) for the staging unions and
+    * the three tables: these are the fact-scale frames whose
+    * deserialized footprint starved the assembly's aggregation into
+    * spill at the 10× stretch (see MemoRegistry.checkpointLarge).
+    */
+  private def buildBrick(spark: SparkSession, sfDir: String,
+      adapters: Seq[SourceAdapter], converter: StructureConverter): Brick = {
+    val inter = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val out = withScaledInitialPartitions(spark, sfDir) {
+      val b = brickFromStaged(
+        adapters.map(a =>
+          a.name -> SourceAdapter.cachedStaging(a, spark, sfDir)),
+        converter,
+        materialize = { df =>
+          val c = graft.MemoRegistry.checkpointLarge(df); inter += c; c })
+      Brick(graft.MemoRegistry.checkpointLarge(b.substances),
+        graft.MemoRegistry.checkpointLarge(b.properties),
+        graft.MemoRegistry.checkpointLarge(b.activities))
+    }
+    // the staging-union checkpoints only serve the assembly above; the
+    // three final tables carry their own blocks, so free the
+    // intermediates now instead of waiting for the ContextCleaner
+    inter.foreach(graft.MemoRegistry.release)
+    out
   }
 
   def brick(spark: SparkSession, sfDir: String,

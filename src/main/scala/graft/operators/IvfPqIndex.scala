@@ -131,4 +131,31 @@ object IvfPqIndex {
       spark.read.parquet(s"$path/pq/codebooks"),
       spark.read.parquet(s"$path/pq/codes"), e, isQuery, cands, k)
   }
+
+  /** The shortlist-width derivation behind the documented sizing
+    * contract R ≳ duplicate-group-depth × k (VERDICT r9 #5 sweep: a
+    * compressed shortlist can only separate duplicate groups shallower
+    * than R — on a near-dup-heavy corpus every slot fills with
+    * byte-similar twins of one original before a second original's
+    * neighbors enter, and the exact rerank stage never sees them).
+    *
+    * `census` is a duplicate-group size census `(size, n_components)`
+    * — the dd8 output shape, from whichever duplicate notion the
+    * pipeline runs anyway: the near-dup component census (the full
+    * contract; IvfPqProbe derives it from the index's own lists) or
+    * the cheap one-pass exact-duplicate census (a lower bound — right
+    * when the corpus is known exact-dup-dominated). Returns
+    * max(rMin, max(size) × k); an empty census (no duplicate groups,
+    * i.e. depth 1) floors at rMin. Deriving instead of hand-tuning is
+    * the point: the serving knob tracks the corpus's measured
+    * duplication, so a 100-deep ε-twin corpus automatically gets
+    * R = 100 × k instead of a silently-recall-starved default.
+    */
+  def shortlistR(census: DataFrame, k: Int, rMin: Int = 10): Int = {
+    val depth = census.agg(max(col("size"))).head() match {
+      case r if r.isNullAt(0) => 1L
+      case r => r.getLong(0)
+    }
+    math.max(rMin.toLong, depth * k).toInt
+  }
 }

@@ -152,8 +152,24 @@ object ProductQuantIndex {
   def cached(s: SparkSession, d: String, e: => DataFrame)
       : (DataFrame, DataFrame) =
     // build OUTSIDE the map lock (ADVICE r7): training runs multiple
-    // Spark jobs; only same-key callers wait on it
-    graft.MemoRegistry.memoGet(memo, inflight, (s, d))(build(e))
+    // Spark jobs; only same-key callers wait on it.
+    // CROSS-SESSION (VERDICT r10 #4): training is deterministic
+    // (decimal-exact means, total-order tiebreaks), so the artifact
+    // lives in a content-keyed ArtifactStore dir — a second JVM reads
+    // codebooks+codes instead of re-running four subspace trainings
+    // (the ann9/11/12/13 block of the cold pass). One corpus
+    // fingerprint pass decides reuse; the session memo on top keeps
+    // one fingerprint per JVM.
+    graft.MemoRegistry.memoGet(memo, inflight, (s, d)) {
+      val emb = e
+      val key = graft.ArtifactStore.corpusKey(emb, "pq-v1",
+        org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+      val dir = graft.ArtifactStore.ensure(s, "pq", key)(write(emb, _))
+      (s.read.parquet(s"$dir/codebooks"),
+        s.read.parquet(s"$dir/codes").persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    }
 
   graft.MemoRegistry.register { spark =>
     graft.MemoRegistry.evictMap(spark, memo)(_._1)(v => Seq(v._1, v._2))
@@ -163,6 +179,9 @@ object ProductQuantIndex {
     val (codebooks, codes) = build(e)
     codebooks.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     codes.write.mode("overwrite").parquet(s"$path/codes")
+    // the artifact now lives in parquet; free the build's checkpoint
+    // blocks instead of leaving them to the ContextCleaner
+    Seq(codebooks, codes).foreach(graft.MemoRegistry.release)
   }
 
   /** ADC top-k from the artifact: exact query slices vs decoded

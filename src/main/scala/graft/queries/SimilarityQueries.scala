@@ -392,12 +392,20 @@ object SimilarityQueries extends QueryModule {
     // can only separate duplicate GROUPS shallower than R — on a
     // near-dup-heavy corpus the compressed top-R fills with
     // byte-similar twins of one original before a second original's
-    // neighbors enter, so the exact stage never sees them. Scale R
-    // with expected duplicate-group depth (R ≳ group_size × k_wanted);
-    // R=10 here matches this corpus's group depth of 1.
+    // neighbors enter, so the exact stage never sees them. R is now
+    // DERIVED, not hand-tuned (VERDICT r10 #6): IvfPqIndex.shortlistR
+    // turns a duplicate-group size census into R = max(10, depth × k).
+    // Here the census is the memoized one-pass EXACT-duplicate census
+    // (this corpus's duplication notion — depth 1, so R lands on the
+    // floor 10 and the oracle's rank-10 cut stays exact by
+    // construction); a near-dup-heavy deployment feeds the dd8-style
+    // near-dup component census through the same derivation instead —
+    // IvfPqProbe does exactly that at the 200k ε-twin stretch, where
+    // the derived R recovers full recall at nprobe=1 hands-free.
     "ann13_shortlist_rerank" -> ((s, d) => {
       GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
+      val rShort = shortlistWidth(s, d)
       val wProbe = Window.partitionBy(col("query_id"))
         .orderBy(col("ccos").desc, col("clabel"))
       val probes = e.filter(col("vec_id") < 10)
@@ -416,7 +424,7 @@ object SimilarityQueries extends QueryModule {
       val (books, codes) =
         graft.operators.ProductQuantIndex.cached(s, d, e)
       val shortlist = graft.operators.ProductQuantIndex.searchCandidates(
-        books, codes, e, col("vec_id") < 10, cands, 10)
+        books, codes, e, col("vec_id") < 10, cands, rShort)
       val wr = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))
       val approx = shortlist
@@ -747,6 +755,35 @@ object SimilarityQueries extends QueryModule {
         graft.operators.IvfPqIndex.append(e.filter(isDelta), dir)
       }
     }
+
+  /** ann13's derived shortlist width (VERDICT r10 #6): the exact-dup
+    * group-size census (one xxhash64 groupBy pass — the cheap census
+    * for an exact-dup-dominated corpus) fed through
+    * [[graft.operators.IvfPqIndex.shortlistR]]. Memoized per
+    * (session, sfDir): the derivation collects one scalar, and like
+    * every construction-time job here it must run once, not per
+    * bench pass (the exactTop3Audit lesson).
+    */
+  private val rShortMemo = scala.collection.mutable
+    .Map.empty[(SparkSession, String), Int]
+
+  private def shortlistWidth(s: SparkSession, d: String): Int =
+    rShortMemo.synchronized {
+      rShortMemo.getOrElseUpdate((s, d), {
+        val census = Tables.embeddings(s, d)
+          .groupBy(xxhash64(col("embedding")).as("g"))
+          .agg(count(lit(1)).as("size"))
+          .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
+        graft.operators.IvfPqIndex.shortlistR(census, k = 3, rMin = 10)
+      })
+    }
+
+  graft.MemoRegistry.register { spark =>
+    rShortMemo.synchronized {
+      rShortMemo.keys.filter(_._1 eq spark).toSeq
+        .foreach(k => rShortMemo.remove(k): Unit)
+    }
+  }
 
   private val resMemo = scala.collection.mutable
     .Map.empty[(SparkSession, String), (DataFrame, DataFrame)]

@@ -701,11 +701,27 @@ object TextQueries extends QueryModule {
     // of doc B": the estimator behind catalog-level URL/doc subsumption
     // passes (Broder's rare-shingle containment,
     // resemblance-and-containment 1997). Candidate pairs come ONLY
-    // from shared RARE windows (global doc-frequency ≤ 8 — the df cap
-    // that makes this scale: boilerplate hashes, the skewed mass that
-    // would drive a quadratic fan-out, are excluded by construction,
-    // so per-hash pair fan-out is ≤ 8·7 and the self-join shuffles
-    // like any equi-join). The containment score for (a → b) is
+    // from shared RARE windows — the df cap that makes this scale:
+    // boilerplate hashes, the skewed mass that would drive a quadratic
+    // fan-out, are excluded by construction, so per-hash pair fan-out
+    // is ≤ cap·(cap−1) and the self-join shuffles like any equi-join.
+    // The cap is CORPUS-CALIBRATED (VERDICT r10 #5, replacing the
+    // fixed df ≤ 8): the integer-rank p99 of the df distribution —
+    // smallest df v with |{h : df(h) ≤ v}|·100 ≥ 99·|hashes| — floored
+    // at 2 (df=1 can't pair) and CEILINGED at 64. The floor keeps a
+    // mostly-unique corpus pairable; the calibration lets a moderately
+    // duplicated corpus (df mostly 10–30, where the fixed 8 silently
+    // starved the estimator) keep its informative windows; the ceiling
+    // is the scale guarantee — per-hash pair fan-out stays ≤ 64·63
+    // even on a pathological corpus where everything is ~100-deep
+    // duplicated and p99 ≈ group depth (there, windows above the
+    // ceiling are boilerplate BY the rare-shingle premise and drop
+    // out, exactly like the old fixed cap). The census rides the
+    // existing hdf frame; the rank cut runs on the tiny (df, cnt)
+    // distribution — ≤ max-df rows, catalog-scale, the one
+    // deliberately unpartitioned window in this query (the o11
+    // apportionment rationale). Integer-exact in both engines.
+    // The containment score for (a → b) is
     // |rare windows of a shared with b| / |rare windows of a|,
     // integer-cross-multiplied for the ≥ 90% flag. Consumes the shared
     // [[win5]] index — the fourth reader of one session-built artifact.
@@ -715,7 +731,18 @@ object TextQueries extends QueryModule {
       val hd = win5(s, d)
         .select(col("h"), col("doc_id"), col("lang")).distinct()
       val hdf = hd.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      val rare = hd.join(hdf.filter(col("df") <= 8), Seq("h"))
+      val dist = hdf.groupBy(col("df")).agg(count(lit(1)).as("cnt"))
+      val wcum = org.apache.spark.sql.expressions.Window
+        .orderBy(col("df")).rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cap = dist
+        .crossJoin(broadcast(dist.agg(sum(col("cnt")).as("ntot"))))
+        .withColumn("cum", sum(col("cnt")).over(wcum))
+        .filter(col("cum") * 100 >= col("ntot") * 99)
+        .agg(greatest(least(min(col("df")), lit(64L)), lit(2L)).as("cap"))
+      val rare = hd.join(hdf, Seq("h"))
+        .crossJoin(broadcast(cap)).filter(col("df") <= col("cap"))
+        .select(col("h"), col("doc_id"), col("lang"), col("df"))
       val nRare = rare.groupBy(col("doc_id"), col("lang"))
         .agg(count(lit(1)).as("n_rare"))
       val pairable = rare.filter(col("df") >= 2)
@@ -1345,9 +1372,16 @@ object TextQueries extends QueryModule {
         |    ' ' || ts[g+2] || ' ' || ts[g+3] || ' ' || ts[g+4]) AS h
         |  FROM docs CROSS JOIN unnest(range(1, len(ts) - 3)) AS u(g)),
         |hdf AS (SELECT h, count(*) AS df FROM hd GROUP BY h),
+        |dist AS (SELECT df, count(*) AS cnt FROM hdf GROUP BY df),
+        |cap AS (
+        |  SELECT greatest(least(min(df), 64), 2) AS cap FROM (
+        |    SELECT df, sum(cnt) OVER (ORDER BY df) AS cum,
+        |      (SELECT sum(cnt) FROM dist) AS ntot FROM dist)
+        |  WHERE cum * 100 >= ntot * 99),
         |rare AS (
         |  SELECT w.doc_id, w.lang, w.h, f.df
-        |  FROM hd w JOIN hdf f USING (h) WHERE f.df <= 8),
+        |  FROM hd w JOIN hdf f USING (h) CROSS JOIN cap
+        |  WHERE f.df <= cap.cap),
         |nr AS (
         |  SELECT doc_id, lang, count(*) AS n_rare FROM rare GROUP BY 1, 2),
         |sh AS (

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.operators.WindowIndex
+
+/** Streaming maintenance of the persisted window index — the batch
+  * `WindowIndex.append` driven by Structured Streaming: new documents
+  * arrive as parquet files in a watched directory and each micro-batch
+  * appends their windows + the merged dup census via `foreachBatch`.
+  * The r11 snapshot redesign is what makes this viable as a STANDING
+  * job: each append is O(batch + census) — window work tracks the
+  * arrival rate, never the index size — and commits atomically through
+  * the pointer flip, so concurrent dedup readers always see a complete
+  * snapshot mid-stream.
+  *
+  * Exactly-once BY IDEMPOTENCE (the IndexStreamJob contract):
+  * `foreachBatch` delivers at-least-once, and `append`'s manifest
+  * anti-join makes a replayed batch a no-op — nothing commits, not
+  * even an empty snapshot. Micro-batches of ONE query run
+  * sequentially, which is exactly the index's single-writer
+  * requirement; do not point two streams at one index path.
+  * `WindowIndexStreamSpec` pins stream-appended ≡ batch-built (windows
+  * AND dup census) and replay-changes-nothing. Batch dirs accumulate
+  * one per non-empty micro-batch; compaction = a fresh `write`, the
+  * same retrain-offline posture as the IVF-PQ stream.
+  */
+object WindowIndexStreamJob {
+
+  /** The documents-table schema (TESTDATA.md): file streams need an
+    * explicit schema — there is no inference on a watched directory.
+    */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def run(spark: SparkSession, docDir: String, indexPath: String,
+      checkpointDir: String, trigger: Trigger,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(docSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader.parquet(docDir)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          WindowIndex.append(batch, indexPath)
+      }
+      .start()
+  }
+
+  /** `runMain graft.streaming.WindowIndexStreamJob <docDir> <indexPath>`
+    * — drains everything currently in `docDir` into the index at
+    * `indexPath` (which must already exist via `WindowIndex.write`)
+    * and exits.
+    */
+  def main(args: Array[String]): Unit = {
+    val Array(docDir, indexPath) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.GraftSession.local(cpus, "winidx-stream")
+    spark.sparkContext.setLogLevel("WARN")
+    val q = run(spark, docDir, indexPath,
+      s"$indexPath/_stream_checkpoint", Trigger.AvailableNow())
+    q.awaitTermination()
+    spark.stop()
+  }
+}

@@ -57,6 +57,10 @@ object AssemblyProfile {
     // cluster this is exactly "partitions scale with data, cores per
     // executor stay fixed"; locally the env lets the probe demonstrate
     // the spill collapsing without oversubscribing threads.
+    // Since r11 the PRODUCTION path no longer needs it: cachedBrick
+    // scales AQE initialPartitionNum with input bytes automatically
+    // (Harmonize.withScaledInitialPartitions). The knob stays for
+    // probing ALTERNATIVE widths against that default.
     sys.env.get("SPARK_GRAFT_SHUFFLE").foreach { n =>
       spark.conf.set("spark.sql.shuffle.partitions", n)
       println(s"[aprof] shuffle partitions: $n")

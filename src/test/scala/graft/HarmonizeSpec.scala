@@ -18,6 +18,40 @@ class HarmonizeSpec extends SparkSpec {
     assert(brick.activities.count() > 0)
   }
 
+  test("assembly initial-partition scaling tracks input bytes, then restores") {
+    val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val cur = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // small input (the gate dirs): at or below the session floor — the
+    // conf must NOT be touched, so gate-scale plans are unchanged
+    Harmonize.withScaledInitialPartitions(spark, sf()) {
+      assert(spark.conf.getOption(key).isEmpty)
+    }
+    // a synthetic "big" dir: 3 sparse files of 16 GiB -> 48 GiB listed
+    // length -> 768 first-shot reducers (one per 64 MB), restored after
+    val dir = java.nio.file.Files.createTempDirectory("graft-scale")
+    (1 to 3).foreach { i =>
+      val f = java.io.File.createTempFile(s"big$i", ".bin", dir.toFile)
+      val raf = new java.io.RandomAccessFile(f, "rw")
+      try raf.setLength(16L << 30) finally raf.close()
+    }
+    try {
+      Harmonize.withScaledInitialPartitions(spark, dir.toString) {
+        assert(spark.conf.get(key).toInt == 768)
+      }
+      assert(spark.conf.getOption(key).isEmpty)
+      // a pre-existing value is restored, not clobbered
+      spark.conf.set(key, "99")
+      Harmonize.withScaledInitialPartitions(spark, dir.toString) {
+        assert(spark.conf.get(key).toInt == 768)
+      }
+      assert(spark.conf.get(key) == "99")
+    } finally {
+      spark.conf.unset(key)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+    assert(cur == spark.conf.get("spark.sql.shuffle.partitions").toInt)
+  }
+
   test("pid is unique per source in properties (ref: 80_harmonize.py:104-105)") {
     val n = brick.properties.count()
     val nDistinct = brick.properties.select("pid", "source").distinct().count()

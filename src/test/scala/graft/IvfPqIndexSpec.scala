@@ -198,6 +198,22 @@ class IvfPqIndexSpec extends SparkSpec {
     }
   }
 
+  test("shortlistR derives the rerank width from the group-depth census") {
+    import spark.implicits._
+    // a 100-deep duplicate group -> R = depth x k, however rare it is
+    val census = Seq((100L, 2L), (3L, 50L), (1L, 1000L))
+      .toDF("size", "n_components")
+    assert(IvfPqIndex.shortlistR(census, k = 3) == 300)
+    // a duplicate-free corpus (depth 1, or an empty census) floors at
+    // rMin — the gate corpora land here, keeping ann13's oracle exact
+    val flat = Seq((1L, 1000L)).toDF("size", "n_components")
+    assert(IvfPqIndex.shortlistR(flat, k = 3) == 10)
+    assert(IvfPqIndex.shortlistR(
+      flat.filter(col("size") < 0), k = 3) == 10)
+    // an explicit floor above the derivation wins
+    assert(IvfPqIndex.shortlistR(census, k = 3, rMin = 500) == 500)
+  }
+
   test("ArtifactStore: prune reclaims aged artifacts and crashed tmp dirs") {
     val base = Files.createTempDirectory("graft-artifacts-gc").toString
     spark.conf.set(ArtifactStore.DirKey, base)

@@ -98,7 +98,7 @@ object IvfPqProbe {
     // make the list. The knob must scale with expected duplicate-group
     // depth (R ≳ group size × k_wanted); the sweep quantifies exactly
     // what each widening buys at this corpus's group depth.
-    for (np <- Seq(1, 4, k); r <- Seq(10, 30, 100)) {
+    def rerankRecall(np: Int, r: Int): Int = {
       val short = graft.operators.IvfPqIndex
         .search(spark, dir, emb, col("vec_id") < 10, r, np)
         .select(col("query_id"), col("neighbor_id"))
@@ -112,8 +112,40 @@ object IvfPqProbe {
         .filter(col("rn") <= 3)
         .select(col("query_id"), col("neighbor_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & rr).size
+    }
+    for (np <- Seq(1, 4, k); r <- Seq(10, 30, 100)) {
       val label = if (np == k) s"$np (all lists)" else np.toString
-      println(f"[ivfpq] rerank np=$label%-13s R=$r%-4d recall@3=${(exact & rr).size}%2d/${exact.size} (compressed shortlist + exact re-rank)")
+      println(f"[ivfpq] rerank np=$label%-13s R=$r%-4d recall@3=${rerankRecall(np, r)}%2d/${exact.size} (compressed shortlist + exact re-rank)")
+    }
+
+    // Auto-derived R (VERDICT r10 #6): the duplicate-group depth is
+    // MEASURED, not assumed — near-dup component census from the
+    // index's own lists (within-list pairs at cos ≥ 0.9, the blocked
+    // pair generation dd10 uses, → connected components → size
+    // census), fed through IvfPqIndex.shortlistR. On the ε-twin
+    // stretch this derives R ≈ group_depth × 3 and recovers full
+    // recall at nprobe=1 with no hand tuning.
+    val withEmb = spark.read.parquet(s"$dir/lists")
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val pairs = withEmb
+      .select(col("cid"), col("vec_id").as("da"),
+        col("embedding").as("ea"))
+      .join(withEmb.select(col("cid"), col("vec_id").as("db"),
+        col("embedding").as("eb")), Seq("cid"))
+      .filter(col("da") < col("db"))
+      .filter(expr("cosine_sim(ea, eb)") >= 0.9)
+      .select(col("da"), col("db"))
+    val census = graft.operators.Graph
+      .connectedComponents(pairs, "da", "db")
+      .groupBy(col("component")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
+    val tAuto = System.nanoTime()
+    val autoR = graft.operators.IvfPqIndex.shortlistR(census, 3)
+    val censusSec = (System.nanoTime() - tAuto) / 1e9
+    println(f"[ivfpq] auto-R: near-dup census -> R=$autoR (census ${censusSec}%.1fs)")
+    for (np <- Seq(1, 4)) {
+      println(f"[ivfpq] rerank np=$np%-13d R=$autoR%-4d recall@3=${rerankRecall(np, autoR)}%2d/${exact.size} (AUTO-derived R)")
     }
     spark.stop()
   }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev tool: the WindowIndex append-cost decade probe (VERDICT r10 #2
+  * done-criterion) — `sbt "Test/runMain graft.WindowIndexProbe [sfDir]
+  * [factor]"`. Builds the index at growing corpus decades, then appends
+  * a FIXED-size batch to each: with the snapshot design the append does
+  * O(batch) window work plus one narrow census merge, so its cost must
+  * track the BATCH, not the index — the r10 design re-scanned and
+  * re-aggregated every stored window row per append and grew linearly.
+  * The stretch factor replicates documents with remapped doc_ids
+  * (StretchGen.stretchDocs' id discipline) so decades share text mass
+  * per doc.
+  */
+object WindowIndexProbe {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "winidx-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = Tables.documents(spark, d)
+    val n = base.count()
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // fixed append batch: 500 fresh docs (ids beyond every decade)
+    val batch = base.filter(col("doc_id") < 500)
+      .withColumn("doc_id", col("doc_id") + lit(100L) * n)
+      .persist()
+    batch.count()
+    for (factor <- Seq(1, 4, 16)) {
+      // replicate to `factor` with blocked id remap — all distinct docs
+      val corpus =
+        if (factor == 1) base
+        else base
+          .withColumn("__rep", explode(sequence(lit(0), lit(factor - 1))))
+          .withColumn("doc_id", col("doc_id") + col("__rep") * n)
+          .drop("__rep")
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"winidx-probe-$factor").toString + "/idx"
+      val (_, tw) = time(graft.operators.WindowIndex.write(corpus, dir))
+      val (_, ta) = time(graft.operators.WindowIndex.append(batch, dir))
+      // a second append of the SAME batch: the no-op path (manifest
+      // anti-join only) — its cost is the pure O(index)-term floor
+      val (_, tn) = time(graft.operators.WindowIndex.append(batch, dir))
+      val nw = graft.operators.WindowIndex
+        .readWindows(spark, dir).count()
+      println(f"[winidx] factor=$factor%-3d docs=${n * factor}%9d windows=$nw%10d  write=$tw%7.2fs  append(500)=$ta%6.2fs  reappend-noop=$tn%6.2fs")
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+    }
+    spark.stop()
+  }
+}
