@@ -45,12 +45,26 @@ object DedupQueries extends QueryModule {
   private val jMemo = scala.collection.mutable
     .Map.empty[(SparkSession, String), DataFrame]
 
-  /** Jaccard pair frame shared by dd2 (census) and dd6 (materialize). */
+  /** Jaccard pair frame shared by dd2 (census) and dd6 (materialize),
+    * plus the component family (dd8/dd9/dd11/c1/c6/c7) through
+    * [[cachedComponents]]. CROSS-SESSION (VERDICT r10 #4): the banded
+    * candidate generation + exact-Jaccard verify is deterministic, so
+    * the pair frame persists in a corpus-keyed ArtifactStore dir —
+    * the shingle explode and band joins run once per machine, not per
+    * JVM.
+    */
   private[queries] def cachedJaccard(s: SparkSession, d: String): DataFrame =
     jMemo.synchronized {
-      jMemo.getOrElseUpdate((s, d),
-        Dedup.jaccardPairs(cachedShingles(s, d))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      jMemo.getOrElseUpdate((s, d), {
+        val key = graft.ArtifactStore.corpusKey(Tables.documents(s, d),
+          "jaccard-v1", col("doc_id"), col("text"))
+        val dir = graft.ArtifactStore.ensure(s, "jaccard", key) { tmp =>
+          Dedup.jaccardPairs(cachedShingles(s, d))
+            .write.parquet(s"$tmp/pairs")
+        }
+        s.read.parquet(s"$dir/pairs")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
     }
 
   /** Candidate-pair indexes, materialized once per session: an LSH /

@@ -801,17 +801,33 @@ object SimilarityQueries extends QueryModule {
   private def cachedResidualPq(s: SparkSession, d: String)
       : (DataFrame, DataFrame) =
     graft.MemoRegistry.memoGet(resMemo, resInflight, (s, d)) {
-      val nvd = graft.operators.ScalarQuantIndex
-        .normalizedScalar(Tables.embeddings(s, d))
-      val centScalar = centroids(s, d)
-        .select(col("clabel"), posexplode(col("cv")).as(Seq("pos", "cval")))
-      val assignedL = cachedAssigned(s, d)
-        .select(col("vec_id"), col("list_id").as("clabel"))
-      val rvd = nvd.join(assignedL, Seq("vec_id"))
-        .join(broadcast(centScalar), Seq("clabel", "pos"))
-        .select(col("vec_id"), col("pos"),
-          (col("nvv") - col("cval")).as("nvv"))
-      graft.operators.ProductQuantIndex.buildScalar(rvd)
+      // CROSS-SESSION (VERDICT r10 #4): residual codebook training is
+      // deterministic end-to-end (decimal-exact centroids, seeded
+      // slices, total-order tiebreaks) — same store treatment as the
+      // plain PQ artifact
+      val emb = Tables.embeddings(s, d)
+      val key = graft.ArtifactStore.corpusKey(emb, "respq-v1",
+        col("vec_id"), col("embedding"), col("label"))
+      val dir = graft.ArtifactStore.ensure(s, "respq", key) { tmp =>
+        val nvd = graft.operators.ScalarQuantIndex.normalizedScalar(emb)
+        val centScalar = centroids(s, d)
+          .select(col("clabel"),
+            posexplode(col("cv")).as(Seq("pos", "cval")))
+        val assignedL = cachedAssigned(s, d)
+          .select(col("vec_id"), col("list_id").as("clabel"))
+        val rvd = nvd.join(assignedL, Seq("vec_id"))
+          .join(broadcast(centScalar), Seq("clabel", "pos"))
+          .select(col("vec_id"), col("pos"),
+            (col("nvv") - col("cval")).as("nvv"))
+        val (books, codes) =
+          graft.operators.ProductQuantIndex.buildScalar(rvd)
+        books.coalesce(1).write.parquet(s"$tmp/codebooks")
+        codes.write.parquet(s"$tmp/codes")
+        Seq(books, codes).foreach(graft.MemoRegistry.release)
+      }
+      (s.read.parquet(s"$dir/codebooks"),
+        s.read.parquet(s"$dir/codes").persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     }
 
   private val refinedMemo = scala.collection.mutable
