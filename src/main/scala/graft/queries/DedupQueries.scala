@@ -80,8 +80,19 @@ object DedupQueries extends QueryModule {
   private def cachedCandidates(s: SparkSession, d: String, kind: String)
       (build: => DataFrame): DataFrame =
     candMemo.synchronized {
-      candMemo.getOrElseUpdate((s, d, kind),
-        build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      candMemo.getOrElseUpdate((s, d, kind), {
+        // CROSS-SESSION (VERDICT r10 #4): signature + banding builds
+        // are deterministic functions of the documents table — the
+        // candidate tables persist in corpus-keyed store dirs like the
+        // Jaccard frame
+        val key = graft.ArtifactStore.corpusKey(Tables.documents(s, d),
+          s"cand-$kind-v1", col("doc_id"), col("text"))
+        val dir = graft.ArtifactStore.ensure(s, s"cand-$kind", key) {
+          tmp => build.write.parquet(s"$tmp/pairs")
+        }
+        s.read.parquet(s"$dir/pairs")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
     }
 
   /** Connected components of the J>=0.5 near-dup graph, shared by the

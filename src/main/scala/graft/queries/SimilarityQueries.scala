@@ -663,6 +663,27 @@ object SimilarityQueries extends QueryModule {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
+  /** The corpus content key shared by this module's store-hosted
+    * artifacts (assignment, PQ variants already key independently):
+    * one fingerprint pass per (session, sfDir), memoized.
+    */
+  private val embKeyMemo = scala.collection.mutable
+    .Map.empty[(SparkSession, String), String]
+
+  private def embKey(s: SparkSession, d: String, recipe: String): String =
+    recipe + "-" + embKeyMemo.synchronized {
+      embKeyMemo.getOrElseUpdate((s, d),
+        graft.ArtifactStore.corpusKey(Tables.embeddings(s, d), "",
+          col("vec_id"), col("embedding"), col("label")))
+    }
+
+  graft.MemoRegistry.register { spark =>
+    embKeyMemo.synchronized {
+      embKeyMemo.keys.filter(_._1 eq spark).toSeq
+        .foreach(k => embKeyMemo.remove(k): Unit)
+    }
+  }
+
   private val assignMemo = scala.collection.mutable
     .Map.empty[(SparkSession, String), DataFrame]
 
@@ -678,12 +699,20 @@ object SimilarityQueries extends QueryModule {
     assignMemo.synchronized {
       assignMemo.getOrElseUpdate((s, d), {
         GraftFunctions.register(s)
-        graft.operators.KMeans.assign(
-            Tables.embeddings(s, d),
-            centroids(s, d).select(col("clabel").as("cid"), col("cv")),
-            "vec_id", "embedding")
-          .select(col("vec_id"), col("label"), col("embedding"),
-            col("cid").as("list_id"))
+        // CROSS-SESSION (VERDICT r10 #4): the IVF assignment is the
+        // expensive deterministic scoring pass ann4/5/11/12/13 all
+        // ride — store-hosted like the PQ artifacts
+        val dir = graft.ArtifactStore.ensure(s, "ivf-assigned",
+          embKey(s, d, "assigned-v1")) { tmp =>
+          graft.operators.KMeans.assign(
+              Tables.embeddings(s, d),
+              centroids(s, d).select(col("clabel").as("cid"), col("cv")),
+              "vec_id", "embedding")
+            .select(col("vec_id"), col("label"), col("embedding"),
+              col("cid").as("list_id"))
+            .write.parquet(s"$tmp/assigned")
+        }
+        s.read.parquet(s"$dir/assigned")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
     }
@@ -729,12 +758,12 @@ object SimilarityQueries extends QueryModule {
     graft.MemoRegistry.memoGet(idxMemo, idxInflight, (s, d)) {
       GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
-      // ArtifactStore.corpusKey (ADVICE r10): xor + sum-mod-2^64 +
-      // count (xor alone cancels on crafted row pairs), failing loudly
-      // on an empty corpus instead of NPE-ing on the null aggregate
-      val key = graft.ArtifactStore.corpusKey(e, Ann14Recipe,
-        col("vec_id"), col("embedding"), col("label"))
-      graft.ArtifactStore.ensure(s, "ann14-ivfpq", key) { dir =>
+      // ArtifactStore.corpusKey via embKey (ADVICE r10): xor +
+      // sum-mod-2^64 + count (xor alone cancels on crafted row pairs),
+      // failing loudly on an empty corpus instead of NPE-ing on the
+      // null aggregate; the fingerprint scan is shared module-wide
+      graft.ArtifactStore.ensure(s, "ann14-ivfpq",
+        embKey(s, d, Ann14Recipe)) { dir =>
         val isDelta = col("vec_id") % 10 === 7
         val base = e.filter(!isDelta)
         // base label-mean coarse quantizer — the centroids(s,d)
@@ -806,9 +835,8 @@ object SimilarityQueries extends QueryModule {
       // slices, total-order tiebreaks) — same store treatment as the
       // plain PQ artifact
       val emb = Tables.embeddings(s, d)
-      val key = graft.ArtifactStore.corpusKey(emb, "respq-v1",
-        col("vec_id"), col("embedding"), col("label"))
-      val dir = graft.ArtifactStore.ensure(s, "respq", key) { tmp =>
+      val dir = graft.ArtifactStore.ensure(s, "respq",
+        embKey(s, d, "respq-v1")) { tmp =>
         val nvd = graft.operators.ScalarQuantIndex.normalizedScalar(emb)
         val centScalar = centroids(s, d)
           .select(col("clabel"),

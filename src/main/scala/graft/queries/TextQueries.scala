@@ -805,13 +805,34 @@ object TextQueries extends QueryModule {
     (org.apache.spark.sql.SparkSession, String),
     java.util.concurrent.CompletableFuture[String]]()
 
+  /** The documents-corpus content key shared by this module's
+    * store-hosted artifacts and win5's artifact adoption: one
+    * fingerprint pass per (session, sfDir), memoized.
+    */
+  private val docKeyMemo = scala.collection.mutable
+    .Map.empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  private def docKey(s: org.apache.spark.sql.SparkSession, d: String,
+      recipe: String): String =
+    recipe + "-" + docKeyMemo.synchronized {
+      docKeyMemo.getOrElseUpdate((s, d),
+        graft.ArtifactStore.corpusKey(Tables.documents(s, d), "",
+          col("doc_id"), col("text"), col("lang"), col("source")))
+    }
+
+  graft.MemoRegistry.register { spark =>
+    docKeyMemo.synchronized {
+      docKeyMemo.keys.filter(_._1 eq spark).toSeq
+        .foreach(k => docKeyMemo.remove(k): Unit)
+    }
+  }
+
   private def windowIndexArtifact(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     graft.MemoRegistry.memoGet(wiMemo, wiInflight, (s, d)) {
       val docs = Tables.documents(s, d)
-      val key = graft.ArtifactStore.corpusKey(docs, Wx24Recipe,
-        col("doc_id"), col("text"), col("lang"), col("source"))
-      graft.ArtifactStore.ensure(s, "x24-winidx", key) { dir =>
+      graft.ArtifactStore.ensure(s, "x24-winidx",
+        docKey(s, d, Wx24Recipe)) { dir =>
         val idx = s"$dir/idx"
         val delta = docs.filter(col("doc_id") % 3 === 0)
         graft.operators.WindowIndex.write(
@@ -855,10 +876,21 @@ object TextQueries extends QueryModule {
   private def win5(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame =
     win5Memo.synchronized {
-      win5Memo.getOrElseUpdate((s, d),
-        graft.operators.WindowIndex.windows(Tables.documents(s, d))
-          .persist(org.apache.spark.storage.StorageLevel
-            .MEMORY_AND_DISK_SER))
+      win5Memo.getOrElseUpdate((s, d), {
+        // Adopt x24's persisted artifact when it already exists for
+        // this exact corpus (lookup never builds: the lifecycle's
+        // write+append explodes the text twice, costlier than the
+        // plain explode — but READING the committed windows beats
+        // re-exploding, and the x24 oracle+spec pin the stored frame ≡
+        // windows(documents) row-for-row).
+        val frame = graft.ArtifactStore
+          .lookup(s, "x24-winidx", docKey(s, d, Wx24Recipe))
+          .map(p => graft.operators.WindowIndex.readWindows(s, s"$p/idx"))
+          .getOrElse(
+            graft.operators.WindowIndex.windows(Tables.documents(s, d)))
+        frame.persist(org.apache.spark.storage.StorageLevel
+          .MEMORY_AND_DISK_SER)
+      })
     }
 
   graft.MemoRegistry.register(spark =>

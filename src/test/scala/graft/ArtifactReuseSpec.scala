@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import graft.harmonize.Harmonize
+import graft.sources.{EventsAdapter, OrdersAdapter, SourceAdapter}
+
+/** The round-11 cross-session artifact tier (VERDICT r10 #4): brick and
+  * staging builds land in content-keyed ArtifactStore dirs, and a
+  * post-eviction rebuild ADOPTS the published dir instead of
+  * re-running the pipeline — pinned here by checking that the second
+  * build adds no new artifact dirs and returns identical frames. (The
+  * bit-identical rebuild-after-evict guarantee itself is
+  * MemoEvictionSpec's; this spec pins the reuse path specifically.)
+  */
+class ArtifactReuseSpec extends SparkSpec {
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  private def artifactDirs(base: String): Set[String] =
+    Option(new java.io.File(base).listFiles())
+      .map(_.map(_.getName).toSet).getOrElse(Set.empty)
+
+  test("brick and staging rebuilds adopt the store dir, not re-run") {
+    val base = Files.createTempDirectory("graft-reuse").toString
+    spark.conf.set(ArtifactStore.DirKey, base)
+    try {
+      // drop memos carried over from earlier suites in this JVM, so
+      // the builds below actually hit the (empty) temp store
+      MemoRegistry.evictAll(spark)
+      val adapters = Seq(EventsAdapter, OrdersAdapter)
+      val b1 = Harmonize.cachedBrick(spark, sf(), adapters)
+      val acts1 = sortedRows(b1.activities)
+      val t1 = sortedRows(
+        SourceAdapter.cachedStaging(EventsAdapter, spark, sf()).activities)
+      val dirs1 = artifactDirs(base)
+      assert(dirs1.exists(_.startsWith("brick-")))
+      assert(dirs1.exists(_.startsWith("staging-events-")))
+
+      // forget every session memo; the next access must ADOPT the
+      // published dirs — same dir set afterwards, same frames
+      MemoRegistry.evictAll(spark)
+      val b2 = Harmonize.cachedBrick(spark, sf(), adapters)
+      assert(sortedRows(b2.activities) == acts1)
+      assert(sortedRows(SourceAdapter
+        .cachedStaging(EventsAdapter, spark, sf()).activities) == t1)
+      assert(artifactDirs(base) == dirs1,
+        "rebuild created new artifact dirs instead of adopting")
+    } finally {
+      spark.conf.unset(ArtifactStore.DirKey)
+      MemoRegistry.evictAll(spark)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(base))
+    }
+  }
+}
