@@ -54,6 +54,19 @@ import org.apache.spark.sql.functions._
 object ArtifactStore {
   val DirKey = "spark.graft.artifact.dir"
 
+  /** `spark.graft.artifact.enabled=false` opts a session out of
+    * cross-session hosting: the memoized builders (brick, stagings,
+    * candidate/PQ tables) fall back to their session-local
+    * checkpoint/persist form. For deployments that must not write
+    * shared state (scratch-disk-constrained probes, read-only bases) —
+    * correctness is identical either way (the store only relocates
+    * WHERE a deterministic build materializes).
+    */
+  val EnabledKey = "spark.graft.artifact.enabled"
+
+  def enabled(spark: SparkSession): Boolean =
+    !spark.conf.getOption(EnabledKey).contains("false")
+
   private def baseDir(spark: SparkSession): java.nio.file.Path =
     java.nio.file.Paths.get(spark.conf.getOption(DirKey).getOrElse(
       sys.props.getOrElse("java.io.tmpdir", "/tmp") +

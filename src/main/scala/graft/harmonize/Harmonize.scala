@@ -105,7 +105,8 @@ object Harmonize {
         // re-assembling (the single largest block of the cold pass). A
         // custom converter is an opaque instance the key cannot
         // fingerprint; those builds stay session-local.
-        if (converter eq StructureConverter.Stub) {
+        if ((converter eq StructureConverter.Stub) &&
+            graft.ArtifactStore.enabled(spark)) {
           val akey = graft.ArtifactStore.dirKey(spark, sfDir,
             "brick-v1-" + adapters.map(_.name).mkString(","))
           val dir = graft.ArtifactStore.ensure(spark, "brick", akey) {
@@ -136,35 +137,36 @@ object Harmonize {
     }
   }
 
-  /** Scale the assembly's FIRST-SHOT reducer count with the input
-    * bytes (VERDICT r10 #7 — the automatic posture replacing the
+  /** Scale the assembly's FIRST-SHOT reducer count with the STAGED
+    * data size (VERDICT r10 #7 — the automatic posture replacing the
     * SPARK_GRAFT_SHUFFLE probe knob): the fourth-decade profile showed
     * the session default (= cores) under-partitions once per-partition
     * aggregate state outgrows execution memory — 210 GB of spill at 32
     * partitions, collapsing 23× at 256. The lever is AQE's
     * `initialPartitionNum`: shuffles START wide (one partition per
-    * ~64 MB of input, clamped to [session default, 4096]) and AQE
-    * coalesces small ones back down, so gate-scale runs plan exactly
-    * as before (the floor) while a 100× corpus gets hundreds of
-    * reducers with NO manual knob — "partitions scale with data, cores
-    * per executor stay fixed", the cluster posture, made the default.
-    * Input bytes come from one recursive file-status listing of the
-    * source dir (planner-side metadata, no job). The conf is restored
-    * after the build (every materialization in the block is eager); a
-    * concurrent query seeing the wider value mid-build merely starts
-    * wider and AQE-coalesces — documented, harmless.
+    * ~16 MB of staged-table bytes ≈ 64 MB of in-flight UnsafeRows at
+    * the staged tables' measured ~4× decode expansion — md5 hex +
+    * canonical-JSON strings) and AQE coalesces small ones back down,
+    * so gate-scale runs plan exactly as before (the floor) while a
+    * 100× corpus gets hundreds-to-thousands of first-shot reducers
+    * with NO manual knob — "partitions scale with data, cores per
+    * executor stay fixed", the cluster posture, made the default.
+    *
+    * Basis: [[stagedBytes]] — Catalyst's sizeInBytes of the staged
+    * TRIPLETS (parquet store dirs or cached blocks), not the raw
+    * source dir: staging pipelines amplify their input (the sf10
+    * stretch is 0.9 GB of compressed source parquet but >100 GB of
+    * assembly shuffle mass), so raw-input bytes under-scale by two
+    * orders of magnitude. The conf is restored after the build (every
+    * materialization in the block is eager); a concurrent query seeing
+    * the wider value mid-build merely starts wider and AQE-coalesces.
     */
   private[graft] def withScaledInitialPartitions[T](spark: SparkSession,
-      sfDir: String)(f: => T): T = {
+      stagedSize: Long)(f: => T): T = {
     val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-    val bytes =
-      try {
-        val p = new org.apache.hadoop.fs.Path(sfDir)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .getContentSummary(p).getLength
-      } catch { case _: java.io.IOException => 0L }
     val cur = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val n = math.min(4096L, math.max(cur.toLong, bytes / (64L << 20))).toInt
+    val n = math.min(4096L,
+      math.max(cur.toLong, stagedSize / (16L << 20))).toInt
     if (n <= cur) f
     else {
       val prev = spark.conf.getOption(key)
@@ -175,6 +177,18 @@ object Harmonize {
       }
     }
   }
+
+  /** Catalyst-estimated bytes of a staged triplet set — planner-side
+    * only (file-scan statistics or cached-block sizes), no job.
+    */
+  private[graft] def stagedBytes(
+      staged: Seq[(String, graft.sources.StagingTriplet)]): Long =
+    staged.flatMap { case (_, t) =>
+      Seq(t.substances, t.properties, t.activities)
+    }.map { df =>
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong
+    }.foldLeft(0L)((a, b) => if (a + b < a) Long.MaxValue else a + b)
 
   /** The checkpointed in-memory assembly — cachedBrick's build step.
     *
@@ -193,11 +207,10 @@ object Harmonize {
   private def buildBrick(spark: SparkSession, sfDir: String,
       adapters: Seq[SourceAdapter], converter: StructureConverter): Brick = {
     val inter = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val out = withScaledInitialPartitions(spark, sfDir) {
-      val b = brickFromStaged(
-        adapters.map(a =>
-          a.name -> SourceAdapter.cachedStaging(a, spark, sfDir)),
-        converter,
+    val staged = adapters.map(a =>
+      a.name -> SourceAdapter.cachedStaging(a, spark, sfDir))
+    val out = withScaledInitialPartitions(spark, stagedBytes(staged)) {
+      val b = brickFromStaged(staged, converter,
         materialize = { df =>
           val c = graft.MemoRegistry.checkpointLarge(df); inter += c; c })
       Brick(graft.MemoRegistry.checkpointLarge(b.substances),

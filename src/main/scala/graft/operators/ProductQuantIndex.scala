@@ -198,9 +198,18 @@ object ProductQuantIndex {
     */
   def searchFrames(codebooks: DataFrame, codes: DataFrame, e: DataFrame,
       isQuery: org.apache.spark.sql.Column, k: Int): DataFrame = {
-    // one tiny frame (queries × dims), read by all four ADC legs
-    val nvd = ScalarQuantIndex.normalizedScalar(e.filter(isQuery))
-      .coalesce(1).localCheckpoint()
+    // one tiny frame (queries × dims), read by all four ADC legs.
+    // Collected to a LOCAL RELATION, not localCheckpoint'd: the query
+    // side is bounded (the recall-audit contract pins Q ≤ ~10; Q × 64
+    // dims rows), a local relation broadcasts for free in every leg,
+    // and an eager per-execution checkpoint left an UNTRACKED
+    // persistent RDD behind each search — the MemoSoak +1 whose
+    // lifetime depended on GC timing (round-11 finding).
+    val nvd = {
+      val src = ScalarQuantIndex.normalizedScalar(e.filter(isQuery))
+      src.sparkSession.createDataFrame(
+        java.util.Arrays.asList(src.collect(): _*), src.schema)
+    }
     val subDots = (0 until Subspaces).map { b =>
       val q = subSlice(nvd, b)
         .select(col("vec_id").as("query_id"), col("sv").as("qs"))

@@ -78,6 +78,14 @@ object SourceAdapter {
   def cachedStaging(a: SourceAdapter, spark: SparkSession,
       sfDir: String): StagingTriplet = memo.synchronized {
     memo.getOrElseUpdate((spark, sfDir, a.name), {
+      if (!graft.ArtifactStore.enabled(spark)) {
+        // opt-out (spark.graft.artifact.enabled=false): the pre-r11
+        // session-local form — serialized checkpoint blocks
+        val t = a.staging(spark, sfDir)
+        StagingTriplet(graft.MemoRegistry.checkpointLarge(t.substances),
+          graft.MemoRegistry.checkpointLarge(t.properties),
+          graft.MemoRegistry.checkpointLarge(t.activities))
+      } else {
       // CROSS-SESSION (VERDICT r10 #4, the staging tier): every
       // adapter's staging is a deterministic function of the source
       // dir (the REST/JDBC shapes run against deterministic stubs in
@@ -104,6 +112,7 @@ object SourceAdapter {
       def rd(n: String) = spark.read.parquet(s"$dir/$n").persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       StagingTriplet(rd("substances"), rd("properties"), rd("activities"))
+      }
     })
   }
 }

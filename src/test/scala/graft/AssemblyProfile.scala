@@ -98,7 +98,11 @@ object AssemblyProfile {
       r
     }
 
-    // stage everything first (what BrickProfile attributes per adapter)
+    // stage everything first (what BrickProfile attributes per adapter).
+    // Session-local staging (artifact hosting off): the profile measures
+    // the ASSEMBLY; store-hosting the 14 stretch-scale triplets would
+    // spend tens of GB of the scratch disk the acts shuffle needs.
+    spark.conf.set(graft.ArtifactStore.EnabledKey, "false")
     val t0 = System.nanoTime()
     val staged = SourceAdapter.all.map(a =>
       a.name -> SourceAdapter.cachedStaging(a, spark, d))
@@ -106,23 +110,35 @@ object AssemblyProfile {
     println(f"[aprof] stagings(all, cached)    ${(System.nanoTime() - t0) / 1e9}%7.2fs")
 
     // the production assembly with each materialization timed; the hook
-    // fires in brickFromStaged's fixed order: subs, props, acts
+    // fires in brickFromStaged's fixed order: subs, props, acts.
+    // withScaledInitialPartitions = cachedBrick's posture (r11): the
+    // first-shot reducer count scales with input bytes automatically,
+    // so this profile now measures exactly what the production path
+    // runs — SPARK_GRAFT_SHUFFLE remains only to probe OTHER widths.
     (1 to reps).foreach { rep =>
       val labels = Iterator("subs.union+canon", "props.union+canon",
         "acts.union+precollapse")
       val inter = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       val tAll = System.nanoTime()
-      val b = Harmonize.brickFromStaged(staged,
-        materialize = { df =>
-          val c = time(labels.next()) { MemoRegistry.checkpointLarge(df) }
-          inter += c; c
-        })
-      val subs = time("substances.ckpt") {
-        MemoRegistry.checkpointLarge(b.substances) }
-      val props = time("properties.ckpt") {
-        MemoRegistry.checkpointLarge(b.properties) }
-      val acts = time("activities.ckpt") {
-        MemoRegistry.checkpointLarge(b.activities) }
+      val (subs, props, acts) =
+        Harmonize.withScaledInitialPartitions(spark,
+          Harmonize.stagedBytes(staged)) {
+          println("[aprof] auto initialPartitionNum: " + spark.conf
+            .getOption("spark.sql.adaptive.coalescePartitions." +
+              "initialPartitionNum").getOrElse("(floor — session default)"))
+          val b = Harmonize.brickFromStaged(staged,
+            materialize = { df =>
+              val c = time(labels.next()) { MemoRegistry.checkpointLarge(df) }
+              inter += c; c
+            })
+          val subs = time("substances.ckpt") {
+            MemoRegistry.checkpointLarge(b.substances) }
+          val props = time("properties.ckpt") {
+            MemoRegistry.checkpointLarge(b.properties) }
+          val acts = time("activities.ckpt") {
+            MemoRegistry.checkpointLarge(b.activities) }
+          (subs, props, acts)
+        }
       println(f"[aprof] ASSEMBLY TOTAL pass$rep     ${(System.nanoTime() - tAll) / 1e9}%7.2fs rows: subs=${subs.count()} props=${props.count()} acts=${acts.count()}")
       (inter ++ Seq(subs, props, acts)).foreach(MemoRegistry.release)
       Thread.sleep(2000)

@@ -18,36 +18,39 @@ class HarmonizeSpec extends SparkSpec {
     assert(brick.activities.count() > 0)
   }
 
-  test("assembly initial-partition scaling tracks input bytes, then restores") {
+  test("assembly initial-partition scaling tracks staged bytes, then restores") {
     val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     val cur = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // small input (the gate dirs): at or below the session floor — the
-    // conf must NOT be touched, so gate-scale plans are unchanged
-    Harmonize.withScaledInitialPartitions(spark, sf()) {
+    // gate-scale staged mass: at or below the session floor — the conf
+    // must NOT be touched, so gate-scale plans are unchanged
+    Harmonize.withScaledInitialPartitions(spark, 10L << 20) {
       assert(spark.conf.getOption(key).isEmpty)
-    }
-    // a synthetic "big" dir: 3 sparse files of 16 GiB -> 48 GiB listed
-    // length -> 768 first-shot reducers (one per 64 MB), restored after
-    val dir = java.nio.file.Files.createTempDirectory("graft-scale")
-    (1 to 3).foreach { i =>
-      val f = java.io.File.createTempFile(s"big$i", ".bin", dir.toFile)
-      val raf = new java.io.RandomAccessFile(f, "rw")
-      try raf.setLength(16L << 30) finally raf.close()
     }
     try {
-      Harmonize.withScaledInitialPartitions(spark, dir.toString) {
-        assert(spark.conf.get(key).toInt == 768)
+      // 48 GiB of staged tables -> 3072 first-shot reducers (one per
+      // 16 MB of staged bytes ≈ 64 MB of decoded rows), restored after
+      Harmonize.withScaledInitialPartitions(spark, 48L << 30) {
+        assert(spark.conf.get(key).toInt == 3072)
       }
       assert(spark.conf.getOption(key).isEmpty)
+      // the 4096 ceiling holds at any size
+      Harmonize.withScaledInitialPartitions(spark, 10L << 40) {
+        assert(spark.conf.get(key).toInt == 4096)
+      }
       // a pre-existing value is restored, not clobbered
       spark.conf.set(key, "99")
-      Harmonize.withScaledInitialPartitions(spark, dir.toString) {
-        assert(spark.conf.get(key).toInt == 768)
+      Harmonize.withScaledInitialPartitions(spark, 48L << 30) {
+        assert(spark.conf.get(key).toInt == 3072)
       }
       assert(spark.conf.get(key) == "99")
+      // the stats basis is planner-side and live: a staged triplet's
+      // estimated bytes are positive and grow with the table
+      val staged = Seq("events" ->
+        graft.sources.SourceAdapter.cachedStaging(
+          graft.sources.EventsAdapter, spark, sf()))
+      assert(Harmonize.stagedBytes(staged) > 0L)
     } finally {
       spark.conf.unset(key)
-      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
     assert(cur == spark.conf.get("spark.sql.shuffle.partitions").toInt)
   }

@@ -25,6 +25,10 @@ class ReliableCheckpointSpec extends SparkSpec {
   test("h1-h12 identical through the parquet-handoff materialization") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-reliable").toString
+    // this spec tests the checkpointLarge PLUMBING — disable artifact
+    // hosting so builds run through the materializer instead of
+    // adopting a store dir (where no handoff would be written)
+    spark.conf.set(ArtifactStore.EnabledKey, "false")
     // baseline: default local-checkpoint mode (fresh build so both
     // modes pay the same staging work)
     MemoRegistry.evictAll(spark)
@@ -46,6 +50,7 @@ class ReliableCheckpointSpec extends SparkSpec {
     } finally {
       spark.conf.unset(MemoRegistry.CkptModeKey)
       spark.conf.unset(MemoRegistry.CkptDirKey)
+      spark.conf.unset(ArtifactStore.EnabledKey)
       // drop frames whose blocks/files belong to the reliable run
       MemoRegistry.evictAll(spark)
       org.apache.commons.io.FileUtils
