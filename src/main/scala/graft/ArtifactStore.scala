@@ -67,6 +67,32 @@ object ArtifactStore {
   def enabled(spark: SparkSession): Boolean =
     !spark.conf.getOption(EnabledKey).contains("false")
 
+  /** Size gate for hosting artifacts DERIVED from an input dir
+    * (stagings, the brick): hosting pays when many JVMs re-read the
+    * same small-to-medium corpus; at probe/stretch scale the derived
+    * artifacts are tens of GB and the scratch-disk cost dominates the
+    * amortization (round-11 finding: 28 GB of stretch staging
+    * artifacts starved the fourth-decade shuffle of disk). Inputs
+    * above `spark.graft.artifact.host.maxInputBytes` (default 1 GiB
+    * of source-file bytes — covers every gate corpus, excludes the
+    * macro stretches) fall back to session-local materialization;
+    * corpus-keyed artifacts (PQ/candidate tables over one table) stay
+    * hosted at any size — they are output-bounded, not
+    * amplification-bounded.
+    */
+  val MaxInputBytesKey = "spark.graft.artifact.host.maxInputBytes"
+
+  def hostableInput(spark: SparkSession, dir: String): Boolean = {
+    val cap = spark.conf.getOption(MaxInputBytesKey)
+      .map(_.toLong).getOrElse(1L << 30)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val bytes =
+      try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+      catch { case _: java.io.IOException => Long.MaxValue }
+    bytes <= cap
+  }
+
   private def baseDir(spark: SparkSession): java.nio.file.Path =
     java.nio.file.Paths.get(spark.conf.getOption(DirKey).getOrElse(
       sys.props.getOrElse("java.io.tmpdir", "/tmp") +

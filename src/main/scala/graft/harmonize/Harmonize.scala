@@ -106,7 +106,8 @@ object Harmonize {
         // custom converter is an opaque instance the key cannot
         // fingerprint; those builds stay session-local.
         if ((converter eq StructureConverter.Stub) &&
-            graft.ArtifactStore.enabled(spark)) {
+            graft.ArtifactStore.enabled(spark) &&
+            graft.ArtifactStore.hostableInput(spark, sfDir)) {
           val akey = graft.ArtifactStore.dirKey(spark, sfDir,
             "brick-v1-" + adapters.map(_.name).mkString(","))
           val dir = graft.ArtifactStore.ensure(spark, "brick", akey) {

@@ -78,9 +78,12 @@ object SourceAdapter {
   def cachedStaging(a: SourceAdapter, spark: SparkSession,
       sfDir: String): StagingTriplet = memo.synchronized {
     memo.getOrElseUpdate((spark, sfDir, a.name), {
-      if (!graft.ArtifactStore.enabled(spark)) {
-        // opt-out (spark.graft.artifact.enabled=false): the pre-r11
-        // session-local form — serialized checkpoint blocks
+      if (!graft.ArtifactStore.enabled(spark) ||
+          !graft.ArtifactStore.hostableInput(spark, sfDir)) {
+        // opt-out (spark.graft.artifact.enabled=false) or an input dir
+        // above the hosting size gate (stretch-scale corpora would
+        // write tens of GB of artifacts): the pre-r11 session-local
+        // form — serialized checkpoint blocks
         val t = a.staging(spark, sfDir)
         StagingTriplet(graft.MemoRegistry.checkpointLarge(t.substances),
           graft.MemoRegistry.checkpointLarge(t.properties),

@@ -54,4 +54,32 @@ class ArtifactReuseSpec extends SparkSpec {
         .deleteDirectory(new java.io.File(base))
     }
   }
+
+  test("inputs above the hosting size gate stay session-local") {
+    val base = Files.createTempDirectory("graft-sizecap").toString
+    spark.conf.set(ArtifactStore.DirKey, base)
+    // a cap below any gate corpus: every dir-derived build must fall
+    // back to the checkpoint form and write NOTHING into the store
+    spark.conf.set(ArtifactStore.MaxInputBytesKey, "1")
+    try {
+      MemoRegistry.evictAll(spark)
+      assert(!ArtifactStore.hostableInput(spark, sf()))
+      val t = SourceAdapter.cachedStaging(EventsAdapter, spark, sf())
+      assert(t.activities.count() > 0)
+      val b = Harmonize.cachedBrick(spark, sf(),
+        Seq(EventsAdapter, OrdersAdapter))
+      assert(b.activities.count() > 0)
+      assert(artifactDirs(base).isEmpty,
+        "size-gated build wrote store artifacts anyway")
+      // corpus-keyed artifacts are output-bounded and stay hosted
+      spark.conf.unset(ArtifactStore.MaxInputBytesKey)
+      assert(ArtifactStore.hostableInput(spark, sf()))
+    } finally {
+      spark.conf.unset(ArtifactStore.MaxInputBytesKey)
+      spark.conf.unset(ArtifactStore.DirKey)
+      MemoRegistry.evictAll(spark)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(base))
+    }
+  }
 }
