@@ -129,8 +129,12 @@ object ArtifactStore {
         // a real filesystem error and must propagate.
         case e: java.nio.file.FileSystemException =>
           if (!complete) throw e
-          requireOwned(target)
+          // reclaim the loser's tmp BEFORE the ownership check: a
+          // foreign-owned winner must fail adoption, but failing with
+          // the tmp still on disk would leak it until a later prune
+          // (ADVICE r11)
           deleteRecursively(tmp)
+          requireOwned(target)
       }
     } catch {
       case t: Throwable => deleteRecursively(tmp); throw t
@@ -216,17 +220,41 @@ object ArtifactStore {
     val base = baseDir(spark)
     if (!Files.isDirectory(base)) return Nil
     val now = System.currentTimeMillis()
-    val victims = Files.list(base).iterator().asScala.filter { d =>
-      val ok = d.resolve("_OK")
-      if (Files.exists(ok))
-        now - Files.getLastModifiedTime(ok).toMillis > maxAgeMs
-      else
-        d.getFileName.toString.contains(".tmp-") && Files.isDirectory(d) &&
-          now - Files.getLastModifiedTime(d).toMillis > 3600000L
-    }.toSeq
+    // Files.list holds an open directory handle until the stream is
+    // closed — without the explicit close every prune call leaked one
+    // fd for the JVM's lifetime (ADVICE r11)
+    val victims = {
+      val listing = Files.list(base)
+      try listing.iterator().asScala.filter { d =>
+        val ok = d.resolve("_OK")
+        if (Files.exists(ok))
+          now - Files.getLastModifiedTime(ok).toMillis > maxAgeMs
+        else
+          d.getFileName.toString.contains(".tmp-") && Files.isDirectory(d) &&
+            now - Files.getLastModifiedTime(d).toMillis > 3600000L
+      }.toSeq
+      finally listing.close()
+    }
     victims.foreach(deleteRecursively)
     victims.map(_.toString)
   }
+
+  /** Conf-gated startup GC (VERDICT r11 #7): when
+    * `spark.graft.artifact.autoPruneMs` is set, [[prune]] runs with
+    * that age at session init (GraftSession.local calls this), so a
+    * long-running machine's store stays bounded without an operator
+    * cron. DEFAULT OFF — deletion policy is an operator decision: the
+    * right age depends on the longest session lifetime on the machine
+    * (the same reader-grace reasoning as prune itself), which the
+    * library cannot know. Returns the swept dirs (Nil when unset).
+    */
+  val AutoPruneKey = "spark.graft.artifact.autoPruneMs"
+
+  def autoPrune(spark: SparkSession): Seq[String] =
+    spark.conf.getOption(AutoPruneKey) match {
+      case Some(age) => prune(spark, age.toLong)
+      case None => Nil
+    }
 
   /** Create the base dir owner-private where the filesystem supports
     * POSIX permissions (best effort elsewhere — e.g. a configured

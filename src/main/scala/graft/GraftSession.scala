@@ -74,6 +74,10 @@ object GraftSession {
       }
       functions.GraftFunctions.register(spark)
     }
+    // conf-gated artifact-store GC (default off: no conf → no-op);
+    // spark.* system properties flow into the session conf, so
+    // -Dspark.graft.artifact.autoPruneMs=<age> enables it machine-wide
+    ArtifactStore.autoPrune(spark)
     spark
   }
 }

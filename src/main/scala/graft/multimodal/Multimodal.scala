@@ -55,6 +55,81 @@ object Multimodal {
       val fp = md.digest(payload).map("%02x".format(_)).mkString
       (width, height, fp)
     }
+
+    /** Stub PERCEPTUAL hash — the pHash/dHash stand-in (mm4/mm5). A
+      * real codec DCT-hashes decoded pixels so that re-encodes and
+      * small edits land within a few hamming bits; the deterministic
+      * stand-in gets the same two properties from the payload bytes:
+      *
+      *   - re-encode invariance: the payload is NORMALIZED first
+      *     (lowercase, whitespace collapsed — the byte-domain analog
+      *     of decoding away the container format), so "same content,
+      *     different encoding" hashes identically;
+      *   - edit locality: a SimHash over byte 4-grams of the
+      *     normalized payload — an edit only perturbs the ≤ 4 grams
+      *     covering it, so near-identical payloads differ in a few
+      *     bits. (A sliced brightness-profile dHash was prototyped
+      *     and REJECTED: an insertion shifts every downstream slice,
+      *     destroying alignment — measured zero separation between
+      *     true near-dup pairs and random background on the gate
+      *     corpora, where this form separates ≤ 6 vs ≥ 7 bits.)
+      *
+      * Gram hash = splitmix64 of the 4 bytes packed big-endian —
+      * cheap, statistically solid, and exactly reproducible (the spec
+      * pins the locality properties; the mm4/mm5 oracles replay only
+      * the shingle-Jaccard TRUTH side, dd4-style, never these bits).
+      */
+    def phash(payload: Array[Byte]): Long = {
+      val text = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+      val b = text.toLowerCase.replaceAll("\\s+", " ")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val sums = new Array[Int](64)
+      var i = 0
+      while (i + 3 < b.length) {
+        val packed = ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+          ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+        val h = splitmix64(packed)
+        var j = 0
+        while (j < 64) {
+          sums(j) += (((h >>> j) & 1L).toInt * 2) - 1
+          j += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var j = 0
+      while (j < 64) {
+        if (sums(j) > 0) out |= (1L << j)
+        j += 1
+      }
+      out
+    }
+
+    private def splitmix64(seed: Long): Long = {
+      var x = seed + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+  }
+
+  case class MediaSignature(doc_id: Long, kind: String, phash: Long)
+
+  /** Per-record perceptual hashes through the codec seam — same
+    * mapPartitions batch shape as [[decodeFeatures]] (one codec per
+    * partition, no shuffle, payloads never explode into rows). The
+    * output (doc_id, kind, phash) is the signature table the banded
+    * near-dup/decontamination joins consume
+    * ([[graft.operators.Dedup.bandedHammingCandidates]]) — at corpus
+    * scale it would persist next to the data like the SimHash index.
+    */
+  def perceptualHashes(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): Dataset[MediaSignature] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val codec = FakeCodec
+      it.map(r => MediaSignature(r.doc_id, r.kind, codec.phash(r.payload)))
+    }
   }
 
   /** Decode/feature-extract with one codec per partition, streaming

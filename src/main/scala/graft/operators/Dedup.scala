@@ -225,24 +225,68 @@ object Dedup {
     * built or read back from a written index.
     */
   private def simhashCandidatesFromSignatures(sim: DataFrame,
+      nBlocks: Int = 4): DataFrame =
+    bandedHammingCandidates(sim, "simhash", nBlocks)
+
+  /** GENERIC pigeonhole-banded hamming candidates over ANY 64-bit
+    * signature column — the shared engine under the SimHash text path
+    * and the multimodal perceptual-hash path (mm4/mm5): any pair with
+    * hamming ≤ nBlocks−1 shares an exact block, so candidate
+    * generation is a pure (blk, bval) equi-join — hash-partitioned,
+    * never all-pairs. `sig` is (doc_id, <hashCol>); returns (da, db,
+    * hamming) with da < db, the exact hamming computed only on the
+    * banded candidates.
+    */
+  def bandedHammingCandidates(sig: DataFrame, hashCol: String,
       nBlocks: Int = 4): DataFrame = {
-    require(nBlocks >= 1 && 64 % nBlocks == 0,
-      s"nBlocks must divide 64, got $nBlocks")
-    val bits = 64 / nBlocks
-    // mask covers the block's bits, so the arithmetic shiftright's sign
-    // fill never reaches the compared value
-    val mask = if (bits == 64) -1L else (1L << bits) - 1L
-    val blocks = sim.select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, ${nBlocks - 1}), b -> named_struct(" +
-          s"'blk', b, 'bval', shiftright(simhash, b * $bits) & $mask))"))
-        .as("x"))
-      .select(col("doc_id"), col("x.blk").as("blk"), col("x.bval").as("bval"))
+    val blocks = signatureBlocks(sig, hashCol, nBlocks)
     val b2 = blocks.select(col("doc_id").as("db"), col("blk"), col("bval"))
     val cand = blocks.join(b2, Seq("blk", "bval"))
       .filter(col("doc_id") < col("db"))
       .select(col("doc_id").as("da"), col("db")).distinct()
-    val simA = sim.select(col("doc_id").as("da"), col("simhash").as("ha"))
-    val simB = sim.select(col("doc_id").as("db"), col("simhash").as("hb"))
+    attachHamming(cand, sig, hashCol)
+  }
+
+  /** Cross-frame banded hamming probe — `corpus` signatures against
+    * `probes` signatures (both (doc_id, <hashCol>)): pairs sharing a
+    * pigeonhole block, with exact hamming. The decontamination shape
+    * (mm5): the probe side is the benchmark set, typically small
+    * enough that AQE broadcasts its block table, and the corpus is
+    * never self-joined. Returns (da = corpus doc, db = probe doc,
+    * hamming); doc_id sets may overlap (a doc never pairs with itself).
+    */
+  def bandedHammingProbe(corpus: DataFrame, probes: DataFrame,
+      hashCol: String, nBlocks: Int = 4): DataFrame = {
+    val cb = signatureBlocks(corpus, hashCol, nBlocks)
+    val pb = signatureBlocks(probes, hashCol, nBlocks)
+      .select(col("doc_id").as("db"), col("blk"), col("bval"))
+    val cand = cb.join(pb, Seq("blk", "bval"))
+      .filter(col("doc_id") =!= col("db"))
+      .select(col("doc_id").as("da"), col("db")).distinct()
+    attachHamming(cand, corpus.unionByName(probes).distinct(), hashCol)
+  }
+
+  /** One row per (doc, block): blk index + the block's bit value. The
+    * mask covers the block's bits, so the arithmetic shiftright's sign
+    * fill never reaches the compared value.
+    */
+  private def signatureBlocks(sig: DataFrame, hashCol: String,
+      nBlocks: Int): DataFrame = {
+    require(nBlocks >= 1 && 64 % nBlocks == 0,
+      s"nBlocks must divide 64, got $nBlocks")
+    val bits = 64 / nBlocks
+    val mask = if (bits == 64) -1L else (1L << bits) - 1L
+    sig.select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, ${nBlocks - 1}), b -> named_struct(" +
+          s"'blk', b, 'bval', shiftright($hashCol, b * $bits) & $mask))"))
+        .as("x"))
+      .select(col("doc_id"), col("x.blk").as("blk"), col("x.bval").as("bval"))
+  }
+
+  private def attachHamming(cand: DataFrame, sig: DataFrame,
+      hashCol: String): DataFrame = {
+    val simA = sig.select(col("doc_id").as("da"), col(hashCol).as("ha"))
+    val simB = sig.select(col("doc_id").as("db"), col(hashCol).as("hb"))
     cand.join(simA, Seq("da")).join(simB, Seq("db"))
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
   }

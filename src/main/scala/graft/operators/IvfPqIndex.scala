@@ -156,6 +156,12 @@ object IvfPqIndex {
       case r if r.isNullAt(0) => 1L
       case r => r.getLong(0)
     }
-    math.max(rMin.toLong, depth * k).toInt
+    // clamp BEFORE the Int conversion: a pathological census (depth × k
+    // beyond Int range) would otherwise wrap negative and flow straight
+    // into search's limit (ADVICE r11). Int.MaxValue as R means "rerank
+    // everything" — the correct degenerate answer when one duplicate
+    // group spans ~the whole corpus.
+    math.max(rMin.toLong,
+      math.min(depth * k, Int.MaxValue.toLong)).toInt
   }
 }

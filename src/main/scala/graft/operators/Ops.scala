@@ -304,6 +304,43 @@ object Ops {
     * and hash-partitioned, the shape that survives 100 TB. Pick
     * `binWidth` ≈ the typical interval length (span factor ≈ 2).
     */
+  /** Data-derived bin width for [[rangeJoin]] / [[intervalOverlapJoin]]
+    * (VERDICT r11 #6): the MEDIAN interval span (end − start + 1),
+    * which is exactly the scaladoc's hand-tuning rule "binWidth ≈ the
+    * typical interval length" — an interval then explodes into ≤ 2 bin
+    * replicas while a bin's point population stays proportional to the
+    * data within one typical span. Median, not mean: one open-ended
+    * outlier interval would otherwise drag the width (and every row's
+    * replica count) up for the whole corpus. Computed with
+    * `percentile_approx` rather than the exact sort+window quantile
+    * machinery, deliberately: a global (ungrouped) exact quantile
+    * sorts the corpus through ONE partition, and a plan-sizing KNOB
+    * must not cost more than the join it tunes — the approx sketch is
+    * a single map-combinable aggregate pass and its error (≤ 1/10000
+    * rank) is irrelevant to a power-of-data bin width. Floors at 1
+    * (zero-length integer intervals). The explicit binWidth parameter
+    * on both joins remains the manual override.
+    */
+  def derivedBinWidth(intervals: DataFrame, startCol: String,
+      endCol: String): Long = {
+    val r = intervals.agg(percentile_approx(
+      (col(endCol) - col(startCol) + lit(1)).cast("double"),
+      lit(0.5), lit(10000)).as("m")).head()
+    require(!r.isNullAt(0), "derivedBinWidth over an EMPTY interval " +
+      "frame - refusing to derive a bin width from zero intervals " +
+      "(wrong path or a filter that dropped everything)")
+    math.max(1L, math.round(r.getDouble(0)))
+  }
+
+  /** [[rangeJoin]] with the bin width derived from the interval-span
+    * distribution ([[derivedBinWidth]]) — one extra aggregate pass over
+    * `intervals`, then the explicit-width join.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, key: String,
+      tsCol: String, startCol: String, endCol: String): DataFrame =
+    rangeJoin(points, intervals, key, tsCol, startCol, endCol,
+      derivedBinWidth(intervals, startCol, endCol))
+
   def rangeJoin(points: DataFrame, intervals: DataFrame, key: String,
       tsCol: String, startCol: String, endCol: String,
       binWidth: Long): DataFrame = {
@@ -388,6 +425,20 @@ object Ops {
     * task joins. Column names must be disjoint across `a` and `b`
     * except `key`.
     */
+  /** [[intervalOverlapJoin]] with the bin width derived from BOTH
+    * sides' span distributions pooled ([[derivedBinWidth]] over the
+    * unioned spans — one narrow aggregate pass per side).
+    */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame, key: String,
+      startA: String, endA: String, startB: String,
+      endB: String): DataFrame = {
+    val spans = a.select((col(endA) - col(startA)).as("s"))
+      .unionAll(b.select((col(endB) - col(startB)).as("s")))
+      .withColumn("e", col("s")).withColumn("s", lit(0L))
+    intervalOverlapJoin(a, b, key, startA, endA, startB, endB,
+      derivedBinWidth(spans, "s", "e"))
+  }
+
   def intervalOverlapJoin(a: DataFrame, b: DataFrame, key: String,
       startA: String, endA: String, startB: String, endB: String,
       binWidth: Long): DataFrame = {

@@ -207,8 +207,18 @@ object ProductQuantIndex {
     // lifetime depended on GC timing (round-11 finding).
     val nvd = {
       val src = ScalarQuantIndex.normalizedScalar(e.filter(isQuery))
+      val rows = src.collect()
+      // the Q ≤ ~10 contract, ENFORCED: a mis-scoped isQuery predicate
+      // (e.g. lit(true)) would silently materialize the whole corpus on
+      // the driver and OOM it — fail loudly instead (ADVICE r11). 4096
+      // is far above any recall-audit query set and far below driver
+      // heap trouble.
+      require(rows.length <= 4096, s"searchFrames collected " +
+        s"${rows.length} query rows to the driver - isQuery must select " +
+        "a bounded query set (<= 4096); for corpus-scale scoring use " +
+        "the distributed candidate path (searchCandidates)")
       src.sparkSession.createDataFrame(
-        java.util.Arrays.asList(src.collect(): _*), src.schema)
+        java.util.Arrays.asList(rows: _*), src.schema)
     }
     val subDots = (0 until Subspaces).map { b =>
       val q = subSlice(nvd, b)

@@ -44,6 +44,9 @@ object DedupQueries extends QueryModule {
 
   private val jMemo = scala.collection.mutable
     .Map.empty[(SparkSession, String), DataFrame]
+  private val jInflight = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    java.util.concurrent.CompletableFuture[DataFrame]]()
 
   /** Jaccard pair frame shared by dd2 (census) and dd6 (materialize),
     * plus the component family (dd8/dd9/dd11/c1/c6/c7) through
@@ -51,20 +54,21 @@ object DedupQueries extends QueryModule {
     * candidate generation + exact-Jaccard verify is deterministic, so
     * the pair frame persists in a corpus-keyed ArtifactStore dir —
     * the shingle explode and band joins run once per machine, not per
-    * JVM.
+    * JVM. Accessed through memoGet (ADVICE r11): the fingerprint job +
+    * store build run OUTSIDE any module lock, so an unrelated key or
+    * an eviction never serializes behind a minutes-long build — only
+    * same-key callers block, on that key's in-flight future.
     */
   private[queries] def cachedJaccard(s: SparkSession, d: String): DataFrame =
-    jMemo.synchronized {
-      jMemo.getOrElseUpdate((s, d), {
-        val key = graft.ArtifactStore.corpusKey(Tables.documents(s, d),
-          "jaccard-v1", col("doc_id"), col("text"))
-        val dir = graft.ArtifactStore.ensure(s, "jaccard", key) { tmp =>
-          Dedup.jaccardPairs(cachedShingles(s, d))
-            .write.parquet(s"$tmp/pairs")
-        }
-        s.read.parquet(s"$dir/pairs")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      })
+    graft.MemoRegistry.memoGet(jMemo, jInflight, (s, d)) {
+      val key = graft.ArtifactStore.corpusKey(Tables.documents(s, d),
+        "jaccard-v1", col("doc_id"), col("text"))
+      val dir = graft.ArtifactStore.ensure(s, "jaccard", key) { tmp =>
+        Dedup.jaccardPairs(cachedShingles(s, d))
+          .write.parquet(s"$tmp/pairs")
+      }
+      s.read.parquet(s"$dir/pairs")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   /** Candidate-pair indexes, materialized once per session: an LSH /
@@ -76,23 +80,25 @@ object DedupQueries extends QueryModule {
     */
   private val candMemo = scala.collection.mutable
     .Map.empty[(SparkSession, String, String), DataFrame]
+  private val candInflight = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String),
+    java.util.concurrent.CompletableFuture[DataFrame]]()
 
   private def cachedCandidates(s: SparkSession, d: String, kind: String)
       (build: => DataFrame): DataFrame =
-    candMemo.synchronized {
-      candMemo.getOrElseUpdate((s, d, kind), {
-        // CROSS-SESSION (VERDICT r10 #4): signature + banding builds
-        // are deterministic functions of the documents table — the
-        // candidate tables persist in corpus-keyed store dirs like the
-        // Jaccard frame
-        val key = graft.ArtifactStore.corpusKey(Tables.documents(s, d),
-          s"cand-$kind-v1", col("doc_id"), col("text"))
-        val dir = graft.ArtifactStore.ensure(s, s"cand-$kind", key) {
-          tmp => build.write.parquet(s"$tmp/pairs")
-        }
-        s.read.parquet(s"$dir/pairs")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      })
+    graft.MemoRegistry.memoGet(candMemo, candInflight, (s, d, kind)) {
+      // CROSS-SESSION (VERDICT r10 #4): signature + banding builds
+      // are deterministic functions of the documents table — the
+      // candidate tables persist in corpus-keyed store dirs like the
+      // Jaccard frame. Built outside the map lock via memoGet
+      // (ADVICE r11) — each (d, kind)'s build blocks only its own key.
+      val key = graft.ArtifactStore.corpusKey(Tables.documents(s, d),
+        s"cand-$kind-v1", col("doc_id"), col("text"))
+      val dir = graft.ArtifactStore.ensure(s, s"cand-$kind", key) {
+        tmp => build.write.parquet(s"$tmp/pairs")
+      }
+      s.read.parquet(s"$dir/pairs")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   /** Connected components of the J>=0.5 near-dup graph, shared by the
@@ -102,14 +108,18 @@ object DedupQueries extends QueryModule {
     */
   private val compMemo = scala.collection.mutable
     .Map.empty[(SparkSession, String), DataFrame]
+  private val compInflight = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    java.util.concurrent.CompletableFuture[DataFrame]]()
 
   private[queries] def cachedComponents(s: SparkSession, d: String): DataFrame =
-    compMemo.synchronized {
-      compMemo.getOrElseUpdate((s, d),
-        graft.operators.Graph.connectedComponents(
-          cachedJaccard(s, d).filter(col("j") >= 0.5)
-            .select(col("da"), col("db")),
-          "da", "db"))
+    graft.MemoRegistry.memoGet(compMemo, compInflight, (s, d)) {
+      // label propagation runs EAGERLY (checkpointed iterations) —
+      // memoGet keeps that multi-job build out of any module lock
+      graft.operators.Graph.connectedComponents(
+        cachedJaccard(s, d).filter(col("j") >= 0.5)
+          .select(col("da"), col("db")),
+        "da", "db")
     }
 
   /** dd12's k-means-trained assignment (vec_id, embedding, cid, ccos),

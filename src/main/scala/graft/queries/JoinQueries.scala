@@ -190,7 +190,10 @@ object JoinQueries extends QueryModule {
     // Range join (no Spark builtin for key + range without a post-filter
     // nested loop — Ops.rangeJoin bins time into an equi-join): for each
     // anchor order, the same customer's follow-up orders within 30 days
-    // after it. Bin width = 7 days; exclusive start via +1s (integer
+    // after it. Bin width DERIVED from the interval-span distribution
+    // (Ops.derivedBinWidth — median span, here 30 days; the hand-tuned
+    // 7-day value it replaces was a caller-picked knob the data never
+    // validated, VERDICT r11 #6). Exclusive start via +1s (integer
     // second domain).
     "j13_range_join" -> ((s, d) => {
       val day = 86400L
@@ -201,7 +204,7 @@ object JoinQueries extends QueryModule {
         col("o_orderkey").as("anchor_key"),
         (col("sec") + 1).as("start"), (col("sec") + 30 * day).as("end"))
       graft.operators.Ops.rangeJoin(points, anchors, "o_custkey",
-          "sec", "start", "end", binWidth = 7 * day)
+          "sec", "start", "end")
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("anchor_key")).as("n_anchors_with_follower"),
           countDistinct(col("o_orderkey")).as("n_followers"))
@@ -262,7 +265,9 @@ object JoinQueries extends QueryModule {
     // (cust, bin), exact overlap residual, first-shared-bin dedupe (no
     // distinct pass) — because an inequality-only join condition can
     // only execute as a nested loop. Sum of pairwise overlap seconds is
-    // integer-exact.
+    // integer-exact. Bin width derived from the pooled span
+    // distribution of both sides (median ≈ 10.5 days here) instead of
+    // a caller-picked constant (VERDICT r11 #6).
     "j16_interval_overlap" -> ((s, d) => {
       val day = 86400L
       val o = Tables.orders(s, d).select(col("o_custkey"),
@@ -275,7 +280,7 @@ object JoinQueries extends QueryModule {
       val b = o.select(col("o_custkey"), col("o_orderkey").as("kb"),
         col("start").as("sb"), col("end").as("eb"))
       graft.operators.Ops.intervalOverlapJoin(a, b, "o_custkey",
-          "sa", "ea", "sb", "eb", binWidth = 7 * day)
+          "sa", "ea", "sb", "eb")
         .filter(col("ka") < col("kb"))
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("o_custkey")).as("n_custs"),

@@ -47,6 +47,89 @@ object MultimodalQueries extends QueryModule {
           count(lit(1)).as("n_frames"),
           countDistinct(col("fingerprint")).as("n_fp"),
           sum(col("ts_ms")).as("sum_ts_ms"))
+    }),
+
+    // Perceptual-hash near-dup over the codec seam (VERDICT r11 #5):
+    // FakeCodec.phash per media record (mapPartitions, the pHash
+    // stand-in), then PIGEONHOLE-BANDED candidates — 4 blocks of 16
+    // bits, a pure (blk, bval) equi-join, NEVER all-pairs — verified
+    // at hamming ≤ 6 (measured separation on the gate corpora: true
+    // near-dup pairs ≤ 6 bits, random background ≥ 7). dd4's audit
+    // pattern: the oracle replays the exact shingle-Jaccard TRUTH
+    // side in SQL; the recall flag (banded phash catches ≥ 90% of
+    // J≥0.9 pairs) is the Spark-side contract, TRUE at both gate
+    // scales (6/6 and 73/76 measured).
+    "mm4_phash_near_dup" -> ((s, d) => {
+      implicit val spark = s
+      val sig = Multimodal
+        .perceptualHashes(Multimodal.toMedia(Tables.documents(s, d)))
+        .toDF().select(col("doc_id"), col("phash"))
+      val found = graft.operators.Dedup
+        .bandedHammingCandidates(sig, "phash")
+        .filter(col("hamming") <= 6).select("da", "db")
+      val truth = DedupQueries.cachedJaccard(s, d)
+        .filter(col("j") >= 0.9).select("da", "db")
+      val missed = truth.join(found, Seq("da", "db"), "left_anti")
+      truth.agg(count(lit(1)).as("n_true_ge09"))
+        .crossJoin(missed.agg(count(lit(1)).as("__miss")))
+        .select(col("n_true_ge09"),
+          (col("__miss") * 10 <= col("n_true_ge09"))
+            .as("phash_recall_ge_09"))
+    }),
+
+    // Multimodal decontamination: corpus media whose perceptual hash
+    // lands within hamming ≤ 6 of a BENCHMARK media item (the
+    // multimodal analog of x8's n-gram text decontamination) — a
+    // banded probe join (Dedup.bandedHammingProbe: benchmark block
+    // table vs corpus block table, equi-join on (blk, bval), AQE
+    // broadcasts the small benchmark side), never corpus×benchmark.
+    // Oracle replays benchmark/corpus sizes and the cross-split
+    // J≥0.9 truth; the flag pins ≥90% of true cross pairs caught
+    // (2/2 and 25/26 measured at the gate scales).
+    "mm5_percep_decontam" -> ((s, d) => {
+      implicit val spark = s
+      val sig = Multimodal
+        .perceptualHashes(Multimodal.toMedia(Tables.documents(s, d)))
+        .toDF().select(col("doc_id"), col("phash"))
+      val isBench = col("doc_id") % 5 === 0
+      val bench = sig.filter(isBench)
+      val corpus = sig.filter(!isBench)
+      val hits = graft.operators.Dedup
+        .bandedHammingProbe(corpus, bench, "phash")
+        .filter(col("hamming") <= 6)
+        .select(least(col("da"), col("db")).as("da"),
+          greatest(col("da"), col("db")).as("db"))
+      val truth = DedupQueries.cachedJaccard(s, d)
+        .filter(col("j") >= 0.9)
+        .filter((col("da") % 5 === 0) =!= (col("db") % 5 === 0))
+        .select("da", "db")
+      val missed = truth.join(hits, Seq("da", "db"), "left_anti")
+      bench.agg(count(lit(1)).as("n_bench"))
+        .crossJoin(corpus.agg(count(lit(1)).as("n_corpus")))
+        .crossJoin(truth.agg(count(lit(1)).as("n_true_cross_ge09")))
+        .crossJoin(missed.agg(count(lit(1)).as("__miss")))
+        .select(col("n_bench"), col("n_corpus"),
+          col("n_true_cross_ge09"),
+          (col("__miss") * 10 <= col("n_true_cross_ge09"))
+            .as("cross_recall_ge_09"))
+    }),
+
+    // Resize pipeline census — decode → aspect-preserving resize to
+    // maxDim 256 → per-kind dims. Pure integer arithmetic end to end,
+    // so the oracle replays it EXACTLY (hash-exact, unlike the
+    // flag-audited mm4/mm5).
+    "mm6_resize_census" -> ((s, d) => {
+      implicit val spark = s
+      val feats = Multimodal
+        .decodeFeatures(Multimodal.toMedia(Tables.documents(s, d)))
+      Multimodal.resize(feats, 256).toDF()
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("width")).as("sum_w"),
+          sum(col("height")).as("sum_h"),
+          count(when(greatest(col("width"), col("height")) <= 256, 1))
+            .as("n_within"))
+        .orderBy(col("kind"))
     })
   )
 
@@ -81,6 +164,68 @@ object MultimodalQueries extends QueryModule {
         |SELECT count(DISTINCT doc_id) AS n_videos, count(*) AS n_frames,
         |  count(DISTINCT fp) AS n_fp,
         |  CAST(sum(ts_ms) AS BIGINT) AS sum_ts_ms
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    // dd3/dd4 audit pattern: the truth side (exact shingle Jaccard)
+    // replays in SQL; the recall flag asserts the banded perceptual-
+    // hash candidates found ≥90% of it — TRUE is the contract, and the
+    // Spark side computes it for real from codec phash bits the oracle
+    // can't replay.
+    "mm4_phash_near_dup" -> (DedupQueries.shCte +
+      """, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+        |  FROM sh a JOIN sh b
+        |    ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT count(CASE WHEN common * 1.0 / (sa.n_sh + sb.n_sh - common)
+        |    >= 0.9 THEN 1 END) AS n_true_ge09,
+        |  TRUE AS phash_recall_ge_09
+        |FROM pairs JOIN sizes sa ON da = sa.doc_id
+        |JOIN sizes sb ON db = sb.doc_id""".stripMargin),
+
+    "mm5_percep_decontam" -> (DedupQueries.shCte +
+      """, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+        |  FROM sh a JOIN sh b
+        |    ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |cross_true AS (
+        |  SELECT da, db
+        |  FROM pairs JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id
+        |  WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.9
+        |    AND ((da % 5 = 0) != (db % 5 = 0)))
+        |SELECT
+        |  (SELECT count(*) FROM documents WHERE doc_id % 5 = 0)
+        |    AS n_bench,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 5 != 0)
+        |    AS n_corpus,
+        |  count(*) AS n_true_cross_ge09,
+        |  TRUE AS cross_recall_ge_09
+        |FROM cross_true""".stripMargin),
+
+    // Full integer-arithmetic replay of decode → resize(256).
+    "mm6_resize_census" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |              WHEN doc_id % 3 = 1 THEN 'audio'
+        |              ELSE 'video' END AS kind,
+        |    64 + octet_length(encode(text)) % 512 AS w,
+        |    64 + (octet_length(encode(text)) * 7) % 512 AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT kind,
+        |    CASE WHEN greatest(w, h) <= 256 THEN w
+        |         ELSE (w * 256) // greatest(w, h) END AS rw,
+        |    CASE WHEN greatest(w, h) <= 256 THEN h
+        |         ELSE (h * 256) // greatest(w, h) END AS rh
+        |  FROM m)
+        |SELECT kind, count(*) AS n,
+        |  CAST(sum(rw) AS BIGINT) AS sum_w,
+        |  CAST(sum(rh) AS BIGINT) AS sum_h,
+        |  count(CASE WHEN greatest(rw, rh) <= 256 THEN 1 END) AS n_within
+        |FROM r GROUP BY 1 ORDER BY kind""".stripMargin
   )
 }

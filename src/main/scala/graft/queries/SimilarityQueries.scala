@@ -669,12 +669,17 @@ object SimilarityQueries extends QueryModule {
     */
   private val embKeyMemo = scala.collection.mutable
     .Map.empty[(SparkSession, String), String]
+  private val embKeyInflight = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    java.util.concurrent.CompletableFuture[String]]()
 
   private def embKey(s: SparkSession, d: String, recipe: String): String =
-    recipe + "-" + embKeyMemo.synchronized {
-      embKeyMemo.getOrElseUpdate((s, d),
-        graft.ArtifactStore.corpusKey(Tables.embeddings(s, d), "",
-          col("vec_id"), col("embedding"), col("label")))
+    // the fingerprint is a Spark job (corpusKey aggregates the corpus);
+    // memoGet keeps it outside any module lock (ADVICE r11)
+    recipe + "-" + graft.MemoRegistry.memoGet(
+      embKeyMemo, embKeyInflight, (s, d)) {
+      graft.ArtifactStore.corpusKey(Tables.embeddings(s, d), "",
+        col("vec_id"), col("embedding"), col("label"))
     }
 
   graft.MemoRegistry.register { spark =>
@@ -686,6 +691,9 @@ object SimilarityQueries extends QueryModule {
 
   private val assignMemo = scala.collection.mutable
     .Map.empty[(SparkSession, String), DataFrame]
+  private val assignInflight = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    java.util.concurrent.CompletableFuture[DataFrame]]()
 
   /** Every vector with its nearest-centroid list id, memoized + persisted
     * per session: the scoring pass is the expensive stage and ann4/ann5
@@ -696,25 +704,24 @@ object SimilarityQueries extends QueryModule {
     * the lowest label; KMeansSpec pins window ≡ aggregate).
     */
   private def cachedAssigned(s: SparkSession, d: String): DataFrame =
-    assignMemo.synchronized {
-      assignMemo.getOrElseUpdate((s, d), {
-        GraftFunctions.register(s)
-        // CROSS-SESSION (VERDICT r10 #4): the IVF assignment is the
-        // expensive deterministic scoring pass ann4/5/11/12/13 all
-        // ride — store-hosted like the PQ artifacts
-        val dir = graft.ArtifactStore.ensure(s, "ivf-assigned",
-          embKey(s, d, "assigned-v1")) { tmp =>
-          graft.operators.KMeans.assign(
-              Tables.embeddings(s, d),
-              centroids(s, d).select(col("clabel").as("cid"), col("cv")),
-              "vec_id", "embedding")
-            .select(col("vec_id"), col("label"), col("embedding"),
-              col("cid").as("list_id"))
-            .write.parquet(s"$tmp/assigned")
-        }
-        s.read.parquet(s"$dir/assigned")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      })
+    graft.MemoRegistry.memoGet(assignMemo, assignInflight, (s, d)) {
+      GraftFunctions.register(s)
+      // CROSS-SESSION (VERDICT r10 #4): the IVF assignment is the
+      // expensive deterministic scoring pass ann4/5/11/12/13 all
+      // ride — store-hosted like the PQ artifacts. memoGet keeps the
+      // fingerprint + store build outside any module lock (ADVICE r11).
+      val dir = graft.ArtifactStore.ensure(s, "ivf-assigned",
+        embKey(s, d, "assigned-v1")) { tmp =>
+        graft.operators.KMeans.assign(
+            Tables.embeddings(s, d),
+            centroids(s, d).select(col("clabel").as("cid"), col("cv")),
+            "vec_id", "embedding")
+          .select(col("vec_id"), col("label"), col("embedding"),
+            col("cid").as("list_id"))
+          .write.parquet(s"$tmp/assigned")
+      }
+      s.read.parquet(s"$dir/assigned")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   graft.MemoRegistry.register { spark =>

@@ -798,7 +798,10 @@ object TextQueries extends QueryModule {
     * recipe version; the store's one-builder election is how the
     * index's single-writer contract is met in a many-session world.
     */
-  private val Wx24Recipe = "x24-v1-mod3split"
+  // v2: the index's census became LSM deltas (round 12) — same reader
+  // semantics (pointer read is back-compat) but bumping the recipe
+  // makes the gate artifact exercise the current write path
+  private val Wx24Recipe = "x24-v2-mod3split"
   private val wiMemo = scala.collection.mutable
     .Map.empty[(org.apache.spark.sql.SparkSession, String), String]
   private val wiInflight = new java.util.concurrent.ConcurrentHashMap[
@@ -811,13 +814,18 @@ object TextQueries extends QueryModule {
     */
   private val docKeyMemo = scala.collection.mutable
     .Map.empty[(org.apache.spark.sql.SparkSession, String), String]
+  private val docKeyInflight = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    java.util.concurrent.CompletableFuture[String]]()
 
   private def docKey(s: org.apache.spark.sql.SparkSession, d: String,
       recipe: String): String =
-    recipe + "-" + docKeyMemo.synchronized {
-      docKeyMemo.getOrElseUpdate((s, d),
-        graft.ArtifactStore.corpusKey(Tables.documents(s, d), "",
-          col("doc_id"), col("text"), col("lang"), col("source")))
+    // the fingerprint is a Spark job (corpusKey aggregates the corpus);
+    // memoGet keeps it outside any module lock (ADVICE r11)
+    recipe + "-" + graft.MemoRegistry.memoGet(
+      docKeyMemo, docKeyInflight, (s, d)) {
+      graft.ArtifactStore.corpusKey(Tables.documents(s, d), "",
+        col("doc_id"), col("text"), col("lang"), col("source"))
     }
 
   graft.MemoRegistry.register { spark =>

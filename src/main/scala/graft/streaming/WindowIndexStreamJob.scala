@@ -22,9 +22,20 @@ import graft.operators.WindowIndex
   * sequentially, which is exactly the index's single-writer
   * requirement; do not point two streams at one index path.
   * `WindowIndexStreamSpec` pins stream-appended ≡ batch-built (windows
-  * AND dup census) and replay-changes-nothing. Batch dirs accumulate
-  * one per non-empty micro-batch; compaction = a fresh `write`, the
-  * same retrain-offline posture as the IVF-PQ stream.
+  * AND dup census) and replay-changes-nothing.
+  *
+  * Batch dirs accumulate one per non-empty micro-batch — on a standing
+  * stream that is thousands of dirs after weeks, and every
+  * `readWindows` unions them all. `compactEvery = Some(n)` bounds it:
+  * whenever the committed batch count reaches n the job rewrites the
+  * index as one batch + one census dir (`WindowIndex.compact` — a
+  * pointer flip, so concurrent dedup readers stay snapshot-safe) and
+  * the count restarts from 1. The compaction is idempotent and
+  * result-identical (WindowIndexSpec), so a micro-batch replayed
+  * around a crash between append and compact converges to the same
+  * index either way. Old dirs are reclaimed by the age-gated
+  * `WindowIndex.vacuum`, not here — a reader may hold the prior
+  * snapshot.
   */
 object WindowIndexStreamJob {
 
@@ -40,7 +51,11 @@ object WindowIndexStreamJob {
 
   def run(spark: SparkSession, docDir: String, indexPath: String,
       checkpointDir: String, trigger: Trigger,
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None,
+      compactEvery: Option[Int] = None): StreamingQuery = {
+    compactEvery.foreach(n => require(n >= 2,
+      s"compactEvery must be >= 2 (got $n): compacting at every batch " +
+        "would rewrite the whole index per micro-batch"))
     val reader = spark.readStream.schema(docSchema)
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
@@ -52,6 +67,11 @@ object WindowIndexStreamJob {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             _: Long) =>
           WindowIndex.append(batch, indexPath)
+          // batchCount is one pointer-file read — cheap per micro-batch
+          compactEvery.foreach { n =>
+            if (WindowIndex.batchCount(spark, indexPath) >= n)
+              WindowIndex.compact(spark, indexPath)
+          }
       }
       .start()
   }

@@ -82,4 +82,65 @@ class ArtifactReuseSpec extends SparkSpec {
         .deleteDirectory(new java.io.File(base))
     }
   }
+
+  test("autoPrune: aged dirs swept on init when enabled, fresh kept") {
+    val base = Files.createTempDirectory("graft-autoprune").toString
+    spark.conf.set(ArtifactStore.DirKey, base)
+    try {
+      def mkArtifact(name: String, ageMs: Long): java.nio.file.Path = {
+        val d = java.nio.file.Paths.get(base, name)
+        Files.createDirectories(d)
+        val ok = d.resolve("_OK")
+        Files.write(ok, Array.empty[Byte])
+        Files.setLastModifiedTime(ok, java.nio.file.attribute.FileTime
+          .fromMillis(System.currentTimeMillis() - ageMs))
+        d
+      }
+      val aged = mkArtifact("idx-old", 72L * 3600 * 1000)
+      val fresh = mkArtifact("idx-new", 0L)
+      // default off: no conf → no-op, nothing deleted
+      assert(ArtifactStore.autoPrune(spark).isEmpty)
+      assert(Files.exists(aged) && Files.exists(fresh))
+      // enabled at a 24 h age: the 72 h-old dir is swept, the fresh kept
+      spark.conf.set(ArtifactStore.AutoPruneKey, (24L * 3600 * 1000).toString)
+      val swept = ArtifactStore.autoPrune(spark)
+      assert(swept.map(p => java.nio.file.Paths.get(p).getFileName.toString)
+        == Seq("idx-old"))
+      assert(!Files.exists(aged) && Files.exists(fresh))
+    } finally {
+      spark.conf.unset(ArtifactStore.AutoPruneKey)
+      spark.conf.unset(ArtifactStore.DirKey)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(base))
+    }
+  }
+
+  test("prune closes its directory listing: open fds flat over 100 calls") {
+    val base = Files.createTempDirectory("graft-fdcensus").toString
+    spark.conf.set(ArtifactStore.DirKey, base)
+    try {
+      // a populated base so each prune call actually opens and walks it
+      for (i <- 0 until 5) {
+        val d = java.nio.file.Paths.get(base, s"a$i-k")
+        Files.createDirectories(d)
+        Files.write(d.resolve("_OK"), Array.empty[Byte])
+      }
+      def openFds(): Int =
+        Option(new java.io.File("/proc/self/fd").list()).map(_.length)
+          .getOrElse(0)
+      ArtifactStore.prune(spark, Long.MaxValue) // warm any lazy statics
+      val before = openFds()
+      for (_ <- 0 until 100) ArtifactStore.prune(spark, Long.MaxValue)
+      val after = openFds()
+      // r11 leaked exactly one directory fd per call (unclosed
+      // Files.list) — 100 calls made the leak unambiguous vs ambient
+      // JVM fd churn
+      assert(after - before < 20,
+        s"fd census grew $before -> $after across 100 prune calls")
+    } finally {
+      spark.conf.unset(ArtifactStore.DirKey)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(base))
+    }
+  }
 }

@@ -234,5 +234,13 @@ class OpsSpec extends SparkSpec {
     assert(fastRows.toSet ==
       naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
     assert(fastRows.nonEmpty)
+    // the derive-by-default overload (pooled-span median width) is
+    // pair-identical and still exactly-once — binWidth is a plan knob
+    val derivedRows = Ops.intervalOverlapJoin(a, b, "k",
+        "sa", "ea", "sb", "eb")
+      .filter(col("ka") < col("kb")).select("ka", "kb")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(derivedRows.length == derivedRows.distinct.length)
+    assert(derivedRows.toSet == fastRows.toSet)
   }
 }

@@ -69,6 +69,40 @@ class RangeJoinSpec extends SparkSpec {
     assert(binned.count() == binned.distinct().count())
   }
 
+  test("derivedBinWidth lands on the hand-tuning rule, skew-resistant") {
+    // uniform fixture: spans all ≈ L → derived ≈ L (the scaladoc rule
+    // "binWidth ≈ typical interval length", previously hand-picked)
+    val uniform = (0 until 1000).map(i =>
+      (i.toLong, i * 10000L, i * 10000L + 290L + (i % 3) * 10))
+      .toDF("ivid", "start", "end")
+    val du = Ops.derivedBinWidth(uniform, "start", "end")
+    assert(du >= 291L && du <= 311L, s"uniform: derived $du, expect ~301")
+    // skewed fixture: 990 short (≈300) + 10 open-ended monsters (1e9).
+    // A mean-based derivation would blow the width (and every short
+    // interval's bin population) up ~3000×; the median ignores the tail
+    val skewed = ((0 until 990).map(i =>
+      (i.toLong, 0L, 299L)) ++ (0 until 10).map(i =>
+      ((990 + i).toLong, 0L, 999999999L)))
+      .toDF("ivid", "start", "end")
+    val ds = Ops.derivedBinWidth(skewed, "start", "end")
+    assert(ds == 300L, s"skewed: derived $ds, median must ignore the tail")
+    // the derive-by-default overloads are row-identical to explicit
+    // widths (binWidth is a plan knob, never a semantics knob)
+    val (points, anchors) = framesFromOrders
+    val derived = Ops.rangeJoin(points, anchors, "o_custkey",
+      "sec", "start", "end").select("anchor_key", "o_orderkey")
+    val explicit = Ops.rangeJoin(points, anchors, "o_custkey",
+      "sec", "start", "end", binWidth = 7 * day)
+      .select("anchor_key", "o_orderkey")
+    assert(derived.exceptAll(explicit).count() == 0)
+    assert(explicit.exceptAll(derived).count() == 0)
+    // empty interval frame: fail loudly, not a NaN-width join
+    val empty = uniform.filter(col("ivid") < 0)
+    intercept[IllegalArgumentException] {
+      Ops.derivedBinWidth(empty, "start", "end")
+    }
+  }
+
   test("intervals spanning many bins and empty results stay correct") {
     val points = Seq((1L, 10L, 100L), (1L, 11L, 5000L), (2L, 12L, 100L))
       .toDF("k", "id", "sec")

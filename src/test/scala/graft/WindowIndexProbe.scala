@@ -40,14 +40,26 @@ object WindowIndexProbe {
           .drop("__rep")
       val dir = java.nio.file.Files
         .createTempDirectory(s"winidx-probe-$factor").toString + "/idx"
+      def treeBytes(sub: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      }
       val (_, tw) = time(graft.operators.WindowIndex.write(corpus, dir))
+      val preBytes = treeBytes("")
       val (_, ta) = time(graft.operators.WindowIndex.append(batch, dir))
+      // WRITE VOLUME of the append (VERDICT r11 #1 done-criterion):
+      // with the LSM census the bytes written per append must track the
+      // BATCH — the r11 design rewrote the fully-merged census, so this
+      // delta grew with the corpus
+      val appendBytes = treeBytes("") - preBytes
+      val censusBytes = treeBytes("census")
       // a second append of the SAME batch: the no-op path (manifest
       // anti-join only) — its cost is the pure O(index)-term floor
       val (_, tn) = time(graft.operators.WindowIndex.append(batch, dir))
       val nw = graft.operators.WindowIndex
         .readWindows(spark, dir).count()
-      println(f"[winidx] factor=$factor%-3d docs=${n * factor}%9d windows=$nw%10d  write=$tw%7.2fs  append(500)=$ta%6.2fs  reappend-noop=$tn%6.2fs")
+      println(f"[winidx] factor=$factor%-3d docs=${n * factor}%9d windows=$nw%10d  write=$tw%7.2fs  append(500)=$ta%6.2fs  reappend-noop=$tn%6.2fs  appendMB=${appendBytes / 1048576.0}%7.2f  censusMB=${censusBytes / 1048576.0}%8.2f")
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(dir).getParentFile)
     }

@@ -60,10 +60,61 @@ class WindowIndexSpec extends SparkSpec {
     WindowIndex.write(docs.filter(col("doc_id") % 4 === 0), dir)
     WindowIndex.append(docs.filter(col("doc_id") % 4 === 1), dir)
     WindowIndex.append(docs.filter(col("doc_id") % 4 >= 2), dir)
-    // the stored census was merged O(batch + |census|) per append; it
-    // must equal the O(index) re-aggregate it replaces
+    // the stored census is per-batch DELTAS merged at read; it must
+    // equal the O(index) re-aggregate it replaces
+    assert(WindowIndex.censusDirCount(spark, dir) == 3L)
     assert(frameEq(WindowIndex.readCensusCur(spark, dir),
       WindowIndex.censusOf(WindowIndex.readWindows(spark, dir))))
+  }
+
+  test("census LSM: delta fan-in stays bounded and compaction is exact") {
+    import spark.implicits._
+    // 2·(CensusCompactK+2) tiny docs appended one at a time — enough
+    // appends to trip the census compaction twice. Pairs share a
+    // 5-gram so the dup census is non-trivial across compactions.
+    val n = 2 * (WindowIndex.CensusCompactK + 2)
+    def doc(i: Int) = (i.toLong, "en", s"s$i",
+      s"w${i / 2}a w${i / 2}b w${i / 2}c w${i / 2}d w${i / 2}e tail$i")
+    val dir = Files.createTempDirectory("graft-winidx-lsm").toString + "/idx"
+    WindowIndex.write(Seq(doc(0)).toDF("doc_id", "lang", "source", "text"),
+      dir)
+    for (i <- 1 until n) {
+      WindowIndex.append(
+        Seq(doc(i)).toDF("doc_id", "lang", "source", "text"), dir)
+      // the LSM bound: never more than K census dirs in a snapshot
+      assert(WindowIndex.censusDirCount(spark, dir) <=
+        WindowIndex.CensusCompactK.toLong)
+    }
+    assert(WindowIndex.batchCount(spark, dir) == n.toLong)
+    // delta-merged census across compaction generations ≡ full recompute
+    assert(frameEq(WindowIndex.readCensusCur(spark, dir),
+      WindowIndex.censusOf(WindowIndex.readWindows(spark, dir))))
+    // every doc pair shares exactly one 5-gram → n/2 dup hashes
+    assert(WindowIndex.readDup(spark, dir).count() == n / 2L)
+  }
+
+  test("compact rewrites to one batch + one census, result-identical") {
+    val dir = Files.createTempDirectory("graft-winidx-k").toString + "/idx"
+    WindowIndex.write(docs.filter(col("doc_id") % 3 === 0), dir)
+    WindowIndex.append(docs.filter(col("doc_id") % 3 === 1), dir)
+    WindowIndex.append(docs.filter(col("doc_id") % 3 === 2), dir)
+    val wins = WindowIndex.readWindows(spark, dir).collect().toSet
+    val mani = WindowIndex.readManifest(spark, dir).collect().toSet
+    val dup = WindowIndex.readDup(spark, dir).collect().toSet
+    WindowIndex.compact(spark, dir)
+    assert(WindowIndex.batchCount(spark, dir) == 1L)
+    assert(WindowIndex.censusDirCount(spark, dir) == 1L)
+    assert(WindowIndex.readWindows(spark, dir).collect().toSet == wins)
+    assert(WindowIndex.readManifest(spark, dir).collect().toSet == mani)
+    assert(WindowIndex.readDup(spark, dir).collect().toSet == dup)
+    // idempotent: a single-batch index is a no-op (no new dirs, same id)
+    val before = WindowIndex.batchCount(spark, dir)
+    WindowIndex.compact(spark, dir)
+    assert(WindowIndex.batchCount(spark, dir) == before)
+    // post-compaction appends still work and re-appends stay no-ops
+    WindowIndex.append(docs.filter(col("doc_id") % 3 === 2), dir)
+    assert(WindowIndex.batchCount(spark, dir) == 1L)
+    assert(WindowIndex.readWindows(spark, dir).collect().toSet == wins)
   }
 
   test("an appended doc flips an old hash into dup status (global census)") {
@@ -108,8 +159,15 @@ class WindowIndexSpec extends SparkSpec {
     assert(WindowIndex.readWindows(spark, dir).collect().toSet == winsBefore)
     assert(WindowIndex.readDup(spark, dir).count() == dupBefore)
     assert(WindowIndex.batchCount(spark, dir) == 1L)
-    // vacuum removes exactly the unreferenced dirs; the index still reads
+    // the default reader grace (1 h) protects young unreferenced dirs —
+    // a reader holding the prior snapshot (or an in-flight append's
+    // not-yet-referenced dirs) survives a default vacuum (ADVICE r11)
     WindowIndex.vacuum(spark, dir)
+    assert(Files.exists(java.nio.file.Paths.get(
+      s"$dir/batches/orphan-batch")))
+    // vacuum with no grace removes exactly the unreferenced dirs; the
+    // index still reads
+    WindowIndex.vacuum(spark, dir, maxAgeMs = 0L)
     assert(!Files.exists(java.nio.file.Paths.get(
       s"$dir/batches/orphan-batch")))
     assert(!Files.exists(java.nio.file.Paths.get(

@@ -73,4 +73,45 @@ class WindowIndexStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(root))
   }
+
+  test("mid-stream compaction: compacted stream ≡ uncompacted twin") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-winidx-compact").toString
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val isNew = col("doc_id") % 3 === 0
+    WindowIndex.write(docs.filter(!isNew), s"$root/plain")
+    WindowIndex.write(docs.filter(!isNew), s"$root/compacted")
+    for (part <- 0 to 2)
+      docs.filter(isNew).filter(pmod(col("doc_id"), lit(9)) === part * 3)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/arrivals/part=$part")
+    // same arrivals, one stream compacting whenever 2 batch dirs have
+    // accumulated (so compaction fires repeatedly MID-stream, between
+    // micro-batches readers can land on), one never compacting
+    val qp = WindowIndexStreamJob.run(spark, s"$root/arrivals",
+      s"$root/plain", s"$root/ckpt-p", Trigger.AvailableNow(),
+      maxFilesPerTrigger = Some(1))
+    val qc = WindowIndexStreamJob.run(spark, s"$root/arrivals",
+      s"$root/compacted", s"$root/ckpt-c", Trigger.AvailableNow(),
+      maxFilesPerTrigger = Some(1), compactEvery = Some(2))
+    qp.awaitTermination(); qc.awaitTermination()
+    assert(indexState(s"$root/compacted") == indexState(s"$root/plain"),
+      "compaction changed reader-visible state")
+    assert(sortedRows(WindowIndex.readManifest(spark, s"$root/compacted")) ==
+      sortedRows(WindowIndex.readManifest(spark, s"$root/plain")))
+    // the point of compaction: the dir list is bounded, not one per batch
+    assert(WindowIndex.batchCount(spark, s"$root/compacted") <= 2L)
+    assert(WindowIndex.batchCount(spark, s"$root/plain") == 4L)
+    // replay against the compacted index stays a no-op (manifest kept)
+    val st = indexState(s"$root/compacted")
+    val nb = WindowIndex.batchCount(spark, s"$root/compacted")
+    val qr = WindowIndexStreamJob.run(spark, s"$root/arrivals",
+      s"$root/compacted", s"$root/ckpt-r", Trigger.AvailableNow(),
+      maxFilesPerTrigger = Some(1), compactEvery = Some(2))
+    qr.awaitTermination()
+    assert(indexState(s"$root/compacted") == st)
+    assert(WindowIndex.batchCount(spark, s"$root/compacted") == nb)
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
 }
