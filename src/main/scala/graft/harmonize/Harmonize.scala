@@ -111,14 +111,7 @@ object Harmonize {
           val akey = graft.ArtifactStore.dirKey(spark, sfDir,
             "brick-v1-" + adapters.map(_.name).mkString(","))
           val dir = graft.ArtifactStore.ensure(spark, "brick", akey) {
-            tmp => buildBrick(spark, sfDir, adapters, converter) match {
-              case b =>
-                b.substances.write.parquet(s"$tmp/substances")
-                b.properties.write.parquet(s"$tmp/properties")
-                b.activities.write.parquet(s"$tmp/activities")
-                Seq(b.substances, b.properties, b.activities)
-                  .foreach(graft.MemoRegistry.release)
-            }
+            tmp => buildBrickTo(spark, sfDir, adapters, converter, tmp)
           }
           // read-back frames get the same serialized-block residency
           // the checkpointed build had, so warm consumers are unchanged
@@ -223,6 +216,36 @@ object Harmonize {
     // intermediates now instead of waiting for the ContextCleaner
     inter.foreach(graft.MemoRegistry.release)
     out
+  }
+
+  /** The assembly with the three FINAL tables streamed straight to
+    * their parquet sink — ONE materialization per table, not two
+    * (VERDICT r11 #2). `buildBrick` checkpoints each final table so
+    * in-session consumers can re-read it; when the destination is a
+    * durable parquet dir (the cross-session ArtifactStore brick), that
+    * checkpoint is a redundant second full write+read of the fact
+    * table — at the sf10-stretch the activities handoff alone is tens
+    * of GB, and the checkpoint copy is exactly the scratch-disk
+    * spender that kept the fourth-decade assembly from completing.
+    * Only the staging unions (each consumed twice: table + id map, or
+    * re-key chain + inchi scan) are materialized; each final-table
+    * write job projects them once and lands directly in `dir`.
+    */
+  private def buildBrickTo(spark: SparkSession, sfDir: String,
+      adapters: Seq[SourceAdapter], converter: StructureConverter,
+      dir: String): Unit = {
+    val inter = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val staged = adapters.map(a =>
+      a.name -> SourceAdapter.cachedStaging(a, spark, sfDir))
+    withScaledInitialPartitions(spark, stagedBytes(staged)) {
+      val b = brickFromStaged(staged, converter,
+        materialize = { df =>
+          val c = graft.MemoRegistry.checkpointLarge(df); inter += c; c })
+      b.substances.write.parquet(s"$dir/substances")
+      b.properties.write.parquet(s"$dir/properties")
+      b.activities.write.parquet(s"$dir/activities")
+    }
+    inter.foreach(graft.MemoRegistry.release)
   }
 
   def brick(spark: SparkSession, sfDir: String,

@@ -120,17 +120,46 @@ object AssemblyProfile {
         "acts.union+precollapse")
       val inter = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       val tAll = System.nanoTime()
+      // under EVICT_STAGED a prior rep deleted the triplet handoffs, so
+      // re-resolve through the memo (it re-stages evicted entries;
+      // without evict this returns the same cached frames)
+      val stagedRep =
+        if (rep == 1) staged
+        else SourceAdapter.all.map(a =>
+          a.name -> SourceAdapter.cachedStaging(a, spark, d))
       val (subs, props, acts) =
         Harmonize.withScaledInitialPartitions(spark,
-          Harmonize.stagedBytes(staged)) {
+          Harmonize.stagedBytes(stagedRep)) {
           println("[aprof] auto initialPartitionNum: " + spark.conf
             .getOption("spark.sql.adaptive.coalescePartitions." +
               "initialPartitionNum").getOrElse("(floor — session default)"))
-          val b = Harmonize.brickFromStaged(staged,
+          val b = Harmonize.brickFromStaged(stagedRep,
             materialize = { df =>
               val c = time(labels.next()) { MemoRegistry.checkpointLarge(df) }
               inter += c; c
             })
+          // SPARK_GRAFT_EVICT_STAGED=1: once the three staging unions
+          // are materialized, the 14 per-adapter triplet handoffs are
+          // DEAD (brickFromStaged reads them only to build the unions)
+          // and the union-build jobs' shuffle files are GC-able — but
+          // both keep sitting on scratch until session end. At the
+          // fourth decade that dead set is what starved the final
+          // activities write into ENOSPC (BENCH_LOCAL round 11), so
+          // the probe can now reclaim it at exactly the point a
+          // cluster would: when the lineage no longer references it.
+          // (Env-gated: multi-rep comparisons want stagings cached.)
+          if (sys.env.contains("SPARK_GRAFT_EVICT_STAGED")) {
+            def freeGB = Seq("/root/repo/target", "/dev/shm")
+              .map(p => f"$p ${new java.io.File(p).getUsableSpace / 1e9}%.1fGB")
+              .mkString("  ")
+            println(s"[aprof] scratch before evict: $freeGB")
+            time("evict.staged+gc") {
+              graft.sources.SourceAdapter.evict(spark)
+              System.gc()        // lets ContextCleaner drop the union
+              Thread.sleep(5000) // jobs' shuffle deps (async deletes)
+            }
+            println(s"[aprof] scratch after evict:  $freeGB")
+          }
           val subs = time("substances.ckpt") {
             MemoRegistry.checkpointLarge(b.substances) }
           val props = time("properties.ckpt") {
