@@ -31,12 +31,23 @@ object WindowIndexProbe {
       .persist()
     batch.count()
     for (factor <- Seq(1, 4, 16)) {
-      // replicate to `factor` with blocked id remap — all distinct docs
+      // replicate to `factor` with blocked id remap — and PREFIX every
+      // token with a replica tag so each replica contributes genuinely
+      // NEW 5-grams: real corpus growth grows the distinct-hash census
+      // ~linearly, and the r11-design flaw being probed (each append
+      // rewrites the fully-merged census) only shows when the census
+      // actually grows across decades. Shared-text replication (the
+      // pre-r12 fixture) held the census CONSTANT — flat append bytes
+      // there were necessary but not sufficient evidence. Token count
+      // per doc is unchanged, so window mass still scales with factor.
       val corpus =
         if (factor == 1) base
         else base
           .withColumn("__rep", explode(sequence(lit(0), lit(factor - 1))))
           .withColumn("doc_id", col("doc_id") + col("__rep") * n)
+          .withColumn("text",
+            regexp_replace(col("text"), lit("(^| )"),
+              concat(lit("$1r"), col("__rep"), lit("q"))))
           .drop("__rep")
       val dir = java.nio.file.Files
         .createTempDirectory(s"winidx-probe-$factor").toString + "/idx"
