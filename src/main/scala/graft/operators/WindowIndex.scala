@@ -202,26 +202,64 @@ object WindowIndex {
       Snapshot(merged, prior.map(_.batches).getOrElse(Nil) :+ id))
   }
 
-  /** Rewrite the index as ONE batch dir + ONE census dir and flip the
-    * pointer — the maintenance for a STANDING stream, where one batch
-    * dir lands per micro-batch and `readWindows` otherwise unions an
-    * ever-growing dir list. O(index) by nature; call it periodically
-    * (WindowIndexStreamJob's `compactEvery`), not per append. Old dirs
-    * stay on disk for in-flight readers of the previous snapshot —
-    * [[vacuum]] (age-gated) reclaims them later. Idempotent: compacting
-    * a single-batch index is a no-op.
+  /** Compact the batch-dir list down to ≤ `maxBatches` dirs and flip
+    * the pointer — the maintenance for a STANDING stream, where one
+    * batch dir lands per micro-batch and `readWindows` otherwise unions
+    * an ever-growing dir list. Old dirs stay on disk for in-flight
+    * readers of the previous snapshot — [[vacuum]] (age-gated) reclaims
+    * them later. Idempotent: an index already at ≤ `maxBatches` dirs is
+    * a no-op.
+    *
+    * `maxBatches = 1` (the default) is the FULL rewrite: one batch dir
+    * + one census dir — right for a one-off "freeze this index" pass,
+    * O(index) by nature. `maxBatches > 1` is SIZE-TIERED: only the
+    * SMALLEST dirs merge (just enough of them to land at the bound),
+    * so a standing stream's periodic compaction writes bytes
+    * proportional to the small recent batches, not the corpus — the
+    * same LSM argument that moved the census to deltas. Under
+    * smallest-first merging a window row is rewritten only when its
+    * run is again among the smallest, i.e. O(log(index/batch)) times
+    * over the index's lifetime, vs a full O(index) rewrite every
+    * period (which amortizes to O(index/period) per batch and GROWS
+    * with the corpus). Census dirs are left as-is in tiered mode —
+    * they are already delta-bounded by [[CensusCompactK]].
     */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String,
+      maxBatches: Int = 1): Unit = {
+    require(maxBatches >= 1, s"maxBatches must be >= 1, got $maxBatches")
     val cur = readCurrent(spark, path)
-    if (cur.batches.size <= 1 && cur.censuses.size <= 1) return
-    val id = java.util.UUID.randomUUID().toString
-    readConcat(spark, cur.batches.map(b => s"$path/batches/$b/windows"),
-      windowsSchema).write.parquet(s"$path/batches/$id/windows")
-    readConcat(spark, cur.batches.map(b => s"$path/batches/$b/manifest"),
-      manifestSchema).distinct()
-      .write.parquet(s"$path/batches/$id/manifest")
-    readCensus(spark, path, Some(cur)).write.parquet(s"$path/census/$id")
-    flipPointer(spark, path, Snapshot(Seq(id), Seq(id)))
+    if (maxBatches == 1) {
+      if (cur.batches.size <= 1 && cur.censuses.size <= 1) return
+      val id = java.util.UUID.randomUUID().toString
+      readConcat(spark, cur.batches.map(b => s"$path/batches/$b/windows"),
+        windowsSchema).write.parquet(s"$path/batches/$id/windows")
+      readConcat(spark, cur.batches.map(b => s"$path/batches/$b/manifest"),
+        manifestSchema).distinct()
+        .write.parquet(s"$path/batches/$id/manifest")
+      readCensus(spark, path, Some(cur)).write.parquet(s"$path/census/$id")
+      flipPointer(spark, path, Snapshot(Seq(id), Seq(id)))
+    } else {
+      if (cur.batches.size <= maxBatches) return
+      val fs = hfs(spark, path)
+      // one getContentSummary per dir — metadata RPCs, no data read
+      val bySize = cur.batches.map { b =>
+        b -> fs.getContentSummary(
+          new HPath(s"$path/batches/$b")).getLength
+      }.sortBy(_._2)
+      // merge exactly enough of the smallest dirs to land at the bound
+      val nVictims = cur.batches.size - maxBatches + 1
+      val victims = bySize.take(nVictims).map(_._1)
+      val keep = cur.batches.filterNot(victims.toSet) // original order
+      val id = java.util.UUID.randomUUID().toString
+      readConcat(spark, victims.map(b => s"$path/batches/$b/windows"),
+        windowsSchema).write.parquet(s"$path/batches/$id/windows")
+      // manifests of distinct committed batches are disjoint by the
+      // append anti-join; distinct() guards the write()-over-dup edge
+      readConcat(spark, victims.map(b => s"$path/batches/$b/manifest"),
+        manifestSchema).distinct()
+        .write.parquet(s"$path/batches/$id/manifest")
+      flipPointer(spark, path, Snapshot(cur.censuses, keep :+ id))
+    }
   }
 
   /** Remove every batch/census dir the committed pointer does not

@@ -27,15 +27,19 @@ import graft.operators.WindowIndex
   * Batch dirs accumulate one per non-empty micro-batch — on a standing
   * stream that is thousands of dirs after weeks, and every
   * `readWindows` unions them all. `compactEvery = Some(n)` bounds it:
-  * whenever the committed batch count reaches n the job rewrites the
-  * index as one batch + one census dir (`WindowIndex.compact` — a
-  * pointer flip, so concurrent dedup readers stay snapshot-safe) and
-  * the count restarts from 1. The compaction is idempotent and
-  * result-identical (WindowIndexSpec), so a micro-batch replayed
-  * around a crash between append and compact converges to the same
-  * index either way. Old dirs are reclaimed by the age-gated
-  * `WindowIndex.vacuum`, not here — a reader may hold the prior
-  * snapshot.
+  * whenever the committed batch count reaches n the job runs a
+  * SIZE-TIERED `WindowIndex.compact(maxBatches = n/2)` — only the
+  * smallest dirs merge, so the periodic rewrite is proportional to
+  * the recent small batches, NOT the whole index (a full rewrite
+  * every n batches amortizes to O(index/n) per batch and grows with
+  * the corpus; smallest-first merging rewrites a row O(log(index/
+  * batch)) times over its lifetime). The dir count then oscillates in
+  * [n/2, n]. The pointer flip keeps concurrent dedup readers
+  * snapshot-safe; the compaction is idempotent and result-identical
+  * (WindowIndexSpec), so a micro-batch replayed around a crash
+  * between append and compact converges to the same index either way.
+  * Old dirs are reclaimed by the age-gated `WindowIndex.vacuum`, not
+  * here — a reader may hold the prior snapshot.
   */
 object WindowIndexStreamJob {
 
@@ -70,7 +74,8 @@ object WindowIndexStreamJob {
           // batchCount is one pointer-file read — cheap per micro-batch
           compactEvery.foreach { n =>
             if (WindowIndex.batchCount(spark, indexPath) >= n)
-              WindowIndex.compact(spark, indexPath)
+              WindowIndex.compact(spark, indexPath,
+                maxBatches = math.max(1, n / 2))
           }
       }
       .start()

@@ -108,8 +108,11 @@ class WindowIndexFuzzSpec extends SparkSpec {
         WindowIndex.append(toDf(slice(b) ++ redeliver), dir)
         delivered ++= slice(b)
         if (rnd.nextInt(3) == 0) {
-          WindowIndex.compact(spark, dir)
-          if (rnd.nextBoolean()) WindowIndex.compact(spark, dir) // idem
+          // 1 = full rewrite, 2-4 = size-tiered (smallest dirs only)
+          val mb = 1 + rnd.nextInt(4)
+          WindowIndex.compact(spark, dir, mb)
+          assert(WindowIndex.batchCount(spark, dir) <= mb.toLong)
+          if (rnd.nextBoolean()) WindowIndex.compact(spark, dir, mb) // idem
         }
         check()
       }

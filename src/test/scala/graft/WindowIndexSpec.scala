@@ -117,6 +117,43 @@ class WindowIndexSpec extends SparkSpec {
     assert(WindowIndex.readWindows(spark, dir).collect().toSet == wins)
   }
 
+  test("tiered compaction merges only the smallest dirs down to the bound") {
+    val dir = Files.createTempDirectory("graft-winidx-t").toString + "/idx"
+    // one LARGE batch + four small ones: smallest-first merging must
+    // leave the large run untouched on disk
+    WindowIndex.write(docs.filter(col("doc_id") % 6 =!= 0), dir)
+    (0 until 4).foreach { i =>
+      WindowIndex.append(
+        docs.filter(col("doc_id") % 24 === (i * 6).toLong), dir)
+    }
+    assert(WindowIndex.batchCount(spark, dir) == 5L)
+    val wins = WindowIndex.readWindows(spark, dir).collect().toSet
+    val mani = WindowIndex.readManifest(spark, dir).collect().toSet
+    val dup = WindowIndex.readDup(spark, dir).collect().toSet
+    // the biggest referenced batch dir before compaction
+    val batchesDir = new java.io.File(s"$dir/batches")
+    def dirSize(f: java.io.File): Long =
+      java.nio.file.Files.walk(f.toPath).mapToLong(p =>
+        if (java.nio.file.Files.isRegularFile(p)) p.toFile.length else 0L)
+        .sum()
+    val largest = batchesDir.listFiles().maxBy(dirSize).getName
+    WindowIndex.compact(spark, dir, maxBatches = 3)
+    assert(WindowIndex.batchCount(spark, dir) == 3L)
+    assert(WindowIndex.readWindows(spark, dir).collect().toSet == wins)
+    assert(WindowIndex.readManifest(spark, dir).collect().toSet == mani)
+    assert(WindowIndex.readDup(spark, dir).collect().toSet == dup)
+    // idempotent at the bound: no further rewrite
+    WindowIndex.compact(spark, dir, maxBatches = 3)
+    assert(WindowIndex.batchCount(spark, dir) == 3L)
+    // vacuum(0) keeps exactly the REFERENCED dirs — the pre-compaction
+    // largest run must still be among them (it was never a victim)
+    WindowIndex.vacuum(spark, dir, 0L)
+    val kept = batchesDir.listFiles().map(_.getName).toSet
+    assert(kept.size == 3)
+    assert(kept.contains(largest))
+    assert(WindowIndex.readWindows(spark, dir).collect().toSet == wins)
+  }
+
   test("an appended doc flips an old hash into dup status (global census)") {
     import spark.implicits._
     val d1 = Seq((1L, "en", "s1", "alpha beta gamma delta epsilon zeta"))
