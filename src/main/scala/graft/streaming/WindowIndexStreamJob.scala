@@ -53,13 +53,25 @@ object WindowIndexStreamJob {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** `vacuumAgeMs`: when set, every compaction is followed by an
+    * age-gated `WindowIndex.vacuum` sweep of the dirs it (and prior
+    * appends) unreferenced — without it a standing stream's disk
+    * footprint grows forever even though the POINTER stays bounded.
+    * The age must comfortably exceed the longest concurrent reader's
+    * lifetime (vacuum's reader-grace contract); there is no safe
+    * library default, which is why this is opt-in like compactEvery.
+    */
   def run(spark: SparkSession, docDir: String, indexPath: String,
       checkpointDir: String, trigger: Trigger,
       maxFilesPerTrigger: Option[Int] = None,
-      compactEvery: Option[Int] = None): StreamingQuery = {
+      compactEvery: Option[Int] = None,
+      vacuumAgeMs: Option[Long] = None): StreamingQuery = {
     compactEvery.foreach(n => require(n >= 2,
       s"compactEvery must be >= 2 (got $n): compacting at every batch " +
         "would rewrite the whole index per micro-batch"))
+    require(vacuumAgeMs.isEmpty || compactEvery.nonEmpty,
+      "vacuumAgeMs without compactEvery has nothing to sweep on a " +
+        "pure-append stream (appends only add dirs); set compactEvery")
     val reader = spark.readStream.schema(docSchema)
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
@@ -73,9 +85,12 @@ object WindowIndexStreamJob {
           WindowIndex.append(batch, indexPath)
           // batchCount is one pointer-file read — cheap per micro-batch
           compactEvery.foreach { n =>
-            if (WindowIndex.batchCount(spark, indexPath) >= n)
+            if (WindowIndex.batchCount(spark, indexPath) >= n) {
               WindowIndex.compact(spark, indexPath,
                 maxBatches = math.max(1, n / 2))
+              vacuumAgeMs.foreach(age =>
+                WindowIndex.vacuum(spark, indexPath, age))
+            }
           }
       }
       .start()

@@ -114,4 +114,38 @@ class WindowIndexStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(root))
   }
+
+  test("stream vacuum sweeps unreferenced dirs without changing state") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-winidx-vac").toString
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val isNew = col("doc_id") % 3 === 0
+    WindowIndex.write(docs.filter(!isNew), s"$root/idx")
+    WindowIndex.write(docs.filter(!isNew), s"$root/twin")
+    for (part <- 0 to 2)
+      docs.filter(isNew).filter(pmod(col("doc_id"), lit(9)) === part * 3)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/arrivals/part=$part")
+    val q = WindowIndexStreamJob.run(spark, s"$root/arrivals",
+      s"$root/idx", s"$root/ckpt", Trigger.AvailableNow(),
+      maxFilesPerTrigger = Some(1), compactEvery = Some(2),
+      vacuumAgeMs = Some(0L))
+    val qt = WindowIndexStreamJob.run(spark, s"$root/arrivals",
+      s"$root/twin", s"$root/ckpt-t", Trigger.AvailableNow(),
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination(); qt.awaitTermination()
+    // reader-visible state identical to the never-compacted twin
+    assert(indexState(s"$root/idx") == indexState(s"$root/twin"))
+    // and the DISK now holds exactly the referenced dirs — compaction
+    // victims and superseded census deltas were swept mid-stream
+    def onDisk(sub: String): Long =
+      Option(new java.io.File(s"$root/idx/$sub").listFiles())
+        .map(_.count(_.isDirectory).toLong).getOrElse(0L)
+    assert(onDisk("batches") ==
+      WindowIndex.batchCount(spark, s"$root/idx"))
+    assert(onDisk("census") ==
+      WindowIndex.censusDirCount(spark, s"$root/idx"))
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+  }
 }
