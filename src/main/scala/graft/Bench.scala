@@ -58,6 +58,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.quietGlobalWindowWarns(spark)
     // session warm-up (scheduler, codegen, shuffle service) so the first
     // measured query isn't charged Spark's init cost
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -14,6 +14,7 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.quietGlobalWindowWarns(spark)
     new java.io.File(outDir).mkdirs()
     // Per-query failures are caught so one bad query can't zero the
     // round, but they must be LOUD: in round 5 a testdata-type change

@@ -203,19 +203,18 @@ object Harmonize {
     val inter = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val staged = adapters.map(a =>
       a.name -> SourceAdapter.cachedStaging(a, spark, sfDir))
-    val out = withScaledInitialPartitions(spark, stagedBytes(staged)) {
+    // the staging-union checkpoints only serve the assembly; the three
+    // final tables carry their own blocks, so free the intermediates as
+    // soon as the assembly finishes — in a finally, so a failed final
+    // checkpoint doesn't leave them pinned for the session (ADVICE r12)
+    try withScaledInitialPartitions(spark, stagedBytes(staged)) {
       val b = brickFromStaged(staged, converter,
         materialize = { df =>
           val c = graft.MemoRegistry.checkpointLarge(df); inter += c; c })
       Brick(graft.MemoRegistry.checkpointLarge(b.substances),
         graft.MemoRegistry.checkpointLarge(b.properties),
         graft.MemoRegistry.checkpointLarge(b.activities))
-    }
-    // the staging-union checkpoints only serve the assembly above; the
-    // three final tables carry their own blocks, so free the
-    // intermediates now instead of waiting for the ContextCleaner
-    inter.foreach(graft.MemoRegistry.release)
-    out
+    } finally inter.foreach(graft.MemoRegistry.release)
   }
 
   /** The assembly with the three FINAL tables streamed straight to
@@ -237,15 +236,17 @@ object Harmonize {
     val inter = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val staged = adapters.map(a =>
       a.name -> SourceAdapter.cachedStaging(a, spark, sfDir))
-    withScaledInitialPartitions(spark, stagedBytes(staged)) {
+    // finally: this path exists for the near-disk-full scenario — if a
+    // final-table write dies (ENOSPC), the staging checkpoints must not
+    // stay resident and starve the retry (ADVICE r12)
+    try withScaledInitialPartitions(spark, stagedBytes(staged)) {
       val b = brickFromStaged(staged, converter,
         materialize = { df =>
           val c = graft.MemoRegistry.checkpointLarge(df); inter += c; c })
       b.substances.write.parquet(s"$dir/substances")
       b.properties.write.parquet(s"$dir/properties")
       b.activities.write.parquet(s"$dir/activities")
-    }
-    inter.foreach(graft.MemoRegistry.release)
+    } finally inter.foreach(graft.MemoRegistry.release)
   }
 
   def brick(spark: SparkSession, sfDir: String,

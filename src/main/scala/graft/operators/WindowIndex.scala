@@ -241,10 +241,15 @@ object WindowIndex {
     } else {
       if (cur.batches.size <= maxBatches) return
       val fs = hfs(spark, path)
-      // one getContentSummary per dir — metadata RPCs, no data read
+      // victim ranking needs only RELATIVE sizes, and windows dominate
+      // every batch dir — so size each dir with ONE flat listStatus of
+      // its windows files (part files live directly there), not a
+      // recursive getContentSummary walk (ADVICE r12: on an object
+      // store the recursive listing per dir made compaction metadata
+      // cost grow with maxBatches even on no-op passes)
       val bySize = cur.batches.map { b =>
-        b -> fs.getContentSummary(
-          new HPath(s"$path/batches/$b")).getLength
+        b -> fs.listStatus(new HPath(s"$path/batches/$b/windows"))
+          .iterator.map(_.getLen).sum
       }.sortBy(_._2)
       // merge exactly enough of the smallest dirs to land at the bound
       val nVictims = cur.batches.size - maxBatches + 1

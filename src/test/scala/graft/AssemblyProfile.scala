@@ -149,9 +149,22 @@ object AssemblyProfile {
           // cluster would: when the lineage no longer references it.
           // (Env-gated: multi-rep comparisons want stagings cached.)
           if (sys.env.contains("SPARK_GRAFT_EVICT_STAGED")) {
-            def freeGB = Seq("/root/repo/target", "/dev/shm")
-              .map(p => f"$p ${new java.io.File(p).getUsableSpace / 1e9}%.1fGB")
-              .mkString("  ")
+            // report the dirs the run actually scratches on — shuffle
+            // spill (spark.local.dir) + the checkpoint handoff bases —
+            // not hard-coded machine paths (ADVICE r12)
+            def freeGB = {
+              val ckptBases = spark.conf
+                .getOption(MemoRegistry.CkptDirKey)
+                .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+                .getOrElse(Seq(
+                  sys.props.getOrElse("java.io.tmpdir", "/tmp")))
+              val localDirs = spark.conf.getOption("spark.local.dir")
+                .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+                .getOrElse(Seq(sys.props.getOrElse("java.io.tmpdir", "/tmp")))
+              (localDirs ++ ckptBases).distinct
+                .map(p => f"$p ${new java.io.File(p).getUsableSpace / 1e9}%.1fGB")
+                .mkString("  ")
+            }
             println(s"[aprof] scratch before evict: $freeGB")
             time("evict.staged+gc") {
               graft.sources.SourceAdapter.evict(spark)
