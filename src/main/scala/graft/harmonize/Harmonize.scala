@@ -323,11 +323,24 @@ object Harmonize {
       .groupBy(col("source"), col("sid"), col("pid"), col("inchi"),
         col("value"))
       .agg(min(col("numvalue")).as("numvalue")))
+    // SHUFFLE_HASH on the id-map sides (VERDICT r12 #4): the default
+    // sort-merge plan sorts the FACT side once per re-key join — at the
+    // fourth decade that sort residency was the assembly's one
+    // remaining spill (7.5 GB, BENCH_LOCAL r12; the id maps are the
+    // smaller sides by 5-45×). With the maps as shuffled-hash build
+    // sides the fact stream never sorts: per task the build partition
+    // is map_bytes/width (~5 MB at the sf10 stretch), the probe-side
+    // activities rows stream through. Output is bit-identical — join
+    // strategy doesn't change join semantics — and the same argument
+    // holds at cluster scale: the dimension tables grow with distinct
+    // substances/properties, the fact table with measurements, and the
+    // auto width grows partitions with the data, so the per-task build
+    // stays bounded.
     val rekeyed = actsStaging
       .withColumnRenamed("sid", "old_sid")
       .withColumnRenamed("pid", "old_pid")
-      .join(sidMap, Seq("source", "old_sid"))
-      .join(pidMap, Seq("source", "old_pid"))
+      .join(sidMap.hint("shuffle_hash"), Seq("source", "old_sid"))
+      .join(pidMap.hint("shuffle_hash"), Seq("source", "old_pid"))
 
     // D2 smiles enrichment, the reference's distinct-inchi → convert →
     // join-back step (py:72-73): the converter (an expensive chemistry
@@ -353,8 +366,10 @@ object Harmonize {
     // min(numvalue). Same shuffle shape as distinct (hash on the same
     // keys), identical output where staging already has one row per
     // (sid, pid, value), and aid stays unique (DataQuality.aid_unique).
+    // same sort-elision as the re-key joins: the distinct-structure map
+    // is substance-sized, the fact side must not sort on inchi
     val activities = rekeyed
-      .join(inchiMap, Seq("inchi"), "left")
+      .join(inchiMap.hint("shuffle_hash"), Seq("inchi"), "left")
       .withColumn("binary_value",
         when(col("value") === "positive", 1).otherwise(0))
       .withColumn("aid",

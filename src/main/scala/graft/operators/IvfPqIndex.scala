@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Persisted IVF-PQ index — the artifact form of the ann11 composite
@@ -114,14 +113,16 @@ object IvfPqIndex {
     // append()'s anti-join guards keep vec_ids unique in both legs, so
     // search reads them raw — no corpus-wide dedup on the hot path
     val lists = spark.read.parquet(s"$path/lists")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__ccos").desc, col("cid"))
-    val probes = e.filter(isQuery)
-      .select(col("vec_id").as("query_id"), col("embedding"))
-      .crossJoin(broadcast(coarse))
-      .withColumn("__ccos", expr("cosine_sim(embedding, cv)"))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= nprobe)
+    // fused probe selection (VERDICT r12 #2): the query×k scored
+    // stream never materializes and nothing windows — the same
+    // (cosine desc, lowest-cid tie) winners as the row_number form the
+    // ann14 oracle replays (KMeansSpec pins fused ≡ window), and the
+    // shape stays flat when the query side is corpus-sized (re-scoring
+    // a whole collection against a new index)
+    val probes = KMeans.probesFused(
+        e.filter(isQuery)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        coarse, "embedding", nprobe)
       .select(col("query_id"), col("cid"))
     val cands = broadcast(probes)
       .join(lists.withColumnRenamed("vec_id", "neighbor_id"), Seq("cid"))

@@ -113,6 +113,45 @@ object KMeans {
         col("__b.ccos").as("ccos")).toIndexedSeq: _*)
   }
 
+  /** Fused top-`n` probe selection (the nprobe>1 companion of
+    * [[assignFused]] — VERDICT r12 #2): each vector's `n` best
+    * centroids by cosine, ties to the lowest cid, WITHOUT ever
+    * materializing the N×k scored row stream the crossJoin+rank
+    * formulations build. The centroid table (quantizer-scale, the
+    * same bounded artifact every search broadcasts) collects to the
+    * driver and rides into [[graft.functions.NearestCentroids]] as a
+    * reference object; per vector the k×d loop and the n-slot
+    * insertion run in registers inside WholeStageCodegen, and ONE
+    * posexplode turns the winner array into rows. Output: vecs.* +
+    * cid + ccos + rk (1 = best); fewer than `n` valid centroids emit
+    * fewer rows, matching the rank-filter forms. Same loud-failure
+    * contract as assignFused: a vector no centroid can score
+    * (null/null-element/dimension-orphan) fails the job instead of
+    * silently vanishing from the probe set.
+    */
+  def probesFused(vecs: DataFrame, cents: DataFrame, vecCol: String,
+      n: Int): DataFrame = {
+    val rows = cents.select(col("cid").cast("long"),
+      col("cv").cast("array<double>")).collect()
+    val cids = rows.map(_.getLong(0))
+    val cvs = rows.map(_.getSeq[Double](1).toArray)
+    val nc = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.NearestCentroids(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(vecCol),
+        cids, cvs, n))
+    vecs.withColumn("__p", nc)
+      .withColumn("__p", when(col("__p").isNotNull, col("__p"))
+        .otherwise(raise_error(lit("probesFused: embedding is null, has " +
+          "a null element, or its dimension matches no centroid - the " +
+          "corpus and quantizer disagree; clean or re-train before " +
+          "probing"))))
+      .select((vecs.columns.map(col) :+
+        posexplode(col("__p")).as(Seq("__i", "__b"))).toIndexedSeq: _*)
+      .select((vecs.columns.map(col) :+ col("__b.cid").as("cid") :+
+        col("__b.ccos").as("ccos") :+
+        (col("__i") + 1).cast("int").as("rk")).toIndexedSeq: _*)
+  }
+
   /** Decimal-exact positional mean per cluster → (cid, cv). Clusters
     * that lost all members drop out (both engines agree on this).
     */

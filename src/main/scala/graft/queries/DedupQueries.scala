@@ -142,18 +142,17 @@ object DedupQueries extends QueryModule {
       val init = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"),
           expr("transform(embedding, x -> cast(x AS double))").as("cv"))
-      val cents = KMeans.lloyd(e, init, "vec_id", "embedding", iters = 1)
-      // argmax-struct assignment (the KMeans.assign shape — only N
-      // winners cross the exchange, never N×k sorted full-vector
-      // rows); inline rather than KMeans.assign because dd12's keep
-      // policy needs the winner's ccos, which the struct carries
-      e.crossJoin(broadcast(cents))
-        .withColumn("ccos", expr("cosine_sim(embedding, cv)"))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("ccos"), (-col("cid")).as("nc"))).as("b"),
-          first(col("embedding")).as("embedding"))
-        .select(col("vec_id"), col("embedding"),
-          (-col("b.nc")).as("cid"), col("b.ccos").as("ccos"))
+      // FUSED training + assignment (VERDICT r12 #1): lloydFused ≡
+      // lloyd (same decimal-exact centroids, KMeansSpec) and
+      // assignFused ≡ the argmax-struct aggregate this replaces —
+      // bit-identical (cid, ccos) winners, but no N×k row stream
+      // exists in either round; assignFused returns the winner's ccos,
+      // which dd12's keep policy needs
+      val cents = KMeans.lloydFused(e.select(col("vec_id"),
+        col("embedding")), init, "embedding", iters = 1)
+      KMeans.assignFused(e.select(col("vec_id"), col("embedding")),
+          cents, "embedding")
+        .select(col("vec_id"), col("embedding"), col("cid"), col("ccos"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 

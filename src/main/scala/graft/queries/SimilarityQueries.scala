@@ -178,20 +178,20 @@ object SimilarityQueries extends QueryModule {
 
     // Multi-probe IVF: each query searches its top-2 centroid lists —
     // the standard recall knob (nprobe) of an IVF index. The probe set
-    // is a per-query centroid ranking (tiny: Q × K); candidates come
-    // from the same inverted lists via the same equi-join. Lists are
-    // disjoint, so no candidate dedup is needed.
+    // comes from the FUSED top-n expression (VERDICT r12 #2 —
+    // KMeans.probesFused): no crossJoin row stream, no window sort;
+    // per query the k×d loop + 2-slot insertion run in registers and
+    // posexplode emits the probe rows — same (ccos desc, lowest-cid
+    // tie) winners as the row_number form the oracle replays
+    // (KMeansSpec pins fused ≡ window). Candidates come from the same
+    // inverted lists via the same equi-join. Lists are disjoint, so no
+    // candidate dedup is needed.
     "ann6_ivf_multiprobe" -> ((s, d) => {
       GraftFunctions.register(s)
-      val wProbe = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("clabel"))
-      val probes = Tables.embeddings(s, d).filter(col("vec_id") < 10)
-        .crossJoin(broadcast(centroids(s, d)))
-        .withColumn("ccos", expr("cosine_sim(embedding, cv)"))
-        .withColumn("prk", row_number().over(wProbe))
-        .filter(col("prk") <= 2)
+      val probes = queryProbes(s, d, Tables.embeddings(s, d)
+          .filter(col("vec_id") < 10), nProbe = 2)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-          col("clabel").as("list_id"))
+          col("list_id"))
       val c = cachedAssigned(s, d).select(col("vec_id").as("neighbor_id"),
         col("embedding").as("nv"), col("list_id"))
       val w = Window.partitionBy(col("query_id"))
@@ -346,15 +346,8 @@ object SimilarityQueries extends QueryModule {
     "ann11_ivf_pq" -> ((s, d) => {
       GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
-      val wProbe = Window.partitionBy(col("query_id"))
-        .orderBy(col("ccos").desc, col("clabel"))
-      val probes = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-        .crossJoin(broadcast(centroids(s, d)))
-        .withColumn("ccos", expr("cosine_sim(embedding, cv)"))
-        .withColumn("prk", row_number().over(wProbe))
-        .filter(col("prk") <= 2)
-        .select(col("query_id"), col("clabel").as("list_id"))
+      val probes = queryProbes(s, d, e.filter(col("vec_id") < 10), 2)
+        .select(col("vec_id").as("query_id"), col("list_id"))
       // each vector lives in exactly ONE list (rk=1 assignment), so the
       // probe join yields every (query, neighbor) pair at most once —
       // no distinct needed, no extra shuffle
@@ -406,15 +399,8 @@ object SimilarityQueries extends QueryModule {
       GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
       val rShort = shortlistWidth(s, d)
-      val wProbe = Window.partitionBy(col("query_id"))
-        .orderBy(col("ccos").desc, col("clabel"))
-      val probes = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-        .crossJoin(broadcast(centroids(s, d)))
-        .withColumn("ccos", expr("cosine_sim(embedding, cv)"))
-        .withColumn("prk", row_number().over(wProbe))
-        .filter(col("prk") <= 2)
-        .select(col("query_id"), col("clabel").as("list_id"))
+      val probes = queryProbes(s, d, e.filter(col("vec_id") < 10), 2)
+        .select(col("vec_id").as("query_id"), col("list_id"))
       val cands = broadcast(probes)
         .join(cachedAssigned(s, d)
             .select(col("vec_id").as("neighbor_id"), col("list_id")),
@@ -462,15 +448,8 @@ object SimilarityQueries extends QueryModule {
     "ann12_residual_pq" -> ((s, d) => {
       GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
-      val wProbe = Window.partitionBy(col("query_id"))
-        .orderBy(col("ccos").desc, col("clabel"))
-      val probes = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-        .crossJoin(broadcast(centroids(s, d)))
-        .withColumn("ccos", expr("cosine_sim(embedding, cv)"))
-        .withColumn("prk", row_number().over(wProbe))
-        .filter(col("prk") <= 2)
-        .select(col("query_id"), col("clabel").as("list_id"))
+      val probes = queryProbes(s, d, e.filter(col("vec_id") < 10), 2)
+        .select(col("vec_id").as("query_id"), col("list_id"))
       val candsL = broadcast(probes)
         .join(cachedAssigned(s, d)
             .select(col("vec_id").as("neighbor_id"), col("list_id")),
@@ -562,14 +541,10 @@ object SimilarityQueries extends QueryModule {
       // the seeded sample. One parquet-statistics count picks the path.
       val nVec = e.count()
       val probes =
-        if (nVec <= 10000L) {
-          val scored = Tables.embeddings(s, d)
-            .crossJoin(broadcast(centroids(s, d)))
-            .select(col("vec_id"), col("clabel"),
-              expr("cosine_sim(embedding, cv)").as("ccos"))
-          topProbes(scored, "clabel", 2)
-            .select(col("vec_id"), col("clabel").as("list_id"), col("rk"))
-        } else refinedProbes(s, d, nVec)
+        if (nVec <= 10000L)
+          queryProbes(s, d, Tables.embeddings(s, d), 2)
+            .select(col("vec_id"), col("list_id"), col("rk"))
+        else refinedProbes(s, d, nVec)
       def cosPairs(cand: DataFrame): DataFrame = cand
         .join(broadcast(e.select(col("vec_id").as("va"),
           col("embedding").as("x"))), Seq("va"))
@@ -641,6 +616,25 @@ object SimilarityQueries extends QueryModule {
   private val centMemo = scala.collection.mutable
     .Map.empty[(SparkSession, String), DataFrame]
 
+  /** Top-`nProbe` centroid lists per query vector — the probe-set
+    * builder every IVF query shares (ann6/ann11/ann12/ann13, dd10's
+    * gate path), on the FUSED top-n expression (VERDICT r12 #2 —
+    * [[graft.operators.KMeans.probesFused]]): no crossJoin row stream,
+    * no window sort, no heap exec; the plan is scan → project
+    * (generated k×d loop + n-slot insertion) → posexplode. Same
+    * winners as the row_number-window formulation the oracles replay
+    * (cosine desc, ties to the lowest label — KMeansSpec pins fused ≡
+    * window ≡ heap, bit-identical ccos). Returns qs.* + list_id +
+    * rk (1 = best).
+    */
+  private def queryProbes(s: SparkSession, d: String, qs: DataFrame,
+      nProbe: Int): DataFrame =
+    graft.operators.KMeans.probesFused(qs,
+        centroids(s, d).select(col("clabel").as("cid"), col("cv")),
+        "embedding", nProbe)
+      .withColumnRenamed("cid", "list_id")
+      .drop("ccos")
+
   /** Per-label decimal-exact centroids → (clabel, cv). One definition for
     * ann4/ann5/ann6 (their oracle CTEs replay exactly this formulation),
     * memoized + persisted: the centroid frame is tiny but its build scans
@@ -698,10 +692,14 @@ object SimilarityQueries extends QueryModule {
   /** Every vector with its nearest-centroid list id, memoized + persisted
     * per session: the scoring pass is the expensive stage and ann4/ann5
     * both consume it (ann5 twice, as query and candidate sides).
-    * Assignment is KMeans.assign's argmax-struct aggregate (VERDICT r9
-    * #3), NOT a row_number window: only N winners cross the exchange
-    * instead of N×k sorted rows — same winner (highest cosine, ties to
-    * the lowest label; KMeansSpec pins window ≡ aggregate).
+    * Assignment is the FUSED nearest-centroid expression (VERDICT r12
+    * #1 — KMeans.assignFused): no N×k row stream exists at all; per
+    * vector the k×d cosine loop runs in registers and one winner
+    * struct comes out — same winner as the argmax-struct aggregate and
+    * the row_number window it previously replaced (highest cosine,
+    * ties to the lowest label; KMeansSpec pins fused ≡ aggregate ≡
+    * window, bit-identical ccos), so the DuckDB oracles replaying the
+    * window formulation are unchanged.
     */
   private def cachedAssigned(s: SparkSession, d: String): DataFrame =
     graft.MemoRegistry.memoGet(assignMemo, assignInflight, (s, d)) {
@@ -710,12 +708,15 @@ object SimilarityQueries extends QueryModule {
       // expensive deterministic scoring pass ann4/5/11/12/13 all
       // ride — store-hosted like the PQ artifacts. memoGet keeps the
       // fingerprint + store build outside any module lock (ADVICE r11).
+      // Recipe bumped v1→v2 with the fused swap: output is
+      // bit-identical, but a stale-artifact reuse must not mask the
+      // new build path.
       val dir = graft.ArtifactStore.ensure(s, "ivf-assigned",
-        embKey(s, d, "assigned-v1")) { tmp =>
-        graft.operators.KMeans.assign(
+        embKey(s, d, "assigned-v2")) { tmp =>
+        graft.operators.KMeans.assignFused(
             Tables.embeddings(s, d),
             centroids(s, d).select(col("clabel").as("cid"), col("cv")),
-            "vec_id", "embedding")
+            "embedding")
           .select(col("vec_id"), col("label"), col("embedding"),
             col("cid").as("list_id"))
           .write.parquet(s"$tmp/assigned")
@@ -792,26 +793,63 @@ object SimilarityQueries extends QueryModule {
       }
     }
 
-  /** ann13's derived shortlist width (VERDICT r10 #6): the exact-dup
-    * group-size census (one xxhash64 groupBy pass — the cheap census
-    * for an exact-dup-dominated corpus) fed through
-    * [[graft.operators.IvfPqIndex.shortlistR]]. Memoized per
-    * (session, sfDir): the derivation collects one scalar, and like
-    * every construction-time job here it must run once, not per
-    * bench pass (the exactTop3Audit lesson).
+  /** ann13's derived shortlist width (VERDICT r10 #6, widened to
+    * MEASURED near-dup depth by r12 #5): the ε-twin component census —
+    * within-list pairs at cosine ≥ 0.9 over the corpus's own IVF
+    * blocking (never all-pairs: the dd10 candidate shape, ~N²/lists at
+    * the ≤10k gate posture, ~N^1.5 on the √(10·N)-list scale posture),
+    * connected components, size census — fed through
+    * [[graft.operators.IvfPqIndex.shortlistR]]. This subsumes the old
+    * exact-dup xxhash64 census: exact duplicates are cosine-1 twins,
+    * and the 200k ε-perturbed stretch showed R must exceed the
+    * NEAR-dup group depth, not just the exact one (a compressed top-R
+    * fills with byte-similar twins of one original before a second
+    * original's neighbors enter — BENCH_LOCAL third-decade recall
+    * rows). On a twin-free corpus every component is trivial and R
+    * lands on the floor 10, which is what keeps the oracle's literal
+    * rank-10 cut exact at the gate scales. Memoized per
+    * (session, sfDir) via memoGet — the census is a multi-job build
+    * (pairs + component propagation) and must run once, outside any
+    * module lock.
     */
   private val rShortMemo = scala.collection.mutable
     .Map.empty[(SparkSession, String), Int]
+  private val rShortInflight = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    java.util.concurrent.CompletableFuture[Int]]()
 
   private def shortlistWidth(s: SparkSession, d: String): Int =
-    rShortMemo.synchronized {
-      rShortMemo.getOrElseUpdate((s, d), {
-        val census = Tables.embeddings(s, d)
-          .groupBy(xxhash64(col("embedding")).as("g"))
-          .agg(count(lit(1)).as("size"))
+    graft.MemoRegistry.memoGet(rShortMemo, rShortInflight, (s, d)) {
+      GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val nVec = e.count()
+      val lists =
+        if (nVec <= 10000L)
+          cachedAssigned(s, d).select(col("vec_id"), col("list_id"))
+        else refinedProbes(s, d, nVec).filter(col("rk") === 1)
+          .select(col("vec_id"), col("list_id"))
+      val emb = e.select(col("vec_id"), col("embedding"))
+      // plain equi-joins to attach vectors: AQE broadcasts the corpus
+      // side while it fits (both gate scales) and falls back to a hash
+      // join at real scale — the pair frame is the big side either way
+      val pairs = lists.select(col("list_id"), col("vec_id").as("da"))
+        .join(lists.select(col("list_id"), col("vec_id").as("db")),
+          Seq("list_id"))
+        .filter(col("da") < col("db"))
+        .join(emb.select(col("vec_id").as("da"),
+          col("embedding").as("ea")), Seq("da"))
+        .join(emb.select(col("vec_id").as("db"),
+          col("embedding").as("eb")), Seq("db"))
+        .filter(expr("cosine_sim(ea, eb)") >= 0.9)
+        .select(col("da"), col("db"))
+      if (pairs.isEmpty) 10 // twin-free: every component trivial → floor
+      else {
+        val census = graft.operators.Graph
+          .connectedComponents(pairs, "da", "db")
+          .groupBy(col("component")).agg(count(lit(1)).as("size"))
           .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
         graft.operators.IvfPqIndex.shortlistR(census, k = 3, rMin = 10)
-      })
+      }
     }
 
   graft.MemoRegistry.register { spark =>
@@ -882,33 +920,6 @@ object SimilarityQueries extends QueryModule {
     * the threshold — not the corpus — and an unbounded audit fails
     * fast instead of silently going quadratic.
     */
-  /** Top-`n` centroid probes per vector WITHOUT the N×k window sort
-    * (VERDICT r9 #3, the nprobe>1 extension of the argmax-struct
-    * trick): the scored stream `(vec_id, <cidCol>, ccos)` flows
-    * through the native [[graft.plans.TopKPerGroup]] bounded heaps —
-    * the N×k rows are STREAMED through fixed n-slot heaps (partial
-    * heaps before the exchange, so only maps × vectors × n rows cross
-    * it; nothing is ever sorted) — ordered by the same composite the
-    * argmax-struct assignment uses: struct(ccos, −cid) descending =
-    * cosine desc, ties to the lowest cid. cid is unique per vector, so
-    * the order is TOTAL and the heap drops nothing arbitrarily; NaN
-    * ranks greatest and a null cosine least, exactly like the
-    * row_number formulation this replaces (TopKSpec pins heap ≡
-    * window on ties and NaN). `rk` (1..n) is then a row_number over
-    * the RETAINED N×n rows, which leave the heap exec already
-    * clustered by vec_id — Spark elides that exchange and pays only an
-    * n-row local sort per vector.
-    */
-  private def topProbes(scored: DataFrame, cidCol: String,
-      n: Int): DataFrame = {
-    val ranked = graft.plans.TopK.topKPerGroup(
-      scored.withColumn("__ord",
-        struct(col("ccos"), (-col(cidCol)).as("nc"))),
-      Seq("vec_id"), "__ord", desc = true, k = n)
-    val wr = Window.partitionBy(col("vec_id")).orderBy(col("__ord").desc)
-    ranked.withColumn("rk", row_number().over(wr)).drop("__ord")
-  }
-
   private[graft] val MaxAuditQueries = 1024
   private[graft] def exactTop3Audit(e: DataFrame,
       qPred: org.apache.spark.sql.Column): DataFrame = {
@@ -951,14 +962,15 @@ object SimilarityQueries extends QueryModule {
     * (the fixed-label blocks' fate at any real corpus). Deterministic
     * end-to-end: seeded hash-min init (k lowest xxhash64 ids via
     * TakeOrderedAndProject — no global window), a seeded ~10·k-vector
-    * training sample for ONE Lloyd round, total-order tie-breaks. The
-    * probe projection narrows to (vec_id, cid, ccos) BEFORE ranking so
-    * the scored stream never carries embeddings, and ranking is
-    * [[topProbes]]' bounded heaps — the N×k rows (k = ⌈√(10·N)⌉, the
-    * index build's dominant mass) are never window-sorted; only N×2
-    * winners cross the exchange. Memoized + persisted per
-    * (session, sfDir) like the other index artifacts — build once,
-    * search many.
+    * training sample for ONE Lloyd round, total-order tie-breaks.
+    * Probe ranking is [[graft.operators.KMeans.probesFused]]'s fused
+    * expression — the N×k scored stream (k = ⌈√(10·N)⌉, the index
+    * build's dominant mass) never materializes at all; per vector the
+    * k×d loop and 2-slot insertion run in registers and posexplode
+    * emits exactly N×2 winner rows (VERDICT r12 #2 — previously the
+    * TopKPerGroup bounded heaps, which streamed but still built the
+    * N×k rows). Memoized + persisted per (session, sfDir) like the
+    * other index artifacts — build once, search many.
     */
   private def refinedProbes(s: SparkSession, d: String,
       nVec: Long): DataFrame =
@@ -973,13 +985,16 @@ object SimilarityQueries extends QueryModule {
         val train = e
           .filter(pmod(xxhash64(col("vec_id"), lit(11L)), lit(pTrain)) === 0)
           .select(col("vec_id"), col("embedding"))
+        // fused Lloyd + fused probe ranking (VERDICT r12 #1/#2): the
+        // N×k scored stream — this path's dominant mass at scale-grown
+        // k — never materializes; per vector the k×d loop and 2-slot
+        // insertion run in registers (same winners as the heap/window
+        // forms, KMeansSpec)
         val cents = graft.operators.KMeans
-          .lloyd(train, init, "vec_id", "embedding", iters = 1)
-        val scored = e.select(col("vec_id"), col("embedding"))
-          .crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("cid"),
-            expr("cosine_sim(embedding, cv)").as("ccos"))
-        topProbes(scored, "cid", 2)
+          .lloydFused(train, init, "embedding", iters = 1)
+        graft.operators.KMeans
+          .probesFused(e.select(col("vec_id"), col("embedding")),
+            cents, "embedding", 2)
           .select(col("vec_id"), col("cid").as("list_id"), col("rk"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }

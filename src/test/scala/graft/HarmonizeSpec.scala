@@ -18,6 +18,17 @@ class HarmonizeSpec extends SparkSpec {
     assert(brick.activities.count() > 0)
   }
 
+  test("activities re-key joins are shuffled-hash — the fact side never sorts") {
+    // VERDICT r12 #4: the fourth-decade assembly's one remaining spill
+    // was the fact side's sort residency under the default sort-merge
+    // re-key joins; the SHUFFLE_HASH hints on the id-map/inchi sides
+    // must actually plan as ShuffledHashJoin (a silently-ignored hint
+    // would reintroduce the spill at scale with no correctness signal)
+    val plan = brick.activities.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("assembly initial-partition scaling tracks staged bytes, then restores") {
     val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     val cur = spark.conf.get("spark.sql.shuffle.partitions").toInt

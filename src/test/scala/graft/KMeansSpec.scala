@@ -135,6 +135,59 @@ class KMeansSpec extends SparkSpec {
       .filter(col("cv0") =!= col("cv1")).count()
     assert(moved > 0)
   }
+  test("fused top-n probes match the row_number window form on real data") {
+    // probesFused (VERDICT r12 #2) must emit exactly the rows the
+    // crossJoin + row_number formulation ranks — same (cid, rk) per
+    // vector AND bit-identical ccos
+    import org.apache.spark.sql.expressions.Window
+    val cents = init(8)
+    val fused = KMeans.probesFused(
+      vecs.select(col("vec_id"), col("embedding")), cents, "embedding", 2)
+      .select("vec_id", "cid", "ccos", "rk")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val viaWin = vecs.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr("cosine_sim(embedding, cv)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .select("vec_id", "cid", "ccos", "rk")
+    assert(fused.exceptAll(viaWin).count() == 0 &&
+      viaWin.exceptAll(fused).count() == 0)
+    assert(fused.count() == vecs.count() * 2)
+  }
+
+  test("fused probes pin window semantics on ties, NaN, and short tables") {
+    // ties break to the lowest cid at EVERY rank; a zero vector's NaN
+    // cosines rank greatest (Double.compare order, same as the desc
+    // window); fewer valid centroids than n emit fewer rows
+    val v = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((7L, Array(1.0, 0.0)), (3L, Array(1.0, 0.0)),
+      (5L, Array(0.0, 1.0))).toDF("cid", "cv")
+    val got = KMeans.probesFused(v, cents, "embedding", 2)
+      .select("vec_id", "cid", "rk").collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(got((1L, 1)) == 3L && got((1L, 2)) == 7L) // tie → lowest cid
+    assert(got((2L, 1)) == 3L && got((2L, 2)) == 5L) // all-NaN: cid order
+    val one = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val shortTable = Seq((9L, Array(1.0, 0.0))).toDF("cid", "cv")
+    assert(KMeans.probesFused(one, shortTable, "embedding", 2)
+      .count() == 1) // k=1 < n=2 → one probe row, not a padded one
+  }
+
+  test("fused probe plan has no window, heap, or join — scan+project only") {
+    // the point of the fused expression: the N×k scored stream never
+    // exists, so the probe plan must contain no WindowExec, no
+    // TopKPerGroup heap exec, no join of any kind, and no exchange
+    val plan = KMeans.probesFused(
+      vecs.select(col("vec_id"), col("embedding")), init(8),
+      "embedding", 2)
+      .queryExecution.executedPlan.toString
+    Seq("Window", "TopKPerGroup", "Join", "Exchange").foreach { bad =>
+      assert(!plan.contains(bad), s"probe plan contains $bad:\n$plan")
+    }
+  }
+
   test("fused assignment fails loudly on a dimension-mismatched vector") {
     // ADVICE r9: a vector no centroid can score must fail the build,
     // not silently vanish (IvfPqIndex would give it codes but no lists

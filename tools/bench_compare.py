@@ -11,6 +11,12 @@ Accepts either artifact shape:
     BENCH_LATEST.json at each round's end-of-round commit:
     `git show <commit>:BENCH_LATEST.json > /tmp/rN.json`.)
 
+Prefer median-of-runs artifacts on BOTH sides (tools/bench_median.py —
+round 13 onward BENCH_LATEST.json is the merged median of >= 3
+close-window runs): single-run maps carry the machine's documented
+±12% co-tenant band, which this compare cannot distinguish from a real
+uniform regression.
+
 Queries listed in BENCH_r05_BROKEN.json (fail-fast rows recorded during
 the round-5 gate breakage) are excluded automatically whenever the OLD
 side carries their fail-fast signature (most of them present at <0.1s)
