@@ -517,6 +517,46 @@ object SimilarityQueries extends QueryModule {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Attribute-FILTERED ANN — the production "pre-filter" serving
+    // pattern (a metadata predicate constrains the eligible neighbor
+    // set: shard membership, license class, language…): the predicate
+    // is applied DURING candidate generation — on the inverted-list
+    // side, where a columnar store pushes it into the scan — so the
+    // probe still yields k eligible results. The one-row audit column
+    // quantifies why the naive alternative (post-filtering the
+    // UNFILTERED top-k) is wrong: of the 30 unfiltered exact top-3
+    // rows, only the even-label survivors remain after the fact —
+    // a post-filtering server returns fewer than k hits exactly when
+    // the filter is selective, while the pre-filter path here pays the
+    // same probe cost and fills all k slots. Same probe/join shape as
+    // ann6 (fused probes, equi-join on list_id, exact cosine rank).
+    "ann15_filtered_search" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val probes = queryProbes(s, d, e.filter(col("vec_id") < 10), 2)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("list_id"))
+      val c = cachedAssigned(s, d)
+        .filter(col("label") % 2 === 0) // the pushed predicate
+        .select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("nv"), col("list_id"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val pre = probes.join(c, Seq("list_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", expr("cosine_sim(qv, nv)"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+      val post = exactTop3Audit(e, col("vec_id") < 10)
+        .join(e.select(col("vec_id").as("neighbor_id"), col("label")),
+          Seq("neighbor_id"))
+        .filter(col("label") % 2 === 0)
+        .agg(count(lit(1)).as("post_filter_hits"))
+      pre.crossJoin(broadcast(post))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Cluster-blocked embedding near-dup — the sub-quadratic production
     // counterpart of dd5's brute pair scan (which stays as the labeled
     // ground-truth baseline). Vectors are blocked by their nearest
@@ -1623,6 +1663,74 @@ object SimilarityQueries extends QueryModule {
         |  FROM probes p JOIN assigned b ON p.list_id = b.list_id
         |    AND p.query_id <> b.vec_id)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // ann6's CTEs with the even-label predicate on the candidate side
+    // (pre-filtering), plus the post-filter audit over the unfiltered
+    // exact top-3
+    "ann15_filtered_search" ->
+      """WITH expl AS (
+        |  SELECT label, unnest(embedding) AS e,
+        |    unnest(range(0, len(embedding))) AS pos
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, pos,
+        |    CAST(sum(CAST(e AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c
+        |  FROM expl GROUP BY 1, 2),
+        |cvec AS (
+        |  SELECT label AS clabel, list(c ORDER BY pos) AS cv
+        |  FROM cent GROUP BY 1),
+        |assigned AS (
+        |  SELECT vec_id, label, embedding, clabel AS list_id FROM (
+        |    SELECT v.vec_id, v.label, v.embedding, c.clabel,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_dot_product(v.embedding::DOUBLE[], c.cv) /
+        |          (sqrt(list_dot_product(v.embedding::DOUBLE[],
+        |             v.embedding::DOUBLE[])) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.clabel) AS rk
+        |    FROM embeddings v CROSS JOIN cvec c)
+        |  WHERE rk = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, clabel AS list_id
+        |  FROM (
+        |    SELECT v.vec_id, v.embedding, c.clabel,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_dot_product(v.embedding::DOUBLE[], c.cv) /
+        |          (sqrt(list_dot_product(v.embedding::DOUBLE[],
+        |             v.embedding::DOUBLE[])) *
+        |           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.clabel) AS prk
+        |    FROM embeddings v CROSS JOIN cvec c WHERE v.vec_id < 10)
+        |  WHERE prk <= 2),
+        |pre AS (
+        |  SELECT query_id, rank, neighbor_id FROM (
+        |    SELECT p.query_id, b.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY p.query_id ORDER BY
+        |        list_dot_product(p.qv::DOUBLE[], b.embedding::DOUBLE[]) /
+        |          (sqrt(list_dot_product(p.qv::DOUBLE[], p.qv::DOUBLE[])) *
+        |           sqrt(list_dot_product(b.embedding::DOUBLE[],
+        |             b.embedding::DOUBLE[]))) DESC, b.vec_id) AS rank
+        |    FROM probes p JOIN assigned b ON p.list_id = b.list_id
+        |      AND p.query_id <> b.vec_id
+        |    WHERE b.label % 2 = 0)
+        |  WHERE rank <= 3),
+        |exact3 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        list_dot_product(a.embedding::DOUBLE[],
+        |          b.embedding::DOUBLE[]) /
+        |          (sqrt(list_dot_product(a.embedding::DOUBLE[],
+        |             a.embedding::DOUBLE[])) *
+        |           sqrt(list_dot_product(b.embedding::DOUBLE[],
+        |             b.embedding::DOUBLE[]))) DESC, b.vec_id) AS rn
+        |    FROM embeddings a JOIN embeddings b
+        |      ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+        |  WHERE rn <= 3),
+        |post AS (
+        |  SELECT count(*) AS post_filter_hits
+        |  FROM exact3 x JOIN embeddings n ON n.vec_id = x.neighbor_id
+        |  WHERE n.label % 2 = 0)
+        |SELECT query_id, rank, neighbor_id, post_filter_hits
+        |FROM pre CROSS JOIN post ORDER BY query_id, rank""".stripMargin,
 
     // full Lloyd round replay: init -> assign -> decimal-exact means ->
     // re-assign -> census
