@@ -100,9 +100,16 @@ object WindowIndex {
     StructField("h", StringType)))
   private val manifestSchema = StructType(Seq(
     StructField("doc_id", LongType)))
+  // census v3 (round 13): df = the hash's DISTINCT-doc count within
+  // the delta's batch. Appends admit each doc exactly once (manifest
+  // anti-join), so per-batch dfs are disjoint and MERGE BY SUM — the
+  // exact global doc frequency with no corpus-scale distinct at read.
+  // A v2 index (no df column) still serves readWindows/readDup
+  // (d0/d1 are unchanged); readDf on it yields nulls — rebuild to
+  // adopt the column.
   private val censusSchema = StructType(Seq(
     StructField("h", StringType), StructField("d0", LongType),
-    StructField("d1", LongType)))
+    StructField("d1", LongType), StructField("df", LongType)))
 
   /** The window explode as a pure function of a documents frame —
     * SINGLE DEFINITION shared with the query-side session memo
@@ -128,12 +135,17 @@ object WindowIndex {
   def dupHashesOf(wins: DataFrame): DataFrame =
     censusOf(wins).filter(col("d0") =!= col("d1")).select(col("h"))
 
-  /** Per-hash (min doc, max doc) — the census row shape stored under
-    * census/<id>/ (per-batch deltas, merged at read).
+  /** Per-hash (min doc, max doc, distinct-doc count) — the census row
+    * shape stored under census/<id>/ (per-batch deltas, merged at
+    * read). The dup flag keeps riding the cheap min≠max pair; df is
+    * the one consumer that genuinely needs a distinct (x23's
+    * rare-window frame), paid ONCE per batch at commit time —
+    * O(batch) — instead of once per session over the whole corpus.
     */
   def censusOf(wins: DataFrame): DataFrame =
     wins.groupBy(col("h"))
-      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"),
+        countDistinct(col("doc_id")).as("df"))
 
   /** Initialize (or reinitialize) the index at `path` from scratch.
     * NOT reader-safe: the in-place delete breaks any concurrent reader
@@ -315,6 +327,15 @@ object WindowIndex {
     readCensusCur(spark, path)
       .filter(col("d0") =!= col("d1")).select(col("h"))
 
+  /** Per-hash global doc frequency (h, df) off the committed census —
+    * the rare-window/containment frame (x23) without a corpus-scale
+    * distinct+aggregate: the ≤ k stored deltas merge by SUM (docs are
+    * admitted to exactly one batch). v3 indexes only (see
+    * censusSchema).
+    */
+  def readDf(spark: SparkSession, path: String): DataFrame =
+    readCensusCur(spark, path).select(col("h"), col("df"))
+
   /** The committed (h, d0, d1) census snapshot — the ≤ k stored deltas
     * merged at read (min-of-mins / max-of-maxes, exact for d0≠d1).
     */
@@ -407,7 +428,10 @@ object WindowIndex {
 
   private def mergeCensus(deltas: DataFrame): DataFrame =
     deltas.groupBy(col("h"))
-      .agg(min(col("d0")).as("d0"), max(col("d1")).as("d1"))
+      // df SUMS because each doc lives in exactly one batch (append's
+      // manifest anti-join) — the delta doc sets per hash are disjoint
+      .agg(min(col("d0")).as("d0"), max(col("d1")).as("d1"),
+        sum(col("df")).as("df"))
 
   /** Read the union of parquet dirs with a pinned schema; an empty dir
     * list yields an empty frame of that schema (a fresh index, or a

@@ -801,7 +801,9 @@ object TextQueries extends QueryModule {
   // v2: the index's census became LSM deltas (round 12) — same reader
   // semantics (pointer read is back-compat) but bumping the recipe
   // makes the gate artifact exercise the current write path
-  private val Wx24Recipe = "x24-v2-mod3split"
+  // v3: census rows gained the summable per-batch df column (round 13,
+  // x23's frame) — a v2 artifact would serve readDf nulls
+  private val Wx24Recipe = "x24-v3-mod3split"
   private val wiMemo = scala.collection.mutable
     .Map.empty[(org.apache.spark.sql.SparkSession, String), String]
   private val wiInflight = new java.util.concurrent.ConcurrentHashMap[
@@ -945,25 +947,30 @@ object TextQueries extends QueryModule {
   graft.MemoRegistry.register(spark =>
     graft.MemoRegistry.evictMap(spark, dupHashMemo)(_._1)(Seq(_)))
 
-  /** Per-hash global doc-frequency census (h, df) over the distinct
-    * (h, doc_id) pairs — x23's rare-window frame, memoized + persisted
-    * like [[dupHashes]] (it is the same census shuffle with the count
-    * kept): the calibrated-cap redesign consumes it THREE times per
-    * execution (df distribution → p99 cap, plus the rare join), which
-    * re-ran the distinct+aggregate upstream each pass (measured +2s
-    * warm at sf0.1). One row per distinct hash — narrow, post-agg.
+  /** Per-hash global doc-frequency census (h, df) — x23's rare-window
+    * frame, read from the artifact's committed v3 census (VERDICT r12
+    * #3 extended): the stored per-batch deltas carry each hash's
+    * within-batch distinct-doc count, and because a doc is admitted to
+    * exactly one batch they merge BY SUM — so the corpus-scale
+    * distinct+aggregate this memo used to run per session becomes a
+    * read of ≤ k narrow post-agg dirs. The calibrated-cap redesign
+    * consumes the frame three times per execution; memo+persist keeps
+    * that one read.
     */
   private val dfCensusMemo = scala.collection.mutable
     .Map.empty[(org.apache.spark.sql.SparkSession, String),
       org.apache.spark.sql.DataFrame]
+  private val dfCensusInflight = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    java.util.concurrent.CompletableFuture[
+      org.apache.spark.sql.DataFrame]]()
 
   private def dfCensus(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame =
-    dfCensusMemo.synchronized {
-      dfCensusMemo.getOrElseUpdate((s, d),
-        win5(s, d).select(col("h"), col("doc_id")).distinct()
-          .groupBy(col("h")).agg(count(lit(1)).as("df"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    graft.MemoRegistry.memoGet(dfCensusMemo, dfCensusInflight, (s, d)) {
+      graft.operators.WindowIndex
+        .readDf(s, windowIndexArtifact(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   graft.MemoRegistry.register(spark =>
