@@ -20,13 +20,15 @@ object QueryProbe {
     spark.range(1000000).selectExpr("sum(id)").collect()
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
+      val t0c = System.nanoTime()
       Bench.force(fn(spark, d))                  // cold (memo build)
+      val cold = (System.nanoTime() - t0c) / 1e9
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         Bench.force(fn(spark, d))                // full-column barrier —
         (System.nanoTime() - t0) / 1e9           // count() lets Catalyst
       }                                          // prune whole subtrees
-      println(f"[qprof] $n%-30s warm=${times.min}%6.2fs (passes ${times.map(t => f"$t%.2f").mkString("/")})")
+      println(f"[qprof] $n%-30s warm=${times.min}%6.2fs (passes ${times.map(t => f"$t%.2f").mkString("/")}) cold=$cold%6.2fs")
       // Same contract as Bench: SPARK_GRAFT_PLANS=<dir> dumps the
       // AQE-final executed plan per probed query for shape audits.
       sys.env.get("SPARK_GRAFT_PLANS").foreach { dir =>
