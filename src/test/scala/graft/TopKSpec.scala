@@ -82,7 +82,10 @@ class TopKSpec extends SparkSpec {
     assert(bySort.exceptAll(native).count() == 0)
   }
   test("composite struct order: heap equals window on ties, NaN, and null") {
-    // the topProbes contract (VERDICT r9 #3): ordering by
+    // the composite-probe ordering contract (VERDICT r9 #3; since r13
+    // the probe call sites use the fused NearestCentroids expression,
+    // but TopKPerGroup keeps the same composite for its other
+    // consumers — o9's weighted reservoir): ordering by
     // struct(score, -cid) DESC must retain and rank exactly the rows
     // the (score desc, cid asc) row_number window would — including a
     // NaN score (greatest), a null score (least), and exact ties
