@@ -62,6 +62,22 @@ object Bench {
     // session warm-up (scheduler, codegen, shuffle service) so the first
     // measured query isn't charged Spark's init cost
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // Fixed CPU-bound calibration job (VERDICT r13 #4): its wall on a
+    // calm machine is a constant, so recording it makes co-tenant-loaded
+    // bench windows SELF-IDENTIFYING in the artifact — the r13 driver
+    // map ran 1.6x slow with nothing in the JSON saying so. Sampled
+    // before the cold pass and again after the last warm pass (load can
+    // arrive mid-run); the JSON carries the per-sample walls and their
+    // median. NEVER change this job's shape or size — round-over-round
+    // marker comparison depends on it being the same work forever.
+    def loadMarkerSample(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 256000000L, 1L, 32)
+        .selectExpr("bit_xor(xxhash64(id))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    loadMarkerSample(): Unit // codegen/JIT warm-up for the marker itself
+    val markerPre = (1 to 3).map(_ => loadMarkerSample())
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // Pass 0 (unmeasured cold pass): materializes the shared memoized
     // frames (brick, shingles), fills codegen/JIT caches. Then N measured
@@ -101,6 +117,7 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }
+    val markerPost = (1 to 3).map(_ => loadMarkerSample())
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.isEmpty) -1.0
@@ -150,15 +167,22 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val passTotals = passes.map(p => f3(p.values.sum)).mkString("[", ",", "]")
+    val markerAll = markerPre ++ markerPost
+    val markerMed = median(markerAll)
+    val markerJson = markerAll.map(f3).mkString("[", ",", "]")
+    val passVals = passes.map(_.values.sum)
+    val passSpread =
+      if (passVals.nonEmpty && passVals.min > 0) passVals.max / passVals.min
+      else 1.0
     val fullJson =
-      s"""{"queries":$qs,"cold_queries":$coldQs,"n_queries":${results.size},"cold_total_sec":${f3(coldTotal)},"warm_passes":$warmPasses,"pass_totals_sec":$passTotals,"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}"""
+      s"""{"queries":$qs,"cold_queries":$coldQs,"n_queries":${results.size},"cold_total_sec":${f3(coldTotal)},"warm_passes":$warmPasses,"pass_totals_sec":$passTotals,"pass_spread_ratio":${f3(passSpread)},"load_marker_sec":${f3(markerMed)},"load_marker_samples":$markerJson,"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LATEST.json"), fullJson + "\n")
     catch { case _: Throwable => () }
     val top10 = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"n_queries":${results.size},"cold_total_sec":${f3(coldTotal)},"warm_passes":$warmPasses,"pass_totals_sec":$passTotals,"slowest10":$top10,"queries_file":"BENCH_LATEST.json","sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}""")
+    println(s"""{"n_queries":${results.size},"cold_total_sec":${f3(coldTotal)},"warm_passes":$warmPasses,"pass_totals_sec":$passTotals,"pass_spread_ratio":${f3(passSpread)},"load_marker_sec":${f3(markerMed)},"slowest10":$top10,"queries_file":"BENCH_LATEST.json","sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}""")
     spark.stop()
   }
 }

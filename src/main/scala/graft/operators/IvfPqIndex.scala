@@ -152,7 +152,15 @@ object IvfPqIndex {
     * duplication, so a 100-deep ε-twin corpus automatically gets
     * R = 100 × k instead of a silently-recall-starved default.
     */
-  def shortlistR(census: DataFrame, k: Int, rMin: Int = 10): Int = {
+  /** The shortlist floor shared by every R derivation — callers that
+    * early-return on a twin-free corpus (an empty census has depth 1)
+    * must return THIS value, not a re-spelled literal, or the two
+    * paths drift when the floor changes (ADVICE r13).
+    */
+  val ShortlistRMin: Int = 10
+
+  def shortlistR(census: DataFrame, k: Int, rMin: Int = ShortlistRMin)
+      : Int = {
     val depth = census.agg(max(col("size"))).head() match {
       case r if r.isNullAt(0) => 1L
       case r => r.getLong(0)

@@ -30,7 +30,18 @@ import org.apache.spark.sql.types._
   *                          the space-joined window
   *   batches/<id>/manifest/ (doc_id) — every doc the batch indexed
   *                          (including short docs with zero windows)
-  *   census/<id>/           (h, d0, d1) — per-hash min/max doc_id for
+  *   batches/<id>/docstats/ (doc_id, lang, n_win, n_words) — per-doc
+  *                          stats; disjoint across batches (a doc is
+  *                          admitted once), so reads are plain unions
+  *   batches/<id>/dupc/     (doc_id, dn) — summable per-doc
+  *                          duplicated-window-count DELTAS: batch
+  *                          docs' counts under the post-commit global
+  *                          dup criterion plus +tc flip corrections
+  *                          for prior docs (see commitBatch); the
+  *                          committed per-doc dup count is the SUM
+  *   census/<id>/           (h, d0, d1, df, tc) — per-hash min/max
+  *                          doc_id, distinct-doc count, position count
+  *                          for
   *                          ONE batch (a DELTA) or for a compacted run
   *                          of batches; the committed census is the
   *                          min-of-mins / max-of-maxes MERGE of every
@@ -104,12 +115,35 @@ object WindowIndex {
   // the delta's batch. Appends admit each doc exactly once (manifest
   // anti-join), so per-batch dfs are disjoint and MERGE BY SUM — the
   // exact global doc frequency with no corpus-scale distinct at read.
-  // A v2 index (no df column) still serves readWindows/readDup
-  // (d0/d1 are unchanged); readDf on it yields nulls — rebuild to
-  // adopt the column.
+  // census v4 (round 14): tc = the hash's TOTAL position count within
+  // the batch (same disjoint-batches sum argument). tc is what makes
+  // the dup-count deltas incremental: when an append flips a hash from
+  // unique (df=1) to duplicated, the retroactive correction for the
+  // prior owner is known from the census alone — the owner IS d0
+  // (df=1 ⇒ d0=d1=the one doc) and the magnitude IS its tc — so no
+  // old window row is ever re-read on the maintenance path.
+  // A v2/v3 index (no tc, or no df) still serves
+  // readWindows/readDup (d0/d1 are unchanged); readDf/readDupCounts
+  // on it yield nulls/fail loudly — rebuild to adopt the columns.
   private val censusSchema = StructType(Seq(
     StructField("h", StringType), StructField("d0", LongType),
-    StructField("d1", LongType), StructField("df", LongType)))
+    StructField("d1", LongType), StructField("df", LongType),
+    StructField("tc", LongType)))
+  // per-doc stats (round 14, VERDICT r13 #2): docs are admitted to
+  // exactly one batch, so per-batch docstats dirs are a DISJOINT UNION
+  // — no merge aggregate at read. n_words counts ALL docs (zero-window
+  // short docs included); n_win = max(n_words-4, 0) matches windows().
+  private val docStatsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("n_win", LongType), StructField("n_words", LongType)))
+  // summable per-doc duplicated-window-count DELTAS (round 14): a
+  // batch's dupc dir carries (a) each batch doc's dup positions under
+  // the POST-commit global dup criterion and (b) +tc corrections for
+  // prior docs whose unique hashes this batch flipped. Dup status is
+  // MONOTONE (appends only add docs), so corrections are append-only
+  // and the per-doc SUM across deltas is the exact global dup count.
+  private val dupcSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("dn", LongType)))
 
   /** The window explode as a pure function of a documents frame —
     * SINGLE DEFINITION shared with the query-side session memo
@@ -145,7 +179,21 @@ object WindowIndex {
   def censusOf(wins: DataFrame): DataFrame =
     wins.groupBy(col("h"))
       .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"),
-        countDistinct(col("doc_id")).as("df"))
+        countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("tc"))
+
+  /** Per-doc stats row for one batch of documents — the docstats dir
+    * shape. Computed from the DOCUMENT frame, not the window rows, so
+    * zero-window short docs keep their word counts (x22's denominator).
+    * n_win mirrors [[windows]] exactly: tokens−4 when tokens ≥ 5.
+    */
+  def docStatsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_words"))
+      .withColumn("n_win",
+        when(col("n_words") >= 5, col("n_words") - 4).otherwise(0L))
+      .select(col("doc_id"), col("lang"), col("n_win"), col("n_words"))
+      .distinct()
 
   /** Initialize (or reinitialize) the index at `path` from scratch.
     * NOT reader-safe: the in-place delete breaks any concurrent reader
@@ -172,6 +220,15 @@ object WindowIndex {
   def append(docsNew: DataFrame, path: String): Unit = {
     val spark = docsNew.sparkSession
     val cur = readCurrent(spark, path)
+    // LOUD pre-v4 gate (the ADVICE r13 medium's discipline applied to
+    // the new deltas): an append onto a v1/v2-era snapshot cannot
+    // compute flip corrections (its census lacks df/tc), and silently
+    // committing a dupc delta anyway would bake undercounted dup
+    // totals into every later read. Rebuild with write() to adopt v4.
+    require(cur.marker == "v3",
+      s"window index at $path predates census v4 (pointer marker " +
+        s"'${cur.marker}') - dup-count deltas cannot be maintained " +
+        "incrementally on it; rebuild the index with write()")
     val seen = readConcat(spark, cur.batches.map(b =>
       s"$path/batches/$b/manifest"), manifestSchema)
     val fresh = docsNew.join(seen, Seq("doc_id"), "left_anti")
@@ -192,11 +249,45 @@ object WindowIndex {
     val id = java.util.UUID.randomUUID().toString
     mf.write.parquet(s"$path/batches/$id/manifest")
     windows(docs).write.parquet(s"$path/batches/$id/windows")
+    docStatsOf(docs).write.parquet(s"$path/batches/$id/docstats")
     // the census DELTA: this batch's own min/max from the just-written
     // COLUMNAR rows (no re-explode). Prior census dirs are untouched —
     // the merge happens at read, over the ≤ k dirs the pointer lists.
     censusOf(readConcat(spark, Seq(s"$path/batches/$id/windows"),
       windowsSchema)).write.parquet(s"$path/census/$id")
+    // the DUP-COUNT delta (VERDICT r13 #2). Two row sets, both exact
+    // under the POST-commit global dup criterion:
+    //   (a) batch docs: every batch window position whose hash lands
+    //       in ≥2 distinct docs once this batch is in (prior df +
+    //       batch df — summable because batches' doc sets are
+    //       disjoint);
+    //   (b) flip corrections: a prior-unique hash (df=1) re-observed
+    //       by this batch makes the prior owner's positions dup
+    //       RETROACTIVELY — the owner is d0 (df=1 ⇒ d0=d1) and the
+    //       magnitude is its stored tc, so the correction comes
+    //       entirely off the ≤k narrow census dirs; no old window row
+    //       is read. Dup status is monotone, so deltas sum exactly.
+    // Cost: O(batch windows ⋈ batch-hash flags + census/k) per append
+    // — the same order as the census maintenance itself.
+    val bc = spark.read.schema(censusSchema)
+      .parquet(s"$path/census/$id")
+      .select(col("h"), col("df").as("b_df"))
+    val pc = readCensus(spark, path, prior)
+      .select(col("h"), col("d0").as("p_d0"),
+        col("df").as("p_df"), col("tc").as("p_tc"))
+    val j = bc.join(pc, Seq("h"), "left")
+    val dupNow = j
+      .filter(coalesce(col("p_df"), lit(0L)) + col("b_df") >= 2)
+      .select(col("h"))
+    val newRows = readConcat(spark,
+        Seq(s"$path/batches/$id/windows"), windowsSchema)
+      .join(dupNow, Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dn"))
+    val corr = j.filter(col("p_df") === 1L)
+      .select(col("p_d0").as("doc_id"), col("p_tc").as("dn"))
+    newRows.unionByName(corr)
+      .groupBy(col("doc_id")).agg(sum(col("dn")).as("dn"))
+      .write.parquet(s"$path/batches/$id/dupc")
     val censuses = prior.map(_.censuses).getOrElse(Nil) :+ id
     val merged =
       if (censuses.size <= CensusCompactK) censuses
@@ -211,7 +302,7 @@ object WindowIndex {
         Seq(cid)
       }
     flipPointer(spark, path,
-      Snapshot(merged, prior.map(_.batches).getOrElse(Nil) :+ id))
+      Snapshot("v3", merged, prior.map(_.batches).getOrElse(Nil) :+ id))
   }
 
   /** Compact the batch-dir list down to ≤ `maxBatches` dirs and flip
@@ -248,8 +339,9 @@ object WindowIndex {
       readConcat(spark, cur.batches.map(b => s"$path/batches/$b/manifest"),
         manifestSchema).distinct()
         .write.parquet(s"$path/batches/$id/manifest")
+      if (cur.marker == "v3") mergeExtras(spark, path, cur.batches, id)
       readCensus(spark, path, Some(cur)).write.parquet(s"$path/census/$id")
-      flipPointer(spark, path, Snapshot(Seq(id), Seq(id)))
+      flipPointer(spark, path, Snapshot(cur.marker, Seq(id), Seq(id)))
     } else {
       if (cur.batches.size <= maxBatches) return
       val fs = hfs(spark, path)
@@ -275,8 +367,25 @@ object WindowIndex {
       readConcat(spark, victims.map(b => s"$path/batches/$b/manifest"),
         manifestSchema).distinct()
         .write.parquet(s"$path/batches/$id/manifest")
-      flipPointer(spark, path, Snapshot(cur.censuses, keep :+ id))
+      if (cur.marker == "v3") mergeExtras(spark, path, victims, id)
+      flipPointer(spark, path,
+        Snapshot(cur.marker, cur.censuses, keep :+ id))
     }
+  }
+
+  /** Merge the v4-era per-batch tables of `from` dirs into batch dir
+    * `id`: docstats is a disjoint union (one row per doc), dupc merges
+    * BY SUM (the same summability that makes the deltas exact).
+    */
+  private def mergeExtras(spark: SparkSession, path: String,
+      from: Seq[String], id: String): Unit = {
+    readConcat(spark, from.map(b => s"$path/batches/$b/docstats"),
+      docStatsSchema).distinct()
+      .write.parquet(s"$path/batches/$id/docstats")
+    readConcat(spark, from.map(b => s"$path/batches/$b/dupc"),
+      dupcSchema)
+      .groupBy(col("doc_id")).agg(sum(col("dn")).as("dn"))
+      .write.parquet(s"$path/batches/$id/dupc")
   }
 
   /** Remove every batch/census dir the committed pointer does not
@@ -336,6 +445,40 @@ object WindowIndex {
   def readDf(spark: SparkSession, path: String): DataFrame =
     readCensusCur(spark, path).select(col("h"), col("df"))
 
+  /** Per-doc stats (doc_id, lang, n_win, n_words) — a disjoint union
+    * of the committed docstats dirs, one narrow row per indexed doc.
+    * v4 (pointer marker v3) indexes only; pre-v4 snapshots fail loudly
+    * (rebuild to adopt) rather than serve an empty/partial frame.
+    */
+  def readDocStats(spark: SparkSession, path: String): DataFrame = {
+    val cur = requireV4(spark, path, "readDocStats")
+    readConcat(spark,
+      cur.batches.map(b => s"$path/batches/$b/docstats"), docStatsSchema)
+  }
+
+  /** Per-doc GLOBAL duplicated-window counts (doc_id, n_dup) — the
+    * committed dupc deltas merged by sum (exact: dup status is
+    * monotone and every flip emitted its correction at append time).
+    * Docs with zero duplicated windows have no row — consumers
+    * left-join and coalesce to 0. v4 indexes only (loud gate).
+    */
+  def readDupCounts(spark: SparkSession, path: String): DataFrame = {
+    val cur = requireV4(spark, path, "readDupCounts")
+    readConcat(spark,
+        cur.batches.map(b => s"$path/batches/$b/dupc"), dupcSchema)
+      .groupBy(col("doc_id")).agg(sum(col("dn")).as("n_dup"))
+  }
+
+  private def requireV4(spark: SparkSession, path: String,
+      caller: String): Snapshot = {
+    val cur = readCurrent(spark, path)
+    require(cur.marker == "v3",
+      s"$caller: window index at $path predates census v4 (pointer " +
+        s"marker '${cur.marker}') - rebuild the index with write() " +
+        "to adopt the docstats/dupc tables")
+    cur
+  }
+
   /** The committed (h, d0, d1) census snapshot — the ≤ k stored deltas
     * merged at read (min-of-mins / max-of-maxes, exact for d0≠d1).
     */
@@ -356,7 +499,13 @@ object WindowIndex {
 
   // ---- snapshot pointer ----
 
-  private case class Snapshot(censuses: Seq[String], batches: Seq[String])
+  /** `marker` is the pointer FORMAT generation: "v3" snapshots carry
+    * census v4 + docstats + dupc dirs; "v2"/"v1" are prior-era indexes
+    * (windows/manifest/census only) that still serve readWindows /
+    * readDup but refuse the v4-only readers and append (loud gates).
+    */
+  private case class Snapshot(marker: String, censuses: Seq[String],
+    batches: Seq[String])
 
   private def hfs(spark: SparkSession, path: String) =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -380,12 +529,13 @@ object WindowIndex {
       val lines = new String(bytes, StandardCharsets.UTF_8)
         .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
       require(lines.nonEmpty, s"corrupt window-index pointer $p")
-      if (lines.head == "v2") {
-        require(lines.size >= 2, s"corrupt v2 window-index pointer $p")
-        Some(Snapshot(
+      if (lines.head == "v2" || lines.head == "v3") {
+        require(lines.size >= 2,
+          s"corrupt ${lines.head} window-index pointer $p")
+        Some(Snapshot(lines.head,
           lines(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
           lines.drop(2)))
-      } else Some(Snapshot(Seq(lines.head), lines.tail))
+      } else Some(Snapshot("v1", Seq(lines.head), lines.tail))
     }
   }
 
@@ -405,7 +555,7 @@ object WindowIndex {
       s"$path/._CURRENT.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(
-      (Seq("v2", snap.censuses.mkString(",")) ++ snap.batches)
+      (Seq(snap.marker, snap.censuses.mkString(",")) ++ snap.batches)
         .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val fc = FileContext.getFileContext(
@@ -429,9 +579,17 @@ object WindowIndex {
   private def mergeCensus(deltas: DataFrame): DataFrame =
     deltas.groupBy(col("h"))
       // df SUMS because each doc lives in exactly one batch (append's
-      // manifest anti-join) — the delta doc sets per hash are disjoint
+      // manifest anti-join) — the delta doc sets per hash are disjoint.
+      // NULL-POISONED (ADVICE r13): a pre-v3 delta reads df as null;
+      // summing past it would bake a positive-but-undercounted global
+      // df into the compacted census with no signal. If ANY delta for
+      // the hash lacks df, the merged df is null — the documented
+      // "rebuild to upgrade" answer, not a silent undercount.
       .agg(min(col("d0")).as("d0"), max(col("d1")).as("d1"),
-        sum(col("df")).as("df"))
+        when(count(col("df")) === count(lit(1)), sum(col("df")))
+          .as("df"),
+        when(count(col("tc")) === count(lit(1)), sum(col("tc")))
+          .as("tc"))
 
   /** Read the union of parquet dirs with a pinned schema; an empty dir
     * list yields an empty frame of that schema (a fresh index, or a

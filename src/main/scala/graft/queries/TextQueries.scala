@@ -532,19 +532,22 @@ object TextQueries extends QueryModule {
     // docs; per doc we count duplicated windows and flag docs whose
     // duplicated fraction exceeds 20% (integer-exact as 5·n_dup >
     // n_win — no float threshold for the oracle to disagree on).
-    // Every output is an integer. Scale shape: the gram stream
-    // shuffles twice on the hash (count-distinct agg, then the
-    // mark-back join) — the canonical shape for corpus-scale span
-    // dedup; the dup side is the post-HAVING minority and AQE is free
-    // to broadcast it when small. Within-doc repeats do NOT count
-    // (countDistinct), so boilerplate inside one doc can't self-flag.
+    // Every output is an integer. Scale shape (round 14, VERDICT r13
+    // #2): BOTH per-doc inputs come off the persisted index's narrow
+    // per-doc tables — n_win from docstats (one row per doc) and n_dup
+    // from the summable dupc deltas (appends emitted retroactive flip
+    // corrections, so the sum IS the global ≥2-distinct-docs
+    // criterion) — the window-scale mark-back join and its census
+    // shuffle are gone from the query entirely; what remains is one
+    // doc-keyed join of two doc-sized frames and a per-lang rollup.
+    // Within-doc repeats of a UNIQUE hash still do not count (the
+    // criterion is distinct docs), matching the oracle's HAVING
+    // count(DISTINCT doc_id) >= 2 replay bit-for-bit.
     "x18_dup_spans" -> ((s, d) => {
-      val wins = win5(s, d)
-      val per = wins.join(dupHashes(s, d).withColumn("is_dup", lit(1)),
-          Seq("h"), "left")
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(count(lit(1)).as("n_win"),
-          count(col("is_dup")).as("n_dup"))
+      val per = docStats(s, d).filter(col("n_win") > 0)
+        .join(dupCounts(s, d), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("n_win"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"))
       per.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           count(when(col("n_dup") * 5 > col("n_win"), 1))
@@ -681,10 +684,11 @@ object TextQueries extends QueryModule {
         .agg((max(col("g")) + 4 - min(col("g")) + 1).as("removed"))
       val perDoc = spans.groupBy(col("doc_id"), col("lang"))
         .agg(sum(col("removed")).as("removed_words"))
-      val docs = Tables.documents(s, d)
+      // word totals off the index's narrow docstats table (round 14) —
+      // this leg used to re-split the ENTIRE corpus text per run
+      val docs = docStats(s, d)
         .select(col("doc_id"), col("lang"),
-          size(split(lower(col("text")), " ")).cast("long")
-            .as("total_words"))
+          col("n_words").as("total_words"))
       docs.join(perDoc.drop("lang"), Seq("doc_id"), "left")
         .withColumn("removed_words",
           coalesce(col("removed_words"), lit(0L)))
@@ -803,7 +807,11 @@ object TextQueries extends QueryModule {
   // makes the gate artifact exercise the current write path
   // v3: census rows gained the summable per-batch df column (round 13,
   // x23's frame) — a v2 artifact would serve readDf nulls
-  private val Wx24Recipe = "x24-v3-mod3split"
+  // v4: census rows gained tc, and batches gained the docstats +
+  // summable dupc delta tables (round 14, VERDICT r13 #2 — x18 answers
+  // from the two narrow tables, x22's word totals come off docstats);
+  // a v3 artifact fails the readDocStats/readDupCounts loud gate
+  private val Wx24Recipe = "x24-v4-mod3split"
   private val wiMemo = scala.collection.mutable
     .Map.empty[(org.apache.spark.sql.SparkSession, String), String]
   private val wiInflight = new java.util.concurrent.ConcurrentHashMap[
@@ -946,6 +954,56 @@ object TextQueries extends QueryModule {
 
   graft.MemoRegistry.register(spark =>
     graft.MemoRegistry.evictMap(spark, dupHashMemo)(_._1)(Seq(_)))
+
+  /** Per-doc stats off the artifact's docstats dirs (doc_id, lang,
+    * n_win, n_words) — ONE narrow row per doc, no window-scale scan.
+    * x18's denominator/doc census and x22's word totals (which used to
+    * re-tokenize the whole corpus text) both read this.
+    */
+  private val docStatsMemo = scala.collection.mutable
+    .Map.empty[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+  private val docStatsInflight = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    java.util.concurrent.CompletableFuture[
+      org.apache.spark.sql.DataFrame]]()
+
+  private def docStats(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.MemoRegistry.memoGet(docStatsMemo, docStatsInflight, (s, d)) {
+      graft.operators.WindowIndex
+        .readDocStats(s, windowIndexArtifact(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  graft.MemoRegistry.register(spark =>
+    graft.MemoRegistry.evictMap(spark, docStatsMemo)(_._1)(Seq(_)))
+
+  /** Per-doc GLOBAL dup-window counts off the artifact's summable dupc
+    * deltas (VERDICT r13 #2): the window-scale win5 ⋈ dupHashes join
+    * x18 used to run per session collapses to a read of ≤|batches|
+    * narrow per-doc dirs merged by sum — exact, because every append
+    * that flipped a hash emitted its retroactive correction at commit
+    * time (dup status is monotone).
+    */
+  private val dupCountMemo = scala.collection.mutable
+    .Map.empty[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+  private val dupCountInflight = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    java.util.concurrent.CompletableFuture[
+      org.apache.spark.sql.DataFrame]]()
+
+  private def dupCounts(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.MemoRegistry.memoGet(dupCountMemo, dupCountInflight, (s, d)) {
+      graft.operators.WindowIndex
+        .readDupCounts(s, windowIndexArtifact(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  graft.MemoRegistry.register(spark =>
+    graft.MemoRegistry.evictMap(spark, dupCountMemo)(_._1)(Seq(_)))
 
   /** Per-hash global doc-frequency census (h, df) — x23's rare-window
     * frame, read from the artifact's committed v3 census (VERDICT r12

@@ -48,14 +48,17 @@ object SearchStreamJob {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             batchId: Long) =>
           val session = batch.sparkSession
-          // scoped to this writer: dynamic mode drops ONLY the
-          // partitions the write touches — the replayed batch's own
-          session.conf
-            .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
           IvfPqIndex.search(session, indexPath, batch, lit(true),
               k, nprobe)
             .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite").partitionBy("batch_id")
+            // per-WRITER dynamic mode (ADVICE r13): the DataFrameWriter
+            // option overrides the session conf for this write only —
+            // dynamic drops ONLY the partitions this batch touches (a
+            // replay overwrites its own batch_id with identical rows),
+            // and later partitioned overwrites in the same session keep
+            // whatever mode the session configured.
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").partitionBy("batch_id")
             .parquet(outDir)
       }
       .start()

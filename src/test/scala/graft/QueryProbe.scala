@@ -42,6 +42,12 @@ object QueryProbe {
             .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
       }
     }
+    // VERDICT r13 #3 receipt: the fused expressions' quantizer-scale
+    // centroid collect must run once per (session, corpus), not once
+    // per call site — probe e.g. ann6+ann11+ann12+ann13+ann15 together
+    // and expect 1 here (plus any index-build trainers' own collects).
+    println(s"[qprof] centroid collects this session: " +
+      graft.operators.KMeans.centroidCollects.get())
     spark.stop()
   }
 }

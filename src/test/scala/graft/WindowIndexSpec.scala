@@ -154,6 +154,107 @@ class WindowIndexSpec extends SparkSpec {
     assert(WindowIndex.readWindows(spark, dir).collect().toSet == wins)
   }
 
+  /** The per-doc dup count recomputed the expensive way — the
+    * window-scale mark-back join the dupc deltas replace. The v4 tests
+    * pin deltas+corrections ≡ this on every topology.
+    */
+  private def dupCountsBrute(dir: String): org.apache.spark.sql.DataFrame =
+    WindowIndex.readWindows(spark, dir)
+      .join(WindowIndex.readDup(spark, dir), Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+
+  test("v4 dupc deltas: incremental ≡ one-shot ≡ brute recompute, " +
+      "with retroactive flip corrections") {
+    import spark.implicits._
+    // doc 1 repeats its first 5-gram WITHIN the doc (tc=2 for that
+    // hash while df=1) — the flip correction must credit BOTH
+    // positions when doc 2 later duplicates the gram; docs 3/4 are
+    // unique and short respectively
+    val d1 = Seq(
+      (1L, "en", "s1", "a b c d e a b c d e"),
+      (3L, "fr", "s3", "p q r s t u")).toDF(
+      "doc_id", "lang", "source", "text")
+    val d2 = Seq(
+      (2L, "en", "s2", "x a b c d e y"),
+      (4L, "en", "s4", "too short")).toDF(
+      "doc_id", "lang", "source", "text")
+    val inc = Files.createTempDirectory("graft-winidx-d4i").toString + "/idx"
+    val one = Files.createTempDirectory("graft-winidx-d4o").toString + "/idx"
+    WindowIndex.write(d1, inc)
+    // before the flip: nothing is dup, so no doc has a dupc row
+    assert(WindowIndex.readDupCounts(spark, inc).count() == 0)
+    WindowIndex.append(d2, inc)
+    WindowIndex.write(d1.unionByName(d2), one)
+    assert(frameEq(WindowIndex.readDupCounts(spark, inc),
+      WindowIndex.readDupCounts(spark, one)))
+    assert(frameEq(WindowIndex.readDupCounts(spark, inc),
+      dupCountsBrute(inc)))
+    // the retroactive credit: doc 1's TWO positions of the shared gram
+    val m = WindowIndex.readDupCounts(spark, inc).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 2L, 2L -> 1L))
+    // re-append idempotence extends to the new delta table
+    WindowIndex.append(d2, inc)
+    assert(frameEq(WindowIndex.readDupCounts(spark, inc),
+      dupCountsBrute(inc)))
+  }
+
+  test("v4 dupc/docstats on the real corpus: appends ≡ recompute, " +
+      "and compaction preserves both") {
+    val dir = Files.createTempDirectory("graft-winidx-d4c").toString + "/idx"
+    WindowIndex.write(docs.filter(col("doc_id") % 3 === 0), dir)
+    WindowIndex.append(docs.filter(col("doc_id") % 3 === 1), dir)
+    WindowIndex.append(docs.filter(col("doc_id") % 3 === 2), dir)
+    assert(frameEq(WindowIndex.readDupCounts(spark, dir),
+      dupCountsBrute(dir)))
+    assert(frameEq(WindowIndex.readDocStats(spark, dir),
+      WindowIndex.docStatsOf(docs)))
+    val dc = WindowIndex.readDupCounts(spark, dir).collect().toSet
+    val ds = WindowIndex.readDocStats(spark, dir).collect().toSet
+    // tiered first (merges only the two smallest batch dirs' extras),
+    // then the full rewrite — both must carry the merged tables
+    WindowIndex.compact(spark, dir, maxBatches = 2)
+    assert(WindowIndex.readDupCounts(spark, dir).collect().toSet == dc)
+    assert(WindowIndex.readDocStats(spark, dir).collect().toSet == ds)
+    WindowIndex.compact(spark, dir)
+    assert(WindowIndex.batchCount(spark, dir) == 1L)
+    assert(WindowIndex.readDupCounts(spark, dir).collect().toSet == dc)
+    assert(WindowIndex.readDocStats(spark, dir).collect().toSet == ds)
+  }
+
+  test("pre-v4 snapshots refuse append and the v4 readers, loudly") {
+    import spark.implicits._
+    val d1 = Seq((1L, "en", "s1", "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "lang", "source", "text")
+    val dir = Files.createTempDirectory("graft-winidx-old").toString + "/idx"
+    WindowIndex.write(d1, dir)
+    // forge a v2-era pointer over the same dirs (what a round-13 writer
+    // would have committed): marker line downgraded, dirs untouched
+    val p = java.nio.file.Paths.get(s"$dir/_CURRENT")
+    val lines = Files.readAllLines(p)
+    lines.set(0, "v2")
+    Files.write(p, lines)
+    // the nio rewrite bypasses Hadoop's ChecksumFileSystem — drop the
+    // stale .crc sidecar so the forged pointer reads back
+    Files.deleteIfExists(java.nio.file.Paths.get(s"$dir/._CURRENT.crc")): Unit
+    // the v2-era readers still serve
+    assert(WindowIndex.readWindows(spark, dir).count() > 0)
+    assert(WindowIndex.batchCount(spark, dir) == 1L)
+    // append and the v4 readers fail loudly instead of undercounting
+    val e1 = intercept[IllegalArgumentException] {
+      WindowIndex.append(d1, dir)
+    }
+    assert(e1.getMessage.contains("rebuild"))
+    val e2 = intercept[IllegalArgumentException] {
+      WindowIndex.readDupCounts(spark, dir).count()
+    }
+    assert(e2.getMessage.contains("rebuild"))
+    val e3 = intercept[IllegalArgumentException] {
+      WindowIndex.readDocStats(spark, dir).count()
+    }
+    assert(e3.getMessage.contains("rebuild"))
+  }
+
   test("an appended doc flips an old hash into dup status (global census)") {
     import spark.implicits._
     val d1 = Seq((1L, "en", "s1", "alpha beta gamma delta epsilon zeta"))

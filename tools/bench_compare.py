@@ -32,9 +32,9 @@ def load(path):
     with open(path) as f:
         d = json.load(f)
     if "queries" in d:
-        return d["queries"]
+        return d["queries"], d.get("load_marker_sec")
     if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
-        return d["parsed"]["queries"]
+        return d["parsed"]["queries"], d["parsed"].get("load_marker_sec")
     raise SystemExit(f"{path}: no per-query map found (driver wrappers "
                      "with parsed:null carry only a truncated stdout "
                      "tail; use the round commit's BENCH_LATEST.json)")
@@ -52,7 +52,26 @@ def main():
         raise SystemExit(
             f"threshold must be a number, got {sys.argv[3]!r} — usage: "
             "python3 tools/bench_compare.py OLD.json NEW.json [threshold]")
-    old, new = load(old_path), load(new_path)
+    (old, old_marker), (new, new_marker) = load(old_path), load(new_path)
+    # machine-load marker (VERDICT r13 #4): both artifacts record the
+    # wall of the SAME fixed calibration job; if the two walls deviate
+    # >25%, one side ran in a co-tenant-loaded window and the totals
+    # compare measures the machine, not the code.
+    if isinstance(old_marker, (int, float)) and \
+            isinstance(new_marker, (int, float)) and min(
+                old_marker, new_marker) > 0:
+        drift = max(old_marker, new_marker) / min(old_marker, new_marker)
+        note = (" *** LOAD-SKEWED WINDOW: treat per-query ratios as "
+                "machine noise until rerun on comparable load ***"
+                if drift > 1.25 else "")
+        print(f"load marker {old_marker:.2f}s -> {new_marker:.2f}s "
+              f"({drift:.2f}x drift){note}")
+    elif old_marker is None or new_marker is None:
+        print("[load marker absent on "
+              + ("both sides" if old_marker is None and new_marker is None
+                 else "the old side" if old_marker is None
+                 else "the new side")
+              + " — pre-r14 artifact; co-tenant load not self-identifying]")
 
     excluded = set()
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -60,6 +60,14 @@ def main():
         "cold_total_sec": runs[0].get("cold_total_sec"),
         "warm_passes_per_run": runs[0].get("warm_passes"),
         "sf": runs[0].get("sf"),
+        # machine-load marker (VERDICT r13 #4): median of the per-run
+        # calibration-job walls, so the merged artifact stays
+        # self-identifying; bench_compare annotates on >25% deviation
+        "load_marker_sec": (round(statistics.median(ms), 3) if (ms := [
+            r["load_marker_sec"] for r in runs
+            if isinstance(r.get("load_marker_sec"), (int, float))])
+            else None),
+        "load_marker_runs": [r.get("load_marker_sec") for r in runs],
         "metric": "total", "unit": "sec", "value": total,
     }
     with open(out_path, "w") as f:
