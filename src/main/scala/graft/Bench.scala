@@ -79,6 +79,37 @@ object Bench {
     loadMarkerSample(): Unit // codegen/JIT warm-up for the marker itself
     val markerPre = (1 to 3).map(_ => loadMarkerSample())
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Optional parallel artifact prewarm (VERDICT r13 #7): the cold
+    // pass's dominant cost is a handful of INDEPENDENT cross-session
+    // artifact/memo builders (the IVF-PQ chain, the brick, the window
+    // index, the component stores) that the alphabetical pass
+    // serializes; SPARK_GRAFT_PREWARM=<threads> runs them concurrently
+    // first — memoGet's inflight futures already arbitrate concurrent
+    // builders, and local-mode jobs from many threads just share the
+    // scheduler. DEFAULT OFF: with it on, cold_queries measures a
+    // prewarmed session (attribution moves to the one prewarm line),
+    // so committed artifacts keep the per-query cold attribution.
+    sys.env.get("SPARK_GRAFT_PREWARM").map(_.toInt).filter(_ >= 2)
+      .foreach { n =>
+        val builders = Seq("h12_incremental_brick", "ann11_ivf_pq",
+          "ann12_residual_pq", "ann13_shortlist_rerank",
+          "ann14_index_lifecycle", "x24_window_index_lifecycle",
+          "x23_containment", "dd11_incremental_components",
+          "dd12_semdedup", "dd3_minhash_lsh", "mm4_phash_near_dup",
+          "a14_quantiles").filter(SparkEntry.queries.contains)
+        val t0 = System.nanoTime()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+        builders.foreach { q =>
+          pool.execute(() =>
+            try { run(SparkEntry.queries(q)(spark, sfDir)): Unit }
+            catch { case e: Throwable => System.err.println(
+              s"[bench] WARN prewarm $q failed: ${e.getMessage}") })
+        }
+        pool.shutdown()
+        pool.awaitTermination(30, java.util.concurrent.TimeUnit.MINUTES): Unit
+        System.err.println(f"[bench] prewarm ${builders.size} builders " +
+          f"on $n threads: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
     // Pass 0 (unmeasured cold pass): materializes the shared memoized
     // frames (brick, shingles), fills codegen/JIT caches. Then N measured
     // warm passes; the reported per-query number is the MEDIAN across

@@ -341,25 +341,6 @@ object Harmonize {
       .withColumnRenamed("pid", "old_pid")
       .join(sidMap.hint("shuffle_hash"), Seq("source", "old_sid"))
       .join(pidMap.hint("shuffle_hash"), Seq("source", "old_pid"))
-      // THE collapse, moved between the re-key joins and the inchi join
-      // (VERDICT r13 #1): the old-id pre-collapse refines the final key
-      // only up to old→new merging, so the build used to re-collapse
-      // AFTER aid/smiles were attached — a corpus-wide hash aggregate
-      // holding WIDE rows (32-char md5 aid + smiles strings), whose map
-      // was the assembly's last 0.93 GB spill at sf10. Grouping here on
-      // (source, new_sid, new_pid, inchi, value) is the SAME partition
-      // of rows — aid = md5(new_sid|new_pid|inchi|value), smiles =
-      // f(inchi) (inchiMap is distinct-per-inchi), binary_value =
-      // f(value) are all FUNCTIONS of this key, so the downstream
-      // wide-key groups were exactly these groups — but the hash map
-      // now holds 5 narrow key columns + one double, duplicates reduce
-      // MAP-SIDE before the exchange (partial agg), and the downstream
-      // wide-row aggregate disappears entirely.
-      // min-of-min = min keeps it bit-identical; HarmonizeSpec pins the
-      // build against merge-rebuild and the h* oracles pin row content.
-      .groupBy(col("source"), col("new_sid"), col("new_pid"),
-        col("inchi"), col("value"))
-      .agg(min(col("numvalue")).as("numvalue"))
 
     // D2 smiles enrichment, the reference's distinct-inchi → convert →
     // join-back step (py:72-73): the converter (an expensive chemistry
@@ -387,7 +368,33 @@ object Harmonize {
     // (sid, pid, value), and aid stays unique (DataQuality.aid_unique).
     // same sort-elision as the re-key joins: the distinct-structure map
     // is substance-sized, the fact side must not sort on inchi
+    // THE collapse (VERDICT r13 #1), narrow-keyed, on ONE shared inchi
+    // exchange. Grouping on (source, new_sid, new_pid, inchi, value)
+    // is the SAME partition of rows as the old wide-key
+    // collapseActivities — aid = md5(new_sid|new_pid|inchi|value),
+    // binary_value = f(value), smiles = f(inchi) (inchiMap is
+    // distinct-per-inchi) are all FUNCTIONS of this key, so min-of-min
+    // = min keeps the output bit-identical, and the wide columns are
+    // attached AFTER the collapse (aid/binary_value computed per
+    // group; smiles via the inchi join, which now streams collapsed
+    // rows). The explicit repartition(inchi) is what makes the plan
+    // right: hashpartitioning(inchi) satisfies BOTH the group key
+    // (inchi ⊆ keys → the agg adds no exchange) and the join key (the
+    // fact side of the SHJ adds no exchange), so the fact table still
+    // crosses exactly three exchanges — two re-keys + this one — same
+    // as before the restructure, while the aggregate's hash map holds
+    // five narrow columns + one double instead of the aid/smiles
+    // strings that made it the last spill site. Two rejected shapes,
+    // both measured: collapsing BETWEEN the re-key joins needs its own
+    // fact exchange (+9.9 GB shuffle-write at sf10, spill 1.25 GB);
+    // collapsing after the join with smiles in a max() buffer plans a
+    // SortAggregate (immutable string buffer → hash fallback) — a
+    // corpus-wide sort, the exact residency the SHJ hints removed.
     val activities = rekeyed
+      .repartition(col("inchi"))
+      .groupBy(col("source"), col("new_sid"), col("new_pid"),
+        col("inchi"), col("value"))
+      .agg(min(col("numvalue")).as("numvalue"))
       .join(inchiMap.hint("shuffle_hash"), Seq("inchi"), "left")
       .withColumn("binary_value",
         when(col("value") === "positive", 1).otherwise(0))
@@ -398,11 +405,11 @@ object Harmonize {
         col("source"), col("inchi"), col("smiles"), col("value"),
         col("binary_value"), col("numvalue"))
 
-    // no collapseActivities here: the new-id collapse above already
+    // no collapseActivities here: the narrow collapse above already
     // produced exactly one row per (aid, sid, pid, source, inchi,
-    // smiles, value, binary_value) group — every downstream column in
-    // that key is a function of the collapse key, so the final
-    // aggregate would shuffle 156M wide rows at sf10 to reduce nothing
+    // smiles, value, binary_value) group — every wide column is a
+    // function of the collapse key, so the final aggregate would
+    // shuffle 156M wide rows at sf10 to reduce nothing
     Brick(substances, properties, activities)
   }
 
