@@ -83,12 +83,15 @@ object Bench {
     // pass's dominant cost is a handful of INDEPENDENT cross-session
     // artifact/memo builders (the IVF-PQ chain, the brick, the window
     // index, the component stores) that the alphabetical pass
-    // serializes; SPARK_GRAFT_PREWARM=<threads> runs them concurrently
-    // first — memoGet's inflight futures already arbitrate concurrent
-    // builders, and local-mode jobs from many threads just share the
-    // scheduler. DEFAULT OFF: with it on, cold_queries measures a
-    // prewarmed session (attribution moves to the one prewarm line),
-    // so committed artifacts keep the per-query cold attribution.
+    // serializes; SPARK_GRAFT_PREWARM=<threads> executes the WHOLE
+    // builder queries concurrently first (body + collect, not just
+    // the artifact/memo construction — the prewarm wall therefore
+    // includes some measured-query work; ADVICE r14) — memoGet's
+    // inflight futures already arbitrate concurrent builders, and
+    // local-mode jobs from many threads just share the scheduler.
+    // DEFAULT OFF: with it on, cold_queries measures a prewarmed
+    // session (attribution moves to the one prewarm line), so
+    // committed artifacts keep the per-query cold attribution.
     sys.env.get("SPARK_GRAFT_PREWARM").map(_.toInt).filter(_ >= 2)
       .foreach { n =>
         val builders = Seq("h12_incremental_brick", "ann11_ivf_pq",

@@ -186,6 +186,18 @@ object WindowIndex {
     * shape. Computed from the DOCUMENT frame, not the window rows, so
     * zero-window short docs keep their word counts (x22's denominator).
     * n_win mirrors [[windows]] exactly: tokens−4 when tokens ≥ 5.
+    *
+    * Input contract (ADVICE r14): ONE row per doc_id. The trailing
+    * .distinct() collapses exact duplicate rows only — two rows with
+    * the same doc_id but DIFFERENT text would both survive and
+    * double-count the doc in x18/x22's n_docs while the manifest (a
+    * doc_id distinct) admits it once. Deduping by doc_id here alone
+    * would be WORSE: [[windows]] consumes the same frame and would
+    * still index both texts, leaving docstats inconsistent with the
+    * window rows. The contract is therefore index-wide and documented
+    * on [[write]]/[[append]]; the engine's feeds (the documents table,
+    * stream batches after the manifest anti-join) satisfy it by
+    * construction.
     */
   def docStatsOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"),
@@ -199,6 +211,12 @@ object WindowIndex {
     * NOT reader-safe: the in-place delete breaks any concurrent reader
     * of the old tree (appends, by contrast, leave old dirs in place and
     * only flip the pointer).
+    *
+    * Input contract: `docs` carries ONE row per doc_id (the documents
+    * table's shape). Duplicate doc_id rows with differing text would
+    * be indexed twice by [[windows]] and double-counted by
+    * [[docStatsOf]] while the manifest admits the id once — see the
+    * docStatsOf note (ADVICE r14).
     */
   def write(docs: DataFrame, path: String): Unit = {
     val spark = docs.sparkSession
@@ -215,7 +233,9 @@ object WindowIndex {
     * of prior batches, nor their window rows, nor the merged census is
     * re-read or rewritten; the amortized O(census/k) term is the LSM
     * compaction once the pointer lists more than [[CensusCompactK]]
-    * census deltas.
+    * census deltas. Same one-row-per-doc_id input contract as
+    * [[write]] (the anti-join dedupes against PRIOR batches only, not
+    * within `docsNew`).
     */
   def append(docsNew: DataFrame, path: String): Unit = {
     val spark = docsNew.sparkSession

@@ -897,8 +897,12 @@ object SimilarityQueries extends QueryModule {
       // join at real scale — the pair frame is the big side either way
       // the within-list pair scan with the cosine filter is the
       // dominant job (~N²/lists); persist it so the isEmpty probe and
-      // connectedComponents' sym/distinct localCheckpoint both read the
-      // SAME materialization instead of recomputing it (ADVICE r13)
+      // connectedComponents' sym/distinct localCheckpoint share ONE
+      // cache instead of each recomputing the scan (ADVICE r13). The
+      // probe itself is take(1) and fills only the first partitions'
+      // cache blocks; the components pass computes (and caches) the
+      // remainder on first read — the win is no SECOND full scan, not
+      // full materialization at probe time (ADVICE r14)
       val pairs = lists.select(col("list_id"), col("vec_id").as("da"))
         .join(lists.select(col("list_id"), col("vec_id").as("db")),
           Seq("list_id"))

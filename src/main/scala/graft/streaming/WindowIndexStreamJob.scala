@@ -24,6 +24,15 @@ import graft.operators.WindowIndex
   * `WindowIndexStreamSpec` pins stream-appended ≡ batch-built (windows
   * AND dup census) and replay-changes-nothing.
   *
+  * Census-v4 migration (ADVICE r14): `append` hard-fails on any index
+  * whose pointer predates census v4 (pre-r14 snapshots lack the
+  * df/tc/docstats columns flip corrections need), so a standing stream
+  * resumed over an old index fails EVERY micro-batch — loud by design,
+  * but operationally breaking. Before resuming such a stream, rebuild
+  * the index once with `WindowIndex.write(allDocs, path)` (ids are
+  * content-derived, so the rebuild is bit-identical plus the new v4
+  * tables); the stream then appends normally.
+  *
   * Batch dirs accumulate one per non-empty micro-batch — on a standing
   * stream that is thousands of dirs after weeks, and every
   * `readWindows` unions them all. `compactEvery = Some(n)` bounds it:

@@ -72,6 +72,13 @@ def main():
                  else "the old side" if old_marker is None
                  else "the new side")
               + " — pre-r14 artifact; co-tenant load not self-identifying]")
+    else:
+        # both sides carry a marker but at least one is degenerate
+        # (non-numeric or <= 0) — say so loudly instead of silently
+        # skipping the drift line (ADVICE r14)
+        print(f"[load marker DEGENERATE: old={old_marker!r} "
+              f"new={new_marker!r} — cannot adjudicate window load; "
+              "treat this compare as not-load-checked]")
 
     excluded = set()
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
