@@ -229,10 +229,18 @@ object Harmonize {
     * Only the staging unions (each consumed twice: table + id map, or
     * re-key chain + inchi scan) are materialized; each final-table
     * write job projects them once and lands directly in `dir`.
+    *
+    * With `spark.graft.assembly.slices` > 1 the build runs SLICED
+    * (see [[buildBrickToSliced]]) — same rows, bounded peak scratch.
     */
   private def buildBrickTo(spark: SparkSession, sfDir: String,
       adapters: Seq[SourceAdapter], converter: StructureConverter,
       dir: String): Unit = {
+    val k = spark.conf.getOption(SlicesKey).map(_.trim.toInt).getOrElse(1)
+    if (k > 1)
+      buildBrickToSliced(spark, sfDir, sliceAdapters(adapters, k),
+        converter, dir)
+    else {
     val inter = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val staged = adapters.map(a =>
       a.name -> SourceAdapter.cachedStaging(a, spark, sfDir))
@@ -247,6 +255,120 @@ object Harmonize {
       b.properties.write.parquet(s"$dir/properties")
       b.activities.write.parquet(s"$dir/activities")
     } finally inter.foreach(graft.MemoRegistry.release)
+    }
+  }
+
+  /** Conf: adapter-slice count for the artifact-dir brick build.
+    * Default 1 — the one-shot shape above; every gate-scale plan is
+    * unchanged unless a deployment opts in.
+    */
+  val SlicesKey = "spark.graft.assembly.slices"
+
+  /** Deal `adapters` into `k` slices round-robin (adjacent heavy
+    * sources land in different slices); order within a slice follows
+    * the input order. k is clamped to [1, adapters.size].
+    */
+  def sliceAdapters(adapters: Seq[SourceAdapter],
+      k: Int): Seq[Seq[SourceAdapter]] = {
+    val n = math.max(1, math.min(k, adapters.size))
+    (0 until n).map(i =>
+      adapters.zipWithIndex.collect { case (a, j) if j % n == i => a })
+  }
+
+  /** Bounded-scratch SLICED assembly (VERDICT r14 #1): build the brick
+    * one adapter-slice at a time, appending each slice's three tables
+    * into `dir` and reclaiming the slice's staged handoffs and shuffle
+    * files before the next slice stages. Peak concurrent scratch drops
+    * from sum-over-all-sources (staged handoffs + the whole union's
+    * precollapse shuffle live at once — the ~135 GB that ended the
+    * fifth-decade one-shot probe in a kernel OOM, BENCH_LOCAL r14) to
+    * max-over-slices(slice staged + slice shuffle) + the growing
+    * output dir, which is the final product, not scratch. This is the
+    * cluster posture when executor-local disk is the constraint:
+    * total work is unchanged, only CONCURRENCY of scratch is bounded.
+    *
+    * Output is BIT-IDENTICAL to the one-shot build (HarmonizeSpec pins
+    * it) because the brick is per-SOURCE decomposable and slices are
+    * whole-adapter partitions:
+    *   - substances/properties rows carry `source` and their distinct
+    *     keys include it, so per-slice distinct ∪ per-slice distinct
+    *     IS the global distinct — no group crosses slices;
+    *   - both re-key joins are on (source, old-id): every activities
+    *     row joins only its OWN source's id maps, which live in its
+    *     slice;
+    *   - the activities collapse key (source, new_sid, new_pid, inchi,
+    *     value) contains `source`, so min(numvalue) groups are
+    *     slice-confined too — the appended union is already fully
+    *     collapsed, unlike [[merge]]'s input, whose units may SPLIT a
+    *     source and therefore must re-collapse;
+    *   - smiles = converter(inchi) is a pure function: a structure
+    *     shared by two slices converts once per slice to the same
+    *     value (the per-slice distinct-inchi map only bounds converter
+    *     CALLS, never changes results).
+    *
+    * Scratch lifecycle per slice: stage (handoff S) → materialize the
+    * three staging unions (checkpoints U; peak S+U) → EVICT the staged
+    * handoffs (they are dead once the unions exist — the one-shot path
+    * can't do this because h-family consumers share the session memo;
+    * here eviction is the point of the mode and the memo rebuilds
+    * bit-identically if later queries re-stage) → write the three
+    * tables (join/collapse shuffles W; peak U+W) → release U, drop the
+    * slice lineage, GC so ContextCleaner reclaims W. Per-slice
+    * first-shot reducer width scales with the SLICE's staged bytes —
+    * partitions track data, as everywhere else.
+    */
+  def buildBrickToSliced(spark: SparkSession, sfDir: String,
+      slices: Seq[Seq[SourceAdapter]], converter: StructureConverter,
+      dir: String, instrument: String => Unit = _ => ()): Unit = {
+    require(slices.nonEmpty && slices.forall(_.nonEmpty),
+      "sliced assembly needs at least one non-empty adapter slice")
+    val names = slices.flatten.map(_.name)
+    require(names.distinct.size == names.size,
+      s"adapter slices must be disjoint (source is the decomposition " +
+        s"key): ${names.mkString(",")}")
+    slices.zipWithIndex.foreach { case (sl, i) =>
+      val t0 = System.nanoTime()
+      val inter = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      try {
+        val staged = sl.map(a =>
+          a.name -> SourceAdapter.cachedStaging(a, spark, sfDir))
+        withScaledInitialPartitions(spark, stagedBytes(staged)) {
+          val b = brickFromStaged(staged, converter,
+            materialize = { df =>
+              val c = graft.MemoRegistry.checkpointLarge(df); inter += c; c })
+          // brickFromStaged materialized the three staging unions
+          // eagerly — the per-adapter handoffs are dead NOW, before
+          // the join/collapse shuffles build their own mass
+          SourceAdapter.evict(spark)
+          reclaimShuffles(spark)
+          b.substances.write.mode("append").parquet(s"$dir/substances")
+          b.properties.write.mode("append").parquet(s"$dir/properties")
+          b.activities.write.mode("append").parquet(s"$dir/activities")
+        }
+      } finally {
+        inter.foreach(graft.MemoRegistry.release)
+        reclaimShuffles(spark)
+      }
+      instrument(f"slice ${i + 1}/${slices.size} " +
+        f"[${sl.map(_.name).mkString(",")}] " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+  }
+
+  /** Shuffle files are reclaimed by ContextCleaner only after the GC
+    * proves their dependencies unreachable, and the deletes are async —
+    * a GC pass plus a short bounded wait lets a slice's shuffle mass
+    * actually leave the scratch disk before the next slice starts
+    * writing to it. (Same pattern AssemblyProfile validated under
+    * SPARK_GRAFT_EVICT_STAGED; on a cluster this is the executors'
+    * shuffle-file GC, which needs no hint.) The wait is conf-able so
+    * gate-scale specs, whose slices carry kilobytes, can skip it.
+    */
+  val ReclaimMsKey = "spark.graft.assembly.reclaimMs"
+  private def reclaimShuffles(spark: SparkSession): Unit = {
+    System.gc()
+    Thread.sleep(
+      spark.conf.getOption(ReclaimMsKey).map(_.toLong).getOrElse(3000L))
   }
 
   def brick(spark: SparkSession, sfDir: String,
