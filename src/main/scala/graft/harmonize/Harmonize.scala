@@ -108,16 +108,43 @@ object Harmonize {
         if ((converter eq StructureConverter.Stub) &&
             graft.ArtifactStore.enabled(spark) &&
             graft.ArtifactStore.hostableInput(spark, sfDir)) {
+          val names = adapters.map(_.name).mkString(",")
           val akey = graft.ArtifactStore.dirKey(spark, sfDir,
-            "brick-v1-" + adapters.map(_.name).mkString(","))
+            "brick-v1-" + names)
           val dir = graft.ArtifactStore.ensure(spark, "brick", akey) {
             tmp => buildBrickTo(spark, sfDir, adapters, converter, tmp)
           }
+          // VERDICT r14 #2: consumers read the brick through its
+          // BUCKETED catalog layout, not the plain parquet. The layout
+          // is a second, derived artifact (one rewrite of the brick,
+          // paid once per machine like the brick itself): activities
+          // and substances bucketed+sorted on sid, properties on pid —
+          // every sid/pid-keyed aggregate or join over the brick then
+          // starts from the join key's partitioning and elides its
+          // fact-side exchange (the BucketedBrickProbe receipt, 3.5× at
+          // 156M rows, now the production read path). Gate scale pays
+          // a ~second of layout cost on the first cold run only.
+          val buckets = spark.conf.getOption(BrickBucketsKey)
+            .map(_.toInt).getOrElse(32)
+          val bkey = graft.ArtifactStore.dirKey(spark, sfDir,
+            s"brickb-v1-$buckets-" + names)
+          val bdir = graft.ArtifactStore.ensure(spark, "brickb", bkey) {
+            tmp =>
+              def rd0(n: String) = spark.read.parquet(s"$dir/$n")
+              graft.sources.Catalog.writeBrickBucketedFiles(spark,
+                Brick(rd0("substances"), rd0("properties"),
+                  rd0("activities")), tmp, buckets)
+          }
+          val b = graft.sources.Catalog.registerBrickBucketedFiles(
+            spark, bdir, bkey.take(12), buckets)
           // read-back frames get the same serialized-block residency
-          // the checkpointed build had, so warm consumers are unchanged
-          def rd(n: String) = spark.read.parquet(s"$dir/$n").persist(
+          // the checkpointed build had, so warm consumers are
+          // unchanged; the persist KEEPS the bucketed partitioning
+          // (InMemoryRelation reports the cached scan's partitioning —
+          // BrickLayoutSpec pins it)
+          def pr(df: DataFrame) = df.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-          Brick(rd("substances"), rd("properties"), rd("activities"))
+          Brick(pr(b.substances), pr(b.properties), pr(b.activities))
         } else buildBrick(spark, sfDir, adapters, converter)
       fresh.complete(out)
       out
@@ -263,6 +290,13 @@ object Harmonize {
     * unchanged unless a deployment opts in.
     */
   val SlicesKey = "spark.graft.assembly.slices"
+
+  /** Conf: bucket count for the hosted brick's catalog layout. Default
+    * 32 (= the local core count, so gate-scale scans keep full
+    * parallelism); a cluster sizes it so each bucket's activities
+    * slice fits an executor — the writeBrickBucketed guidance.
+    */
+  val BrickBucketsKey = "spark.graft.brick.buckets"
 
   /** Deal `adapters` into `k` slices round-robin (adjacent heavy
     * sources land in different slices); order within a slice follows

@@ -51,15 +51,43 @@ object HarmonizeQueries extends QueryModule {
     // per-(source, value) counts, distinct aids, distinct joined-back
     // smiles (the D2 enrichment), binary_value totals, numvalue range
     // (ref: src/80_harmonize.py:63-99 assembly + count assertions).
+    //
+    // Shaped to RIDE THE BUCKETED BRICK LAYOUT (VERDICT r14 #2): the
+    // hosted activities table is bucketed on sid, and aid =
+    // md5(sid|pid|inchi|value) determines sid, so aid-distinct sets are
+    // DISJOINT across sids — a per-(source, value, sid) distinct count
+    // (whose group key contains the bucket key: exchange ELIDED) summed
+    // per (source, value) IS the global distinct count, and the only
+    // exchange the pyramid needs carries ~|groups| partial sums. The
+    // flat countDistinct formulation instead shuffled every aid string
+    // (aids are unique — the partial dedup removes nothing, a
+    // fact-scale exchange). smiles = f(inchi) is NOT sid-bound (two
+    // substances can share a structure), so its distinct count goes
+    // through a (source, value, smiles) distinct frame — the exchange
+    // carries per-partition-DEDUPED structure rows, dimension scale.
+    // Left join + coalesce keeps countDistinct's null semantics (a
+    // group with only null smiles counts 0, not 1, and is not dropped).
     "h3_activities_qc" -> ((s, d) => {
-      brick(s, d).activities
+      val a = brick(s, d).activities
+      val core = a
+        .groupBy(col("source"), col("value"), col("sid"))
+        .agg(count(lit(1)).as("n_s"),
+          countDistinct(col("aid")).as("na_s"),
+          sum(col("binary_value")).as("np_s"),
+          min(col("numvalue")).as("mn_s"),
+          max(col("numvalue")).as("mx_s"))
         .groupBy(col("source"), col("value"))
-        .agg(count(lit(1)).as("n"),
-          countDistinct(col("aid")).as("n_aids"),
-          countDistinct(col("smiles")).as("n_smiles"),
-          sum(col("binary_value")).as("n_pos"),
-          min(col("numvalue")).as("min_num"),
-          max(col("numvalue")).as("max_num"))
+        .agg(sum(col("n_s")).as("n"), sum(col("na_s")).as("n_aids"),
+          sum(col("np_s")).as("n_pos"), min(col("mn_s")).as("min_num"),
+          max(col("mx_s")).as("max_num"))
+      val smiles = a.filter(col("smiles").isNotNull)
+        .select(col("source"), col("value"), col("smiles")).distinct()
+        .groupBy(col("source"), col("value"))
+        .agg(count(lit(1)).as("n_smiles"))
+      core.join(smiles, Seq("source", "value"), "left")
+        .select(col("source"), col("value"), col("n"), col("n_aids"),
+          coalesce(col("n_smiles"), lit(0L)).as("n_smiles"),
+          col("n_pos"), col("min_num"), col("max_num"))
         .orderBy(col("source"), col("value"))
     }),
 

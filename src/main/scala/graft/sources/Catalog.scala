@@ -97,4 +97,59 @@ object Catalog {
       spark.table(s"$db.substances_b"),
       spark.table(s"$db.properties_b"),
       spark.table(s"$db.activities_b"))
+
+  /** Write the brick as BUCKETED FILES under `dir`, keeping no catalog
+    * state (VERDICT r14 #2 — the ArtifactStore layout step). Spark's
+    * only bucketed-file writer is saveAsTable, so each table goes
+    * through a throwaway external catalog entry whose path is the
+    * target subdir and which is dropped right after — the files, with
+    * bucket ids encoded in their names, remain. Any session can later
+    * adopt them with [[registerBrickBucketedFiles]]; the file layout is
+    * also a superset of the plain artifact (spark.read.parquet ignores
+    * bucket names), so non-catalog readers keep working.
+    */
+  def writeBrickBucketedFiles(spark: SparkSession, brick: Harmonize.Brick,
+      dir: String, buckets: Int): Unit = {
+    def save(df: org.apache.spark.sql.DataFrame, name: String,
+        key: String): Unit = {
+      val t = "graft_tmp_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
+        .option("path", s"$dir/$name").saveAsTable(t)
+      spark.sql(s"DROP TABLE $t")
+    }
+    save(brick.substances, "substances", "sid")
+    save(brick.properties, "properties", "pid")
+    save(brick.activities, "activities", "sid")
+  }
+
+  /** Adopt bucketed brick FILES (written by
+    * [[writeBrickBucketedFiles]], possibly by another JVM) as catalog
+    * tables in THIS session, returning the catalog-backed Brick. The
+    * external CREATE TABLE carries the bucket spec (CLUSTERED/SORTED
+    * BY), which is what makes every scan report hashpartitioning(key,
+    * buckets) — sid/pid-keyed aggregates and joins over the brick then
+    * plan with their fact-side exchange ELIDED, and the partitioning
+    * survives a persist() (InMemoryRelation keeps the cached plan's
+    * output partitioning; BrickLayoutSpec pins both). `suffix` keys the
+    * table names so differently-sourced bricks (the 13- and 14-source
+    * gates) coexist; registration is idempotent per session.
+    */
+  def registerBrickBucketedFiles(spark: SparkSession, dir: String,
+      suffix: String, buckets: Int): Harmonize.Brick = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_brick")
+    def reg(name: String, key: String): org.apache.spark.sql.DataFrame = {
+      val tbl = s"graft_brick.${name}_$suffix"
+      if (!spark.catalog.tableExists(tbl)) {
+        val ddl = spark.read.parquet(s"$dir/$name").schema.toDDL
+        spark.sql(
+          s"""CREATE TABLE $tbl ($ddl) USING parquet
+             |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+             |LOCATION '$dir/$name'""".stripMargin)
+      }
+      spark.table(tbl)
+    }
+    Harmonize.Brick(reg("substances", "sid"), reg("properties", "pid"),
+      reg("activities", "sid"))
+  }
 }
