@@ -39,6 +39,13 @@ import org.apache.spark.sql.types._
   *                          dup criterion plus +tc flip corrections
   *                          for prior docs (see commitBatch); the
   *                          committed per-doc dup count is the SUM
+  *   batches/<id>/spans/    (doc_id, lang, longest_run, n_runs,
+  *                          removed_words, seq) — per-doc SPAN stats
+  *                          for the docs this commit AFFECTED, full
+  *                          replacement rows versioned by seq (spans
+  *                          are not summable — a flip can merge
+  *                          islands); the committed row per doc is the
+  *                          max-seq row (see spansSchema note)
   *   census/<id>/           (h, d0, d1, df, tc) — per-hash min/max
   *                          doc_id, distinct-doc count, position count
   *                          for
@@ -144,6 +151,22 @@ object WindowIndex {
   // and the per-doc SUM across deltas is the exact global dup count.
   private val dupcSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("dn", LongType)))
+  // per-doc SPAN stats (round 15, VERDICT r14 #3): gaps-and-islands
+  // aggregates over a doc's duplicated window POSITIONS — longest
+  // consecutive run, run count, and the words a substring-dedup pass
+  // would remove (spans merged at gap ≤ 4; a window at g covers words
+  // [g, g+4]). Spans are NOT summable (a flip can merge two islands),
+  // so deltas are FULL REPLACEMENT rows versioned by `seq` (the commit
+  // ordinal): each commit recomputes exactly the AFFECTED docs — the
+  // batch's own dup-windowed docs plus the flip-correction owners the
+  // dupc delta already names — and the committed row per doc is the
+  // max-seq row. Unaffected docs' rows stay exact because dup status
+  // is monotone: a doc's dup-position set only changes when one of ITS
+  // hashes flips, and every flip's owner is named by the correction.
+  private val spansSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("longest_run", LongType), StructField("n_runs", LongType),
+    StructField("removed_words", LongType), StructField("seq", LongType)))
 
   /** The window explode as a pure function of a documents frame —
     * SINGLE DEFINITION shared with the query-side session memo
@@ -207,6 +230,40 @@ object WindowIndex {
       .select(col("doc_id"), col("lang"), col("n_win"), col("n_words"))
       .distinct()
 
+  /** Per-doc span aggregates from a frame of DUPLICATED window
+    * positions (doc_id, lang, g) — the single definition shared by the
+    * commit-time spans delta and the spec's brute recompute. One
+    * ordered pass per doc (state bounded by windows-per-doc, never
+    * corpus-global): consecutive-g runs (gap > 1 starts a run — the
+    * x20 island criterion) and word-overlap spans (gap > 4 starts a
+    * span; a merged span [g1, g2] removes g2+4−g1+1 words — the x22
+    * yield criterion). Docs with no dup windows have no row.
+    */
+  def spanStatsOf(dupWins: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("g"))
+    val cum = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flags = dupWins.select(col("doc_id"), col("lang"), col("g"))
+      .withColumn("prev", lag(col("g"), 1).over(wd))
+      .withColumn("run", sum(when(col("prev").isNull ||
+        col("g") - col("prev") > 1, 1).otherwise(0)).over(cum))
+      .withColumn("span", sum(when(col("prev").isNull ||
+        col("g") - col("prev") > 4, 1).otherwise(0)).over(cum))
+    // both aggregates group on keys CONTAINING doc_id, the window's
+    // partition key — no exchange after the window sort
+    val runs = flags.groupBy(col("doc_id"), col("lang"), col("run"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(max(col("run_len")).cast("long").as("longest_run"),
+        count(lit(1)).as("n_runs"))
+    val spans = flags.groupBy(col("doc_id"), col("lang"), col("span"))
+      .agg((max(col("g")) + 4 - min(col("g")) + 1).cast("long")
+        .as("removed"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("removed")).as("removed_words"))
+    runs.join(spans, Seq("doc_id", "lang"))
+  }
+
   /** Initialize (or reinitialize) the index at `path` from scratch.
     * NOT reader-safe: the in-place delete breaks any concurrent reader
     * of the old tree (appends, by contrast, leave old dirs in place and
@@ -245,10 +302,10 @@ object WindowIndex {
     // compute flip corrections (its census lacks df/tc), and silently
     // committing a dupc delta anyway would bake undercounted dup
     // totals into every later read. Rebuild with write() to adopt v4.
-    require(cur.marker == "v3",
-      s"window index at $path predates census v4 (pointer marker " +
-        s"'${cur.marker}') - dup-count deltas cannot be maintained " +
-        "incrementally on it; rebuild the index with write()")
+    require(cur.marker == "v4",
+      s"window index at $path predates the v5 spans table (pointer " +
+        s"marker '${cur.marker}') - dup-count/span deltas cannot be " +
+        "maintained incrementally on it; rebuild the index with write()")
     val seen = readConcat(spark, cur.batches.map(b =>
       s"$path/batches/$b/manifest"), manifestSchema)
     val fresh = docsNew.join(seen, Seq("doc_id"), "left_anti")
@@ -293,7 +350,7 @@ object WindowIndex {
       .parquet(s"$path/census/$id")
       .select(col("h"), col("df").as("b_df"))
     val pc = readCensus(spark, path, prior)
-      .select(col("h"), col("d0").as("p_d0"),
+      .select(col("h"), col("d0").as("p_d0"), col("d1").as("p_d1"),
         col("df").as("p_df"), col("tc").as("p_tc"))
     val j = bc.join(pc, Seq("h"), "left")
     val dupNow = j
@@ -308,6 +365,57 @@ object WindowIndex {
     newRows.unionByName(corr)
       .groupBy(col("doc_id")).agg(sum(col("dn")).as("dn"))
       .write.parquet(s"$path/batches/$id/dupc")
+    // the SPANS delta (VERDICT r14 #3): full-replacement per-doc span
+    // rows for exactly the AFFECTED docs — the dupc delta's doc set
+    // (batch docs with ≥1 dup window + flip-correction owners). A
+    // prior doc's span structure changes ONLY when one of its hashes
+    // flips, and every flip names its owner (df=1 ⇒ owner = d0), so
+    // recomputing these docs under the post-commit dup set keeps every
+    // committed max-seq row exact. Cost per append: O(batch windows +
+    // census) like the dupc delta, PLUS a doc-pruned scan of only the
+    // prior batch dirs that CONTAIN affected docs (located via the
+    // same manifest rows the append anti-join already reads; the
+    // driver collect is bounded by the batch-dir count). Pathological
+    // worst case — every batch owns a flipped hash — degrades the
+    // READ to O(index windows) for that append, never the write;
+    // typical boilerplate flips concentrate in few batches
+    // (WindowIndexSpec pins incremental ≡ one-shot ≡ brute recompute).
+    val seqNo = (prior.map(_.batches.size).getOrElse(0) + 1).toLong
+    val newDupWins = readConcat(spark,
+        Seq(s"$path/batches/$id/windows"), windowsSchema)
+      .join(dupNow, Seq("h"))
+      .select(col("doc_id"), col("lang"), col("g"))
+    val priorBatches = prior.map(_.batches).getOrElse(Nil)
+    val affPrior = corr.select(col("doc_id")).distinct()
+    val hitDirs: Seq[String] =
+      if (priorBatches.isEmpty) Nil
+      else priorBatches.map(b =>
+          spark.read.schema(manifestSchema)
+            .parquet(s"$path/batches/$b/manifest")
+            .withColumn("b", lit(b)))
+        .reduce(_ unionByName _)
+        .join(affPrior, Seq("doc_id"))
+        .select(col("b")).distinct()
+        .collect().map(_.getString(0)).toSeq
+    val priorDupWins =
+      if (hitDirs.isEmpty)
+        newDupWins.filter(lit(false))
+      else {
+        // post-commit dup hashes relevant to prior docs: already-dup
+        // (merged d0 ≠ d1) plus the hashes this batch flipped
+        val dupForPrior = pc.filter(col("p_d0") =!= col("p_d1"))
+          .select(col("h"))
+          .unionByName(j.filter(col("p_df") === 1L).select(col("h")))
+          .distinct()
+        readConcat(spark,
+            hitDirs.map(b => s"$path/batches/$b/windows"), windowsSchema)
+          .join(affPrior, Seq("doc_id"), "left_semi")
+          .join(dupForPrior, Seq("h"))
+          .select(col("doc_id"), col("lang"), col("g"))
+      }
+    spanStatsOf(newDupWins.unionByName(priorDupWins))
+      .withColumn("seq", lit(seqNo))
+      .write.parquet(s"$path/batches/$id/spans")
     val censuses = prior.map(_.censuses).getOrElse(Nil) :+ id
     val merged =
       if (censuses.size <= CensusCompactK) censuses
@@ -322,7 +430,7 @@ object WindowIndex {
         Seq(cid)
       }
     flipPointer(spark, path,
-      Snapshot("v3", merged, prior.map(_.batches).getOrElse(Nil) :+ id))
+      Snapshot("v4", merged, prior.map(_.batches).getOrElse(Nil) :+ id))
   }
 
   /** Compact the batch-dir list down to ≤ `maxBatches` dirs and flip
@@ -359,7 +467,8 @@ object WindowIndex {
       readConcat(spark, cur.batches.map(b => s"$path/batches/$b/manifest"),
         manifestSchema).distinct()
         .write.parquet(s"$path/batches/$id/manifest")
-      if (cur.marker == "v3") mergeExtras(spark, path, cur.batches, id)
+      if (cur.marker == "v3" || cur.marker == "v4")
+        mergeExtras(spark, path, cur.batches, id, cur.marker)
       readCensus(spark, path, Some(cur)).write.parquet(s"$path/census/$id")
       flipPointer(spark, path, Snapshot(cur.marker, Seq(id), Seq(id)))
     } else {
@@ -387,18 +496,22 @@ object WindowIndex {
       readConcat(spark, victims.map(b => s"$path/batches/$b/manifest"),
         manifestSchema).distinct()
         .write.parquet(s"$path/batches/$id/manifest")
-      if (cur.marker == "v3") mergeExtras(spark, path, victims, id)
+      if (cur.marker == "v3" || cur.marker == "v4")
+        mergeExtras(spark, path, victims, id, cur.marker)
       flipPointer(spark, path,
         Snapshot(cur.marker, cur.censuses, keep :+ id))
     }
   }
 
-  /** Merge the v4-era per-batch tables of `from` dirs into batch dir
+  /** Merge the v4+-era per-batch tables of `from` dirs into batch dir
     * `id`: docstats is a disjoint union (one row per doc), dupc merges
-    * BY SUM (the same summability that makes the deltas exact).
+    * BY SUM (the same summability that makes the deltas exact), and
+    * spans (v5/marker-v4 indexes) keep the LATEST row per doc — a doc's
+    * rows may span folded and kept dirs, but the read-side max-seq
+    * merge is order-insensitive, so folding any subset is safe.
     */
   private def mergeExtras(spark: SparkSession, path: String,
-      from: Seq[String], id: String): Unit = {
+      from: Seq[String], id: String, marker: String): Unit = {
     readConcat(spark, from.map(b => s"$path/batches/$b/docstats"),
       docStatsSchema).distinct()
       .write.parquet(s"$path/batches/$id/docstats")
@@ -406,7 +519,24 @@ object WindowIndex {
       dupcSchema)
       .groupBy(col("doc_id")).agg(sum(col("dn")).as("dn"))
       .write.parquet(s"$path/batches/$id/dupc")
+    if (marker == "v4")
+      latestSpans(readConcat(spark,
+          from.map(b => s"$path/batches/$b/spans"), spansSchema))
+        .write.parquet(s"$path/batches/$id/spans")
   }
+
+  /** Latest-seq row per doc over a union of spans deltas. max(struct)
+    * with seq as the leading field — no window, one hash aggregate.
+    */
+  private def latestSpans(spans: DataFrame): DataFrame =
+    spans.groupBy(col("doc_id"))
+      .agg(max(struct(col("seq"), col("lang"), col("longest_run"),
+        col("n_runs"), col("removed_words"))).as("s"))
+      .select(col("doc_id"), col("s.lang").as("lang"),
+        col("s.longest_run").as("longest_run"),
+        col("s.n_runs").as("n_runs"),
+        col("s.removed_words").as("removed_words"),
+        col("s.seq").as("seq"))
 
   /** Remove every batch/census dir the committed pointer does not
     * reference — orphans from crashed maintenance and dirs unreferenced
@@ -489,10 +619,30 @@ object WindowIndex {
       .groupBy(col("doc_id")).agg(sum(col("dn")).as("n_dup"))
   }
 
+  /** Per-doc span stats (doc_id, lang, longest_run, n_runs,
+    * removed_words) — the committed max-seq row per doc across the
+    * spans deltas. One narrow row per dup-affected doc: x20's
+    * longest-run table and x22's yield accounting read THIS instead of
+    * re-joining the corpus-scale window frame against the dup set
+    * every session (VERDICT r14 #3). Docs with zero duplicated windows
+    * have no row — consumers left-join. v5 (pointer marker v4) indexes
+    * only; older snapshots fail loudly (rebuild to adopt).
+    */
+  def readSpans(spark: SparkSession, path: String): DataFrame = {
+    val cur = readCurrent(spark, path)
+    require(cur.marker == "v4",
+      s"readSpans: window index at $path predates the v5 spans table " +
+        s"(pointer marker '${cur.marker}') - rebuild the index with " +
+        "write() to adopt it")
+    latestSpans(readConcat(spark,
+        cur.batches.map(b => s"$path/batches/$b/spans"), spansSchema))
+      .drop("seq")
+  }
+
   private def requireV4(spark: SparkSession, path: String,
       caller: String): Snapshot = {
     val cur = readCurrent(spark, path)
-    require(cur.marker == "v3",
+    require(cur.marker == "v3" || cur.marker == "v4",
       s"$caller: window index at $path predates census v4 (pointer " +
         s"marker '${cur.marker}') - rebuild the index with write() " +
         "to adopt the docstats/dupc tables")
@@ -519,10 +669,12 @@ object WindowIndex {
 
   // ---- snapshot pointer ----
 
-  /** `marker` is the pointer FORMAT generation: "v3" snapshots carry
-    * census v4 + docstats + dupc dirs; "v2"/"v1" are prior-era indexes
-    * (windows/manifest/census only) that still serve readWindows /
-    * readDup but refuse the v4-only readers and append (loud gates).
+  /** `marker` is the pointer FORMAT generation: "v4" snapshots carry
+    * census v4 + docstats + dupc + SPANS dirs; "v3" lacks spans (still
+    * serves docstats/dupc but refuses readSpans and append); "v2"/"v1"
+    * are prior-era indexes (windows/manifest/census only) that still
+    * serve readWindows / readDup but refuse everything newer (loud
+    * gates — rebuild with write() to upgrade).
     */
   private case class Snapshot(marker: String, censuses: Seq[String],
     batches: Seq[String])
@@ -549,7 +701,7 @@ object WindowIndex {
       val lines = new String(bytes, StandardCharsets.UTF_8)
         .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
       require(lines.nonEmpty, s"corrupt window-index pointer $p")
-      if (lines.head == "v2" || lines.head == "v3") {
+      if (lines.head == "v2" || lines.head == "v3" || lines.head == "v4") {
         require(lines.size >= 2,
           s"corrupt ${lines.head} window-index pointer $p")
         Some(Snapshot(lines.head,

@@ -24,13 +24,13 @@ import graft.operators.WindowIndex
   * `WindowIndexStreamSpec` pins stream-appended ≡ batch-built (windows
   * AND dup census) and replay-changes-nothing.
   *
-  * Census-v4 migration (ADVICE r14): `append` hard-fails on any index
-  * whose pointer predates census v4 (pre-r14 snapshots lack the
-  * df/tc/docstats columns flip corrections need), so a standing stream
-  * resumed over an old index fails EVERY micro-batch — loud by design,
-  * but operationally breaking. Before resuming such a stream, rebuild
-  * the index once with `WindowIndex.write(allDocs, path)` (ids are
-  * content-derived, so the rebuild is bit-identical plus the new v4
+  * Format-migration note (ADVICE r14): `append` hard-fails on any
+  * index whose pointer predates the CURRENT table set (census v4's
+  * df/tc/docstats/dupc, and the round-15 spans table), so a standing
+  * stream resumed over an old index fails EVERY micro-batch — loud by
+  * design, but operationally breaking. Before resuming such a stream,
+  * rebuild the index once with `WindowIndex.write(allDocs, path)` (ids
+  * are content-derived, so the rebuild is bit-identical plus the new
   * tables); the stream then appends normally.
   *
   * Batch dirs accumulate one per non-empty micro-batch — on a standing

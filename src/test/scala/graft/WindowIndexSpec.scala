@@ -222,6 +222,100 @@ class WindowIndexSpec extends SparkSpec {
     assert(WindowIndex.readDocStats(spark, dir).collect().toSet == ds)
   }
 
+  /** Per-doc span stats recomputed the expensive way — the corpus-scale
+    * dup-window sort the spans deltas replace (VERDICT r14 #3).
+    */
+  private def spanStatsBrute(dir: String): org.apache.spark.sql.DataFrame =
+    WindowIndex.spanStatsOf(
+      WindowIndex.readWindows(spark, dir)
+        .join(WindowIndex.readDup(spark, dir), Seq("h"))
+        .select(col("doc_id"), col("lang"), col("g")))
+
+  test("v5 spans deltas: incremental ≡ one-shot ≡ brute recompute, " +
+      "and a flip can MERGE a prior doc's islands") {
+    import spark.implicits._
+    // doc 1's windows: g=1..7 over 11 tokens. Batch 2 duplicates its
+    // g=1 and g=7 windows (two separated spans, gap 6 > 4); batch 3
+    // duplicates g=4 — the flip lands BETWEEN them (gaps 3 and 3 ≤ 4),
+    // so doc 1's two spans must MERGE into one [1,7] removing 11 words.
+    // This is exactly why spans are full-replacement recomputes, not
+    // summable deltas.
+    val d1 = Seq((1L, "en", "s1", "a b c d e x f g h i j"))
+      .toDF("doc_id", "lang", "source", "text")
+    val d2 = Seq((2L, "en", "s2", "a b c d e z0 z1 f g h i j"))
+      .toDF("doc_id", "lang", "source", "text")
+    val d3 = Seq((3L, "en", "s3", "d e x f g y0 y1 y2 y3"))
+      .toDF("doc_id", "lang", "source", "text")
+    val inc = Files.createTempDirectory("graft-winidx-s5i").toString + "/idx"
+    val one = Files.createTempDirectory("graft-winidx-s5o").toString + "/idx"
+    WindowIndex.write(d1, inc)
+    assert(WindowIndex.readSpans(spark, inc).count() == 0)
+    WindowIndex.append(d2, inc)
+    // two separated spans for doc 1: 2 runs, removed = 2·5 words
+    val mid = WindowIndex.readSpans(spark, inc)
+      .filter(col("doc_id") === 1L).head()
+    assert(mid.getAs[Long]("n_runs") == 2L &&
+      mid.getAs[Long]("removed_words") == 10L)
+    WindowIndex.append(d3, inc)
+    WindowIndex.write(d1.unionByName(d2).unionByName(d3), one)
+    assert(frameEq(WindowIndex.readSpans(spark, inc),
+      WindowIndex.readSpans(spark, one)))
+    assert(frameEq(WindowIndex.readSpans(spark, inc),
+      spanStatsBrute(inc)))
+    // the merged island: one span [1,7] = 11 words, three 1-window runs
+    val m = WindowIndex.readSpans(spark, inc)
+      .filter(col("doc_id") === 1L).head()
+    assert(m.getAs[Long]("removed_words") == 11L)
+    assert(m.getAs[Long]("n_runs") == 3L &&
+      m.getAs[Long]("longest_run") == 1L)
+    // re-append idempotence extends to the spans table
+    WindowIndex.append(d3, inc)
+    assert(frameEq(WindowIndex.readSpans(spark, inc), spanStatsBrute(inc)))
+  }
+
+  test("v5 spans on the real corpus: appends ≡ recompute, compaction " +
+      "preserves the table") {
+    val dir = Files.createTempDirectory("graft-winidx-s5c").toString + "/idx"
+    WindowIndex.write(docs.filter(col("doc_id") % 3 === 0), dir)
+    WindowIndex.append(docs.filter(col("doc_id") % 3 === 1), dir)
+    WindowIndex.append(docs.filter(col("doc_id") % 3 === 2), dir)
+    assert(frameEq(WindowIndex.readSpans(spark, dir), spanStatsBrute(dir)))
+    val sp = WindowIndex.readSpans(spark, dir).collect().toSet
+    assert(sp.nonEmpty)
+    WindowIndex.compact(spark, dir, maxBatches = 2)
+    assert(WindowIndex.readSpans(spark, dir).collect().toSet == sp)
+    WindowIndex.compact(spark, dir)
+    assert(WindowIndex.batchCount(spark, dir) == 1L)
+    assert(WindowIndex.readSpans(spark, dir).collect().toSet == sp)
+  }
+
+  test("v4-era (pre-spans) snapshots refuse append and readSpans, " +
+      "but keep serving docstats/dupc") {
+    import spark.implicits._
+    val d1 = Seq((1L, "en", "s1", "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "lang", "source", "text")
+    val dir = Files.createTempDirectory("graft-winidx-v3e").toString + "/idx"
+    WindowIndex.write(d1, dir)
+    // forge a round-14-era pointer (marker v3: docstats/dupc exist,
+    // spans don't — the dirs over it are a superset, which is fine:
+    // the gate keys on the POINTER generation)
+    val p = java.nio.file.Paths.get(s"$dir/_CURRENT")
+    val lines = Files.readAllLines(p)
+    lines.set(0, "v3")
+    Files.write(p, lines)
+    Files.deleteIfExists(java.nio.file.Paths.get(s"$dir/._CURRENT.crc")): Unit
+    assert(WindowIndex.readDocStats(spark, dir).count() > 0)
+    assert(WindowIndex.readDupCounts(spark, dir).count() == 0)
+    val e1 = intercept[IllegalArgumentException] {
+      WindowIndex.readSpans(spark, dir).count()
+    }
+    assert(e1.getMessage.contains("rebuild"))
+    val e2 = intercept[IllegalArgumentException] {
+      WindowIndex.append(d1, dir)
+    }
+    assert(e2.getMessage.contains("rebuild"))
+  }
+
   test("pre-v4 snapshots refuse append and the v4 readers, loudly") {
     import spark.implicits._
     val d1 = Seq((1L, "en", "s1", "alpha beta gamma delta epsilon zeta"))
