@@ -883,6 +883,27 @@ object SimilarityQueries extends QueryModule {
 
   private def shortlistWidth(s: SparkSession, d: String): Int =
     graft.MemoRegistry.memoGet(rShortMemo, rShortInflight, (s, d)) {
+      // CROSS-SESSION (VERDICT r14 #4): the census chain below (pair
+      // scan + components) is the expensive part and is deterministic
+      // end-to-end (seeded blocking, min-id components, the shortlistR
+      // formula), so the resolved R is store-hosted as a one-line
+      // artifact — a warm-store session reads an integer instead of
+      // re-running the ~N²/lists pair leg.
+      val dir = graft.ArtifactStore.ensure(s, "shortr",
+        embKey(s, d, "shortr-v1")) { tmp =>
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(tmp)): Unit
+        java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "R"),
+          computeShortlistWidth(s, d).toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      }
+      new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(dir, "R")),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    }
+
+  private def computeShortlistWidth(s: SparkSession, d: String): Int =
+    locally {
       GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
       val nVec = e.count()
@@ -1050,8 +1071,14 @@ object SimilarityQueries extends QueryModule {
   private def refinedProbes(s: SparkSession, d: String,
       nVec: Long): DataFrame =
     graft.MemoRegistry.memoGet(refinedMemo, refinedInflight, (s, d)) {
-      locally {
-        GraftFunctions.register(s)
+      GraftFunctions.register(s)
+      // CROSS-SESSION (VERDICT r14 #4): the blocking is deterministic
+      // end-to-end (seeded hash-min init, seeded training sample, one
+      // fused Lloyd round, total-order ties), so the probes table is
+      // store-hosted like the assignment/PQ artifacts — a warm-store
+      // session reads N×2 narrow rows instead of re-training.
+      val dir = graft.ArtifactStore.ensure(s, "refined-probes",
+        embKey(s, d, "refined-v1")) { tmp =>
         val e = Tables.embeddings(s, d)
         val k = math.ceil(math.sqrt(10.0 * nVec)).toInt
         val init = graft.operators.KMeans
@@ -1071,8 +1098,10 @@ object SimilarityQueries extends QueryModule {
           .probesFused(e.select(col("vec_id"), col("embedding")),
             cents, "embedding", 2)
           .select(col("vec_id"), col("cid").as("list_id"), col("rk"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .write.parquet(s"$tmp/probes")
       }
+      s.read.parquet(s"$dir/probes")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   /** Per-subspace CTE block for the ann9 oracle: slice → init → one
