@@ -136,7 +136,7 @@ object Harmonize {
                   rd0("activities")), tmp, buckets)
           }
           val b = graft.sources.Catalog.registerBrickBucketedFiles(
-            spark, bdir, bkey.take(12), buckets)
+            spark, bdir, buckets)
           // read-back frames get the same serialized-block residency
           // the checkpointed build had, so warm consumers are
           // unchanged; the persist KEEPS the bucketed partitioning

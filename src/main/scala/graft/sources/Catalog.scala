@@ -131,22 +131,32 @@ object Catalog {
     * buckets) — sid/pid-keyed aggregates and joins over the brick then
     * plan with their fact-side exchange ELIDED, and the partitioning
     * survives a persist() (InMemoryRelation keeps the cached plan's
-    * output partitioning; BrickLayoutSpec pins both). `suffix` keys the
-    * table names so differently-sourced bricks (the 13- and 14-source
-    * gates) coexist; registration is idempotent per session.
+    * output partitioning; BrickLayoutSpec pins both). Table names are
+    * keyed by a hash of the RESOLVED dir — not just the content key —
+    * so differently-sourced bricks coexist AND two artifact-store
+    * BASES holding the same content never collide on one table (a
+    * temp-store test registering then deleting its base must not
+    * leave a default-base session reading the dead location).
+    * Registration is idempotent per session; an adopted existing
+    * table is REFRESHed so a pruned-and-rebuilt dir (same path, new
+    * part files) doesn't serve stale file listings.
     */
   def registerBrickBucketedFiles(spark: SparkSession, dir: String,
-      suffix: String, buckets: Int): Harmonize.Brick = {
+      buckets: Int): Harmonize.Brick = {
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_brick")
     def reg(name: String, key: String): org.apache.spark.sql.DataFrame = {
       val tbl = s"graft_brick.${name}_$suffix"
-      if (!spark.catalog.tableExists(tbl)) {
-        val ddl = spark.read.parquet(s"$dir/$name").schema.toDDL
+      if (!spark.catalog.tableExists(tbl))
         spark.sql(
-          s"""CREATE TABLE $tbl ($ddl) USING parquet
+          s"""CREATE TABLE $tbl
+             |(${spark.read.parquet(s"$dir/$name").schema.toDDL})
+             |USING parquet
              |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
              |LOCATION '$dir/$name'""".stripMargin)
-      }
+      else spark.sql(s"REFRESH TABLE $tbl")
       spark.table(tbl)
     }
     Harmonize.Brick(reg("substances", "sid"), reg("properties", "pid"),
