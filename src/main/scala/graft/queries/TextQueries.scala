@@ -763,8 +763,15 @@ object TextQueries extends QueryModule {
     // contract by construction).
     "x24_window_index_lifecycle" -> ((s, d) => {
       val path = windowIndexArtifact(s, d)
-      val wins = graft.operators.WindowIndex.readWindows(s, path)
-      val dup = graft.operators.WindowIndex.readDup(s, path)
+      // the MEMOIZED read frames (win5 = readWindows persisted,
+      // dupHashes = readDup persisted): identical rows, and the session
+      // pins the census-merge result once — x20/x22's move to the
+      // spans table (round 15) removed the other consumers that used
+      // to materialize these blocks before x24 ran, which showed up as
+      // a 1.8x warm regression on this query re-merging the census per
+      // execution
+      val wins = win5(s, d)
+      val dup = dupHashes(s, d)
         .withColumn("is_dup", lit(1))
       val per = wins.join(dup, Seq("h"), "left")
         .groupBy(col("lang"))
