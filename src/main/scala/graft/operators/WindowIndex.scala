@@ -7,13 +7,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Persisted word-5-gram window index — the ARTIFACT form of the
-  * substring-dedup family's shared frame (x18/x20/x21/x22/x23 use the
-  * session-memoized equivalent; this operator is the production
-  * posture those queries' scaladocs point at: at corpus scale the
+/** Persisted word-5-gram window index — the substring-dedup family's
+  * shared ARTIFACT (the production posture: at corpus scale the
   * window explode is written ONCE next to the data and every dedup /
   * contamination / containment pass reads it instead of re-streaming
-  * the text). Completes the persisted-index family alongside the
+  * the text; x21/x23 read window/census-scale tables, and x18/x20/x22
+  * read the NARROW per-doc tables — docstats, dupc, spans — the index
+  * maintains incrementally at append time). Completes the persisted-index family alongside the
   * minhash/simhash band tables, ScalarQuantIndex, ProductQuantIndex,
   * and IvfPqIndex; x24_window_index_lifecycle puts write → append →
   * append under the DuckDB oracle every round.

@@ -865,17 +865,19 @@ object TextQueries extends QueryModule {
     }
   }
 
-  /** Word-5-gram window frame shared by x18/x20/x21/x22: one row per
-    * window position `g` (1-based) per document, `h` = md5 of the
-    * space-joined window. The explode is ~|tokens| rows — linear, the
-    * same mass every substring-dedup pipeline streams (Lee et al.
-    * 2022). This IS the production posture now (VERDICT r12 #3,
-    * completing the r9 memoization): the window index is written ONCE
-    * next to the corpus — the [[graft.operators.WindowIndex]]
+  /** Word-5-gram window frame, read by x21/x23/x24 (since round 15
+    * x18 answers from docstats+dupc and x20/x22 from the spans table —
+    * only the queries that need per-POSITION or per-hash detail still
+    * touch window-scale rows): one row per window position `g`
+    * (1-based) per document, `h` = md5 of the space-joined window. The
+    * explode is ~|tokens| rows — linear, the same mass every
+    * substring-dedup pipeline streams (Lee et al. 2022). This IS the
+    * production posture (VERDICT r12 #3): the window index is written
+    * ONCE next to the corpus — the [[graft.operators.WindowIndex]]
     * snapshot-pointer artifact whose full lifecycle x24 runs under the
-    * oracle — and every dedup pass (x18/x20/x21/x22/x23 and x24
-    * itself) READS it; the session memo only pins the read frame in
-    * block storage so repeated passes don't re-scan parquet.
+    * oracle — and every window-scale pass READS it; the session memo
+    * only pins the read frame in block storage so repeated passes
+    * don't re-scan parquet.
     * Serialized blocks (MEMORY_AND_DISK_SER): the frame is
     * corpus-sized and narrow — the checkpointLarge storage-level
     * rationale applies.
@@ -891,8 +893,8 @@ object TextQueries extends QueryModule {
   private def win5(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame =
     graft.MemoRegistry.memoGet(win5Memo, win5Inflight, (s, d)) {
-      // The PERSISTED index is the source (VERDICT r12 #3): the whole
-      // dup-span family (x18/x20/x21/x22/x23) reads the committed
+      // The PERSISTED index is the source (VERDICT r12 #3): every
+      // window-scale reader (x21/x23/x24) reads the committed
       // windows of the x24 artifact — ensured here, so whichever
       // consumer runs first elects one builder and every later reader
       // (including x24 itself) rides the same files. The x24 oracle +
@@ -911,19 +913,20 @@ object TextQueries extends QueryModule {
     graft.MemoRegistry.evictMap(spark, win5Memo)(_._1)(Seq(_)))
 
   /** Hashes occurring in ≥2 DISTINCT docs (within-doc repeats can't
-    * self-flag) — the x18 dup criterion, shared with x20/x22.
-    * "≥2 distinct docs" is computed as min(doc_id) ≠ max(doc_id), NOT
-    * countDistinct: the distinct formulation plans as an extra
-    * full-corpus (h, doc_id) exchange before the per-h aggregate,
-    * while min/max is ONE map-side-combinable aggregate — measured
-    * 1.54× on the whole x18 pipeline and 1.29× on x22 at the 100×
-    * stretch (26M windows, every one duplicated). Same rows by
-    * construction; the DuckDB oracles keep HAVING count(DISTINCT
+    * self-flag) — the family's dup criterion; since round 15 x24 is
+    * the remaining in-query consumer (x18/x20/x22 read the per-doc
+    * docstats/dupc/spans tables the index maintains with this same
+    * criterion at append time). "≥2 distinct docs" is computed as
+    * min(doc_id) ≠ max(doc_id), NOT countDistinct: the distinct
+    * formulation plans as an extra full-corpus (h, doc_id) exchange
+    * before the per-h aggregate, while min/max is ONE
+    * map-side-combinable aggregate — measured 1.54× on the whole x18
+    * pipeline and 1.29× on x22 at the 100× stretch back when both
+    * joined this frame (26M windows, every one duplicated). Same rows
+    * by construction; the DuckDB oracles keep HAVING count(DISTINCT
     * doc_id) >= 2 and stay hash-exact. Memoized like [[win5]]: the
-    * census shuffle runs ONCE per session, then x18/x20/x22 all join
-    * against the persisted minority set (post-HAVING, far smaller
-    * than the window stream — default level, AQE broadcasts it when
-    * it fits).
+    * census-merge read runs ONCE per session and the persisted
+    * minority set broadcasts where it fits.
     */
   private val dupHashMemo = scala.collection.mutable
     .Map.empty[(org.apache.spark.sql.SparkSession, String),
