@@ -242,6 +242,27 @@ class HarmonizeSpec extends SparkSpec {
       // clamps to one-adapter slices, k<=1 to a single slice
       assert(Harmonize.sliceAdapters(adapters, 99).size == adapters.size)
       assert(Harmonize.sliceAdapters(adapters, 0) == Seq(adapters))
+      // the CONF-GATED route: spark.graft.assembly.slices > 1 makes the
+      // ARTIFACT build (cachedBrick -> buildBrickTo) run sliced; rows
+      // must equal the one-shot brick through the full hosted pathway
+      // (plain artifact -> bucketed layout -> catalog registration)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-sliced-store").toString
+      spark.conf.set(graft.ArtifactStore.DirKey, base)
+      spark.conf.set(Harmonize.SlicesKey, "2")
+      try {
+        graft.MemoRegistry.evictAll(spark)
+        val hosted = Harmonize.cachedBrick(spark, sf(), adapters)
+        same(hosted.activities, one.activities)
+        same(hosted.substances, one.substances)
+        same(hosted.properties, one.properties)
+      } finally {
+        spark.conf.unset(Harmonize.SlicesKey)
+        spark.conf.unset(graft.ArtifactStore.DirKey)
+        graft.MemoRegistry.evictAll(spark)
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(base))
+      }
     } finally {
       spark.conf.unset(Harmonize.ReclaimMsKey)
       val p = new org.apache.hadoop.fs.Path(dir)

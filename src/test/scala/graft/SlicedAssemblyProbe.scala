@@ -57,7 +57,11 @@ object SlicedAssemblyProbe {
       val ckptBases = spark.conf.getOption(MemoRegistry.CkptDirKey)
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Seq(sys.props.getOrElse("java.io.tmpdir", "/tmp")))
-      val localDirs = spark.conf.getOption("spark.local.dir")
+      // shuffle dirs come from SPARK_LOCAL_DIRS (the env wins over the
+      // conf in local mode and never lands in spark.local.dir — the
+      // first sf30 run reported only /tmp and missed the shm dirs)
+      val localDirs = sys.env.get("SPARK_LOCAL_DIRS")
+        .orElse(spark.conf.getOption("spark.local.dir"))
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Seq(sys.props.getOrElse("java.io.tmpdir", "/tmp")))
       (localDirs ++ ckptBases).distinct
