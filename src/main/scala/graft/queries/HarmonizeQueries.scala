@@ -122,11 +122,23 @@ object HarmonizeQueries extends QueryModule {
 
     // Dedup idempotence: raw row count equals distinct aid count — the
     // pubchem before/after-distinct check (ref: src/09_integrate_pubchem.py:
-    // 71-76) strengthened by content-addressed aids.
+    // 71-76) strengthened by content-addressed aids. Shaped like h3's
+    // sid pyramid (round 15): aid = '<source>-'||md5(sid|…) determines
+    // sid (md5-injectivity, the id algebra's standing assumption), so
+    // aid-distinct sets are disjoint across sids and per-sid distinct
+    // counts SUM to the global one — the per-sid level's group key
+    // contains the bucketed brick's bucket key, so the fact-scale
+    // exchange is ELIDED and only ~|sid| partial counts cross the wire
+    // (the flat countDistinct shuffled every unique aid string: aids
+    // are unique, partial dedup removes nothing). coalesce keeps the
+    // global-aggregate one-row-on-empty contract.
     "h6_dedup_idempotence" -> ((s, d) => {
       brick(s, d).activities
-        .agg(count(lit(1)).as("n_raw"),
-          countDistinct(col("aid")).as("n_aids"))
+        .groupBy(col("sid"))
+        .agg(count(lit(1)).as("n_s"),
+          countDistinct(col("aid")).as("na_s"))
+        .agg(coalesce(sum(col("n_s")), lit(0L)).as("n_raw"),
+          coalesce(sum(col("na_s")), lit(0L)).as("n_aids"))
     }),
 
     // The composite integrator's staging output end-to-end: 3-way join →

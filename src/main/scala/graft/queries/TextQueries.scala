@@ -392,15 +392,20 @@ object TextQueries extends QueryModule {
     // self-certify. Keep = mean external support >= 29 per bigram,
     // compared as integers (support >= 29 * n_bg) so the threshold is
     // exact cross-engine. Scale shape: rides the memoized bigram frame;
-    // the per-(doc,bigram) aggregate map-side-combines, the global
-    // count derives from THAT (never a second corpus scan) and
-    // broadcasts — same train-once-score-many policy as x6.
+    // the per-(doc,bigram) aggregate map-side-combines, and the global
+    // count aggregates the SAME cached frame directly by bg (round 15:
+    // deriving it from perDoc re-ran the whole per-(doc,lang,bg)
+    // pipeline — Catalyst shares no subtree between the two branches —
+    // so the query paid the corpus-scale (doc,lang,bg) exchange twice;
+    // sum-of-per-doc-counts ≡ count-per-bg, and the direct aggregate's
+    // exchange carries only (bg, partial) rows) and broadcasts — same
+    // train-once-score-many policy as x6.
     "x14_loo_fluency" -> ((s, d) => {
       val perDoc = cachedBigrams(s, d)
         .groupBy(col("doc_id"), col("lang"), col("bg"))
         .agg(count(lit(1)).as("c_doc"))
-      val gcnt = perDoc.groupBy(col("bg"))
-        .agg(sum(col("c_doc")).as("cnt"))
+      val gcnt = cachedBigrams(s, d).groupBy(col("bg"))
+        .agg(count(lit(1)).as("cnt"))
       perDoc.join(broadcast(gcnt), Seq("bg"))
         .groupBy(col("doc_id"), col("lang"))
         .agg(sum(col("c_doc") * (col("cnt") - col("c_doc")))
