@@ -76,8 +76,46 @@ object Bench {
         .selectExpr("bit_xor(xxhash64(id))").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // Second, MEMORY-BANDWIDTH-bound calibration job (round-15 finding:
+    // a co-tenant regime inflated every query ~1.29x uniformly while
+    // the CPU marker stayed calm — a register-resident xxhash64 loop
+    // cannot see memory-bus pressure). Fixed shape forever, like the
+    // CPU marker: a 64M-long array (512 MB — far past any LLC) streamed
+    // end-to-end by 8 fixed threads (NOT scaled to SPARK_GRAFT_CPUS —
+    // the driver benches at several core counts and the two artifacts'
+    // markers must be the same work), 4 passes per sample, xor-folded
+    // so nothing elides. Both markers together make a loaded window
+    // self-identifying in the artifact whichever resource the
+    // co-tenant saturates.
+    val memMarkerArr = {
+      val a = new Array[Long](1 << 26)
+      var i = 0
+      while (i < a.length) { a(i) = i.toLong; i += 1 }
+      a
+    }
+    def memMarkerSample(): Double = {
+      val t0 = System.nanoTime()
+      val threads = (0 until 8).map { t =>
+        new Thread(() => {
+          var pass = 0
+          var acc = 0L
+          while (pass < 4) {
+            var i = t
+            while (i < memMarkerArr.length) {
+              acc ^= memMarkerArr(i); i += 8
+            }
+            pass += 1
+          }
+          if (acc == 42L) System.err.print("") // defeat dead-code elim
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
     loadMarkerSample(): Unit // codegen/JIT warm-up for the marker itself
+    memMarkerSample(): Unit
     val markerPre = (1 to 3).map(_ => loadMarkerSample())
+    val memMarkerPre = (1 to 3).map(_ => memMarkerSample())
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // Optional parallel artifact prewarm (VERDICT r13 #7): the cold
     // pass's dominant cost is a handful of INDEPENDENT cross-session
@@ -152,6 +190,7 @@ object Bench {
       }.toMap
     }
     val markerPost = (1 to 3).map(_ => loadMarkerSample())
+    val memMarkerPost = (1 to 3).map(_ => memMarkerSample())
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.isEmpty) -1.0
@@ -204,19 +243,22 @@ object Bench {
     val markerAll = markerPre ++ markerPost
     val markerMed = median(markerAll)
     val markerJson = markerAll.map(f3).mkString("[", ",", "]")
+    val memAll = memMarkerPre ++ memMarkerPost
+    val memMed = median(memAll)
+    val memJson = memAll.map(f3).mkString("[", ",", "]")
     val passVals = passes.map(_.values.sum)
     val passSpread =
       if (passVals.nonEmpty && passVals.min > 0) passVals.max / passVals.min
       else 1.0
     val fullJson =
-      s"""{"queries":$qs,"cold_queries":$coldQs,"n_queries":${results.size},"cold_total_sec":${f3(coldTotal)},"warm_passes":$warmPasses,"pass_totals_sec":$passTotals,"pass_spread_ratio":${f3(passSpread)},"load_marker_sec":${f3(markerMed)},"load_marker_samples":$markerJson,"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}"""
+      s"""{"queries":$qs,"cold_queries":$coldQs,"n_queries":${results.size},"cold_total_sec":${f3(coldTotal)},"warm_passes":$warmPasses,"pass_totals_sec":$passTotals,"pass_spread_ratio":${f3(passSpread)},"load_marker_sec":${f3(markerMed)},"load_marker_samples":$markerJson,"load_marker_mem_sec":${f3(memMed)},"load_marker_mem_samples":$memJson,"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LATEST.json"), fullJson + "\n")
     catch { case _: Throwable => () }
     val top10 = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"n_queries":${results.size},"cold_total_sec":${f3(coldTotal)},"warm_passes":$warmPasses,"pass_totals_sec":$passTotals,"pass_spread_ratio":${f3(passSpread)},"load_marker_sec":${f3(markerMed)},"slowest10":$top10,"queries_file":"BENCH_LATEST.json","sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}""")
+    println(s"""{"n_queries":${results.size},"cold_total_sec":${f3(coldTotal)},"warm_passes":$warmPasses,"pass_totals_sec":$passTotals,"pass_spread_ratio":${f3(passSpread)},"load_marker_sec":${f3(markerMed)},"load_marker_mem_sec":${f3(memMed)},"slowest10":$top10,"queries_file":"BENCH_LATEST.json","sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}""")
     spark.stop()
   }
 }

@@ -32,9 +32,12 @@ def load(path):
     with open(path) as f:
         d = json.load(f)
     if "queries" in d:
-        return d["queries"], d.get("load_marker_sec")
+        return (d["queries"], d.get("load_marker_sec"),
+                d.get("load_marker_mem_sec"))
     if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
-        return d["parsed"]["queries"], d["parsed"].get("load_marker_sec")
+        return (d["parsed"]["queries"],
+                d["parsed"].get("load_marker_sec"),
+                d["parsed"].get("load_marker_mem_sec"))
     raise SystemExit(f"{path}: no per-query map found (driver wrappers "
                      "with parsed:null carry only a truncated stdout "
                      "tail; use the round commit's BENCH_LATEST.json)")
@@ -52,7 +55,8 @@ def main():
         raise SystemExit(
             f"threshold must be a number, got {sys.argv[3]!r} — usage: "
             "python3 tools/bench_compare.py OLD.json NEW.json [threshold]")
-    (old, old_marker), (new, new_marker) = load(old_path), load(new_path)
+    ((old, old_marker, old_mem),
+     (new, new_marker, new_mem)) = load(old_path), load(new_path)
     # machine-load marker (VERDICT r13 #4): both artifacts record the
     # wall of the SAME fixed calibration job; if the two walls deviate
     # >25%, one side ran in a co-tenant-loaded window and the totals
@@ -79,6 +83,22 @@ def main():
         print(f"[load marker DEGENERATE: old={old_marker!r} "
               f"new={new_marker!r} — cannot adjudicate window load; "
               "treat this compare as not-load-checked]")
+
+    # second, memory-bandwidth-bound marker (round-15 finding: a
+    # co-tenant regime can inflate every query while the CPU marker
+    # stays calm). Optional — absent on pre-r15 artifacts.
+    if isinstance(old_mem, (int, float)) and \
+            isinstance(new_mem, (int, float)) and min(old_mem, new_mem) > 0:
+        mdrift = max(old_mem, new_mem) / min(old_mem, new_mem)
+        mnote = (" *** LOAD-SKEWED WINDOW (memory-bandwidth): treat "
+                 "per-query ratios as machine noise until rerun on "
+                 "comparable load ***" if mdrift > 1.25 else "")
+        print(f"mem-bandwidth marker {old_mem:.2f}s -> {new_mem:.2f}s "
+              f"({mdrift:.2f}x drift){mnote}")
+    elif old_mem is not None or new_mem is not None:
+        print("[mem-bandwidth marker present on only one side — "
+              "pre-r15 artifact on the other; memory-bus co-tenancy "
+              "not cross-checkable]")
 
     excluded = set()
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -68,6 +68,14 @@ def main():
             if isinstance(r.get("load_marker_sec"), (int, float))])
             else None),
         "load_marker_runs": [r.get("load_marker_sec") for r in runs],
+        # second, memory-bandwidth marker (round 15) — same treatment
+        "load_marker_mem_sec": (round(statistics.median(mm), 3)
+            if (mm := [r["load_marker_mem_sec"] for r in runs
+                       if isinstance(r.get("load_marker_mem_sec"),
+                                     (int, float))])
+            else None),
+        "load_marker_mem_runs": [
+            r.get("load_marker_mem_sec") for r in runs],
         "metric": "total", "unit": "sec", "value": total,
     }
     with open(out_path, "w") as f:
