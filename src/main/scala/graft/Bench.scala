@@ -87,13 +87,25 @@ object Bench {
     // so nothing elides. Both markers together make a loaded window
     // self-identifying in the artifact whichever resource the
     // co-tenant saturates.
-    val memMarkerArr = {
-      val a = new Array[Long](1 << 26)
-      var i = 0
-      while (i < a.length) { a(i) = i.toLong; i += 1 }
-      a
-    }
+    // ADVICE r15: the 512 MB array is allocated and initialized INSIDE
+    // each sample, before t0 — the timed streaming work is unchanged
+    // (the frozen-shape contract holds: same array size, same 8
+    // threads/stride-8/4-pass scan), but the buffer is collectible
+    // between samples instead of sitting reachable through every
+    // measured pass and skewing GC/spill against pre-r15 artifacts.
+    // (The same ADVICE's stride-layout suggestion — contiguous 64 MB
+    // blocks per thread — is deliberately NOT taken: it changes the
+    // sample's DRAM traffic and therefore its value, and the r15
+    // driver artifacts already carry the stride-8 shape; breaking
+    // cross-round marker comparability costs more than the determinism
+    // it buys.)
     def memMarkerSample(): Double = {
+      val memMarkerArr = {
+        val a = new Array[Long](1 << 26)
+        var i = 0
+        while (i < a.length) { a(i) = i.toLong; i += 1 }
+        a
+      }
       val t0 = System.nanoTime()
       val threads = (0 until 8).map { t =>
         new Thread(() => {
@@ -191,6 +203,21 @@ object Bench {
     }
     val markerPost = (1 to 3).map(_ => loadMarkerSample())
     val memMarkerPost = (1 to 3).map(_ => memMarkerSample())
+    // Per-query fixed-overhead floor (VERDICT r15 #7): at sf0.1 the
+    // suite is overhead-bound (129.2s @ 32 cores ≈ 129.9s @ 8 in the
+    // r15 driver runs), so a low-core scaling probe sees nothing. This
+    // publishes the attribution: the wall of a TRIVIAL one-row query
+    // through the same checksum barrier as every measured query —
+    // fresh plan + analysis + codegen + one task + collect — i.e. the
+    // floor each of the 206 queries pays regardless of data or core
+    // count. Subtract it 206× before reading core-count scaling.
+    def overheadSample(): Double = {
+      val t0 = System.nanoTime()
+      run(spark.range(1).selectExpr("id AS v")): Unit
+      (System.nanoTime() - t0) / 1e9
+    }
+    overheadSample(): Unit // warm the barrier codegen path once
+    val overheadSamples = (1 to 5).map(_ => overheadSample())
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.isEmpty) -1.0
@@ -250,15 +277,45 @@ object Bench {
     val passSpread =
       if (passVals.nonEmpty && passVals.min > 0) passVals.max / passVals.min
       else 1.0
+    val overheadFloor = median(overheadSamples)
     val fullJson =
-      s"""{"queries":$qs,"cold_queries":$coldQs,"n_queries":${results.size},"cold_total_sec":${f3(coldTotal)},"warm_passes":$warmPasses,"pass_totals_sec":$passTotals,"pass_spread_ratio":${f3(passSpread)},"load_marker_sec":${f3(markerMed)},"load_marker_samples":$markerJson,"load_marker_mem_sec":${f3(memMed)},"load_marker_mem_samples":$memJson,"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}"""
+      s"""{"queries":$qs,"cold_queries":$coldQs,"n_queries":${results.size},"cold_total_sec":${f3(coldTotal)},"warm_passes":$warmPasses,"pass_totals_sec":$passTotals,"pass_spread_ratio":${f3(passSpread)},"load_marker_sec":${f3(markerMed)},"load_marker_samples":$markerJson,"load_marker_mem_sec":${f3(memMed)},"load_marker_mem_samples":$memJson,"overhead_floor_sec":${f3(overheadFloor)},"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LATEST.json"), fullJson + "\n")
     catch { case _: Throwable => () }
     val top10 = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"n_queries":${results.size},"cold_total_sec":${f3(coldTotal)},"warm_passes":$warmPasses,"pass_totals_sec":$passTotals,"pass_spread_ratio":${f3(passSpread)},"load_marker_sec":${f3(markerMed)},"load_marker_mem_sec":${f3(memMed)},"slowest10":$top10,"queries_file":"BENCH_LATEST.json","sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}""")
+    // VERDICT r15 #1 wants the per-query map back in the stdout line so
+    // the driver's compare populates. The hard constraint: the driver
+    // retains only a ~2000-char stdout TAIL (every BENCH_rNN wrapper
+    // r4-r15 carries exactly 2000 chars), and rounds 4-5 — where the
+    // full map DID ride the line — are the measured proof it overflows:
+    // both parsed:null, the whole bench lost to truncation. The full
+    // 206-query map is ~5.2 KB and cannot fit whole; names dominate, so
+    // no precision trick closes the gap. Compromise, additions-only:
+    // "queries" carries the LARGEST slowest-first prefix of the map
+    // that keeps the whole line under 1850 chars (~40 queries — every
+    // query the 1.5×/0.2s regression gate can flag is in it; the
+    // omitted tail is the sub-0.4s mass whose absolute deltas sit
+    // under the gate's floor), "queries_omitted" counts the rest, and
+    // BENCH_LATEST.json keeps the whole map as before.
+    val lineNoQueries =
+      s"""{"n_queries":${results.size},"cold_total_sec":${f3(coldTotal)},"warm_passes":$warmPasses,"pass_totals_sec":$passTotals,"pass_spread_ratio":${f3(passSpread)},"load_marker_sec":${f3(markerMed)},"load_marker_mem_sec":${f3(memMed)},"overhead_floor_sec":${f3(overheadFloor)},"slowest10":$top10,"queries":{},"queries_omitted":000,"queries_file":"BENCH_LATEST.json","sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}"""
+    val budget = 1850 - lineNoQueries.length
+    val entries = results.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    val keep = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    var full = false // strict prefix: stop at the first entry that
+    entries.foreach { e => // doesn't fit, so "queries" = the N slowest
+      if (!full && used + e.length + 1 <= budget) {
+        keep += e; used += e.length + 1
+      } else full = true
+    }
+    val inlineQs = keep.mkString("{", ",", "}")
+    val omitted = results.size - keep.size
+    println(s"""{"n_queries":${results.size},"cold_total_sec":${f3(coldTotal)},"warm_passes":$warmPasses,"pass_totals_sec":$passTotals,"pass_spread_ratio":${f3(passSpread)},"load_marker_sec":${f3(markerMed)},"load_marker_mem_sec":${f3(memMed)},"overhead_floor_sec":${f3(overheadFloor)},"slowest10":$top10,"queries":$inlineQs,"queries_omitted":$omitted,"queries_file":"BENCH_LATEST.json","sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}""")
     spark.stop()
   }
 }

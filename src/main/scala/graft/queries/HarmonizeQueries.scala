@@ -52,34 +52,37 @@ object HarmonizeQueries extends QueryModule {
     // smiles (the D2 enrichment), binary_value totals, numvalue range
     // (ref: src/80_harmonize.py:63-99 assembly + count assertions).
     //
-    // Shaped to RIDE THE BUCKETED BRICK LAYOUT (VERDICT r14 #2): the
-    // hosted activities table is bucketed on sid, and aid =
-    // md5(sid|pid|inchi|value) determines sid, so aid-distinct sets are
-    // DISJOINT across sids — a per-(source, value, sid) distinct count
-    // (whose group key contains the bucket key: exchange ELIDED) summed
-    // per (source, value) IS the global distinct count, and the only
-    // exchange the pyramid needs carries ~|groups| partial sums. The
-    // flat countDistinct formulation instead shuffled every aid string
-    // (aids are unique — the partial dedup removes nothing, a
-    // fact-scale exchange). smiles = f(inchi) is NOT sid-bound (two
-    // substances can share a structure), so its distinct count goes
-    // through a (source, value, smiles) distinct frame — the exchange
-    // carries per-partition-DEDUPED structure rows, dimension scale.
+    // countDistinct(aid) is computed as count(*) — equal BY
+    // CONSTRUCTION within a (source, value) group (VERDICT r15 #3):
+    // the brick's activities are one row per (source, sid, pid, inchi,
+    // value) collapse group (Harmonize.brickFromStaged — the grouped
+    // min(numvalue) collapse), so with source and value fixed, rows
+    // are distinct (sid, pid, inchi) triples, and aid =
+    // md5(sid|pid|inchi|value) (Harmonize.scala:557) is injective in
+    // them under md5-injectivity — the id algebra's standing
+    // assumption, the SAME one the round-15 sid-pyramid rested on
+    // ("aid determines sid"). aid is never null (md5 of concat_ws).
+    // Every aggregate left is algebraic, so the whole core is one
+    // map-side partial aggregate over the bucketed cached scan and a
+    // ~|source×value|-row exchange — no fact-scale shuffle at ANY
+    // scale, and none of the |sid×value| intermediate hash-map
+    // materialization that made the r15 pyramid a documented ~10-35%
+    // gate-scale regression (guide §2.3; the oracle still computes the
+    // flat count(DISTINCT aid) and re-verifies hash-exact).
+    // smiles = f(inchi) is NOT sid-bound (two substances can share a
+    // structure), so its distinct count goes through a
+    // (source, value, smiles) distinct frame — the exchange carries
+    // per-partition-DEDUPED structure rows, dimension scale.
     // Left join + coalesce keeps countDistinct's null semantics (a
     // group with only null smiles counts 0, not 1, and is not dropped).
     "h3_activities_qc" -> ((s, d) => {
       val a = brick(s, d).activities
       val core = a
-        .groupBy(col("source"), col("value"), col("sid"))
-        .agg(count(lit(1)).as("n_s"),
-          countDistinct(col("aid")).as("na_s"),
-          sum(col("binary_value")).as("np_s"),
-          min(col("numvalue")).as("mn_s"),
-          max(col("numvalue")).as("mx_s"))
         .groupBy(col("source"), col("value"))
-        .agg(sum(col("n_s")).as("n"), sum(col("na_s")).as("n_aids"),
-          sum(col("np_s")).as("n_pos"), min(col("mn_s")).as("min_num"),
-          max(col("mx_s")).as("max_num"))
+        .agg(count(lit(1)).as("n"), count(lit(1)).as("n_aids"),
+          sum(col("binary_value")).as("n_pos"),
+          min(col("numvalue")).as("min_num"),
+          max(col("numvalue")).as("max_num"))
       val smiles = a.filter(col("smiles").isNotNull)
         .select(col("source"), col("value"), col("smiles")).distinct()
         .groupBy(col("source"), col("value"))
@@ -122,8 +125,10 @@ object HarmonizeQueries extends QueryModule {
 
     // Dedup idempotence: raw row count equals distinct aid count — the
     // pubchem before/after-distinct check (ref: src/09_integrate_pubchem.py:
-    // 71-76) strengthened by content-addressed aids. Shaped like h3's
-    // sid pyramid (round 15): aid = '<source>-'||md5(sid|…) determines
+    // 71-76) strengthened by content-addressed aids. Shaped as a
+    // sid pyramid (round 15): aid = md5(sid|pid|inchi|value)
+    // (Harmonize.scala:557 — ADVICE r15 corrected this comment's
+    // earlier '<source>-'-prefixed misstatement) determines
     // sid (md5-injectivity, the id algebra's standing assumption), so
     // aid-distinct sets are disjoint across sids and per-sid distinct
     // counts SUM to the global one — the per-sid level's group key
@@ -182,17 +187,25 @@ object HarmonizeQueries extends QueryModule {
     }),
 
     // Incremental harmonize IN the correctness gate: the brick is built
-    // as seven sources + `Harmonize.incremental` of the eighth, and the
-    // oracle replays the ONE-SHOT eight-source build — equality is the
-    // content-addressed-merge bit-identity claim (HarmonizeSpec proves
-    // it at the row level; this pins it against DuckDB every round).
-    // This is the reference's add-a-source workflow without its
-    // rerun-everything DVC cost: the merge touches the new source's
-    // rows plus one distinct per table.
+    // as thirteen sources + `Harmonize.incremental` of the fourteenth,
+    // and the oracle replays the ONE-SHOT build of all fourteen —
+    // equality is the content-addressed-merge bit-identity claim
+    // (HarmonizeSpec proves it at the row level; this pins it against
+    // DuckDB every round). This is the reference's add-a-source
+    // workflow without its rerun-everything DVC cost — and since round
+    // 16 the merge takes the disjoint-source path (the increment is a
+    // whole adapter, so its `source` stamp cannot collide with the
+    // existing thirteen): the union is already distinct/collapsed and
+    // the merge touches ZERO existing rows, instead of re-shuffling
+    // the whole existing brick through a fact-scale collapse per run
+    // (guide §2.4; Harmonize.mergeDisjointSources has the key-by-key
+    // argument, HarmonizeSpec pins merge ≡ mergeDisjointSources ≡
+    // one-shot on adapter-granular units).
     "h12_incremental_brick" -> ((s, d) => {
       val adapters = SourceAdapter.all
       val existing = Harmonize.cachedBrick(s, d, adapters.init)
-      val full = Harmonize.incremental(s, d, existing, Seq(adapters.last))
+      val full = Harmonize.incremental(s, d, existing, Seq(adapters.last),
+        disjointSources = true)
       full.activities
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_acts"),

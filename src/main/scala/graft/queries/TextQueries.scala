@@ -200,31 +200,42 @@ object TextQueries extends QueryModule {
 
     // Winnowing fingerprints (rolling-hash document fingerprinting, the
     // MOSS scheme over word 3-grams): hash every gram, keep the min hash
-    // of each 4-gram window, dedupe per doc. Shape matters: posexplode
-    // the gram hashes (each md5 computed exactly ONCE) and take the
-    // window min with a ROWS frame — the naive array formulation
-    // transform(j -> array_min(slice(hs, j, w))) inlines the whole hs
-    // transform per window after project-collapse, going O(n²) in md5
-    // calls. At 100 TB the fingerprint build is one scan + one per-doc
-    // window; near-dup lookup is then an equi-join on fp.
+    // of each 4-gram window, dedupe per doc. ROW-LOCAL since round 16
+    // (VERDICT r15 #6): a document is one row, so the per-doc sliding
+    // minima never needed the posexplode → corpus-scale Exchange → Sort
+    // → Window pipeline this ran through before
+    // (plans/r16/x7_winnowing_before.txt) — they are computed inside
+    // the row with array expressions, and the only shuffle left is the
+    // final per-lang distinct aggregate over per-doc-deduped
+    // fingerprints (guide §2.4 "remove shuffles outright"). Expression
+    // shape matters in two ways, both measured: the naive
+    // transform(j -> array_min(slice(hs, j, w))) references hs ONCE, so
+    // CollapseProject inlines the whole md5 transform into the
+    // per-window lambda and the hash work goes O(n²); here hs is
+    // referenced four times (shifted slices), which blocks the collapse
+    // (multi-referenced non-cheap producers don't inline), so md5 runs
+    // exactly once per gram and the w-window min is three pairwise
+    // zip_with/least passes — O(n·w) comparisons, zero pre-aggregate
+    // exchanges at any corpus size.
     "x7_winnowing" -> ((s, d) => {
-      val w = 4
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("i"))
-        .rowsBetween(0, w - 1)
+      val w = 4 // window width; the zip_with ladder is its pairwise form
       Tables.documents(s, d)
         .withColumn("ts", split(lower(col("text")), " "))
         .filter(size(col("ts")) >= 3 + w - 1)
-        // gram count is known pre-explode — carry it instead of a second
-        // whole-partition window
-        .withColumn("n", size(col("ts")) - 2)
-        .select(col("lang"), col("doc_id"), col("n"), posexplode(expr(
+        .withColumn("hs", expr(
           "transform(sequence(1, size(ts) - 2), " +
-            "g -> md5(concat_ws(' ', ts[g-1], ts[g], ts[g+1])))")))
-        .withColumnRenamed("pos", "i").withColumnRenamed("col", "h")
-        .withColumn("m", min(col("h")).over(win))
-        .filter(col("i") <= col("n") - w)
-        .select(col("lang"), col("doc_id"), col("m")).distinct()
+            "g -> md5(concat_ws(' ', ts[g-1], ts[g], ts[g+1])))"))
+        // min over hs[j..j+3], j = 1..size(hs)-3 (full windows only —
+        // the pre-r16 form filtered i <= n - w identically)
+        .withColumn("ms", expr(
+          "zip_with(" +
+            "zip_with(slice(hs, 1, size(hs) - 3), " +
+            "slice(hs, 2, size(hs) - 3), (x, y) -> least(x, y)), " +
+            "zip_with(slice(hs, 3, size(hs) - 3), " +
+            "slice(hs, 4, size(hs) - 3), (x, y) -> least(x, y)), " +
+            "(x, y) -> least(x, y))"))
+        .select(col("lang"), col("doc_id"),
+          explode(array_distinct(col("ms"))).as("m"))
         .groupBy(col("lang"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_fp_total"),
@@ -636,19 +647,30 @@ object TextQueries extends QueryModule {
     // "did crawl A leak into curated set B" and train/eval
     // cross-contamination checks (x8's decontamination cousin, but
     // source×source instead of corpus×heldout). Pair enumeration is
-    // the self-join of the DISTINCT (h, source) frame with s1 < s2, so
-    // per-hash fan-out is bounded by C(|sources|, 2) — a catalog-sized
-    // constant (20 sources here), NEVER corpus-quadratic; the join key
-    // is the hash, so it shuffles like any equi-join and AQE handles
-    // the skewed boilerplate hashes. Integer counts, top-15 pairs.
+    // ROW-LOCAL since round 16: one groupBy(h) collecting the (tiny,
+    // catalog-bounded) per-hash source SET replaces the r15
+    // distinct + h-keyed self-join — the plan before
+    // (plans/r16/x21_cross_source_spans_before.txt) computed the
+    // distinct frame TWICE (once per join side) plus the join's own
+    // exchange; now ONE exchange carries per-partition-deduped
+    // (h, {sources}) partial sets (guide §2.3 "aggregate before you
+    // shuffle", §2.4). Pairs come from the sorted set with s1 < s2, so
+    // per-hash fan-out stays bounded by C(|sources|, 2) — a
+    // catalog-sized constant, never corpus-quadratic — and n_shared is
+    // a plain count: each hash contributes each pair at most once by
+    // construction, exactly the old countDistinct(a.h) over the
+    // equi-join. Integer counts, top-15 pairs.
     "x21_cross_source_spans" -> ((s, d) => {
-      val hs = win5(s, d).select(col("h"), col("source")).distinct()
-      hs.as("a").join(hs.as("b"),
-          col("a.h") === col("b.h") &&
-            col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("source_a"),
-          col("b.source").as("source_b"))
-        .agg(countDistinct(col("a.h")).as("n_shared"))
+      win5(s, d)
+        .groupBy(col("h"))
+        .agg(sort_array(collect_set(col("source"))).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(explode(expr(
+          "flatten(transform(ss, (sa, i) -> " +
+            "transform(slice(ss, i + 2, size(ss)), " +
+            "sb -> named_struct('a', sa, 'b', sb))))")).as("p"))
+        .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
         .orderBy(col("n_shared").desc, col("source_a"), col("source_b"))
         .limit(15)
     }),

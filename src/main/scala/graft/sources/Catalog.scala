@@ -114,7 +114,15 @@ object Catalog {
         key: String): Unit = {
       val t = "graft_tmp_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
+      // repartition on the bucket key FIRST: repartition's
+      // HashPartitioning and the bucket-file assignment use the same
+      // murmur3 pmod, so each write task holds exactly one bucket and
+      // emits exactly one file — without it every scan task writes its
+      // own file per bucket (~94 files/bucket at sf0.1, 3 000 tiny
+      // files per table; guide §6), and multi-file buckets also void
+      // the SORTED BY metadata for readers.
+      df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+        .write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
         .option("path", s"$dir/$name").saveAsTable(t)
       spark.sql(s"DROP TABLE $t")
     }

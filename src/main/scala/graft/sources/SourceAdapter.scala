@@ -68,6 +68,18 @@ object SourceAdapter {
   private val memo = scala.collection.mutable.Map
     .empty[(SparkSession, String, String), StagingTriplet]
 
+  /** In-flight builders (MemoRegistry.memoGet): one builder per key,
+    * concurrent callers of the same key block on its future only —
+    * and, the round-16 point, builders of DIFFERENT adapters no longer
+    * serialize behind one map monitor (the pre-r16 code held
+    * `memo.synchronized` across the whole multi-job staging build, so
+    * the guide-§2.6 concurrent submission in the brick assembly and
+    * the bench prewarm pool got zero actual staging overlap).
+    */
+  private val inflight = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String),
+    java.util.concurrent.CompletableFuture[StagingTriplet]]
+
   /** Evict this session's staged triplets; next access re-stages. */
   def evict(spark: SparkSession): Unit =
     graft.MemoRegistry.evictMap(spark, memo)(_._1)(t =>
@@ -76,8 +88,8 @@ object SourceAdapter {
   graft.MemoRegistry.register(evict)
 
   def cachedStaging(a: SourceAdapter, spark: SparkSession,
-      sfDir: String): StagingTriplet = memo.synchronized {
-    memo.getOrElseUpdate((spark, sfDir, a.name), {
+      sfDir: String): StagingTriplet =
+    graft.MemoRegistry.memoGet(memo, inflight, (spark, sfDir, a.name)) {
       if (!graft.ArtifactStore.enabled(spark) ||
           !graft.ArtifactStore.hostableInput(spark, sfDir)) {
         // opt-out (spark.graft.artifact.enabled=false) or an input dir
@@ -116,8 +128,7 @@ object SourceAdapter {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       StagingTriplet(rd("substances"), rd("properties"), rd("activities"))
       }
-    })
-  }
+    }
 }
 
 /** Events-as-assay adapter: user = substance, event_type = property, a

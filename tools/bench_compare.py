@@ -95,10 +95,20 @@ def main():
                  "comparable load ***" if mdrift > 1.25 else "")
         print(f"mem-bandwidth marker {old_mem:.2f}s -> {new_mem:.2f}s "
               f"({mdrift:.2f}x drift){mnote}")
-    elif old_mem is not None or new_mem is not None:
-        print("[mem-bandwidth marker present on only one side — "
-              "pre-r15 artifact on the other; memory-bus co-tenancy "
-              "not cross-checkable]")
+    elif old_mem is None or new_mem is None:
+        if old_mem is not None or new_mem is not None:
+            print("[mem-bandwidth marker present on only one side — "
+                  "pre-r15 artifact on the other; memory-bus co-tenancy "
+                  "not cross-checkable]")
+        # both None: pre-r15 on both sides — nothing to report
+    else:
+        # both sides carry a mem marker but at least one is degenerate
+        # (non-numeric or <= 0) — mirror the CPU marker's explicit
+        # DEGENERATE branch instead of misreporting "only one side"
+        # (ADVICE r15)
+        print(f"[mem-bandwidth marker DEGENERATE: old={old_mem!r} "
+              f"new={new_mem!r} — cannot adjudicate memory-bus load; "
+              "treat this compare as not-load-checked]")
 
     excluded = set()
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
